@@ -1,0 +1,75 @@
+"""CLI — the equivalent of the reference's one-binary `h264dec` driver
+(codec/console/dec/h264dec.cpp:167-177: direction chosen by file type).
+
+  python -m losslessh264_tpu in.264 out.pip    # compress
+  python -m losslessh264_tpu in.pip out.264    # decompress
+  python -m losslessh264_tpu roundtrip in.264  # compress+decompress+diff
+
+Like the reference, direction is inferred: .pip input (magic "PIPT")
+decompresses, anything else compresses.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from . import native
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="losslessh264_tpu",
+        description="Lossless H.264 recompression (Pied-Piper class), TPU-native rebuild",
+    )
+    ap.add_argument("input", help="input file (.264 or .pip) or 'roundtrip'")
+    ap.add_argument("output", nargs="?", help="output file")
+    ap.add_argument("--no-verify", action="store_true",
+                    help="skip compress-time roundtrip verification")
+    ap.add_argument("--stats", action="store_true", help="print stats to stderr")
+    args = ap.parse_args(argv)
+
+    if args.input == "roundtrip":
+        path = args.output
+        if not path:
+            ap.error("roundtrip mode requires an input file")
+        data = open(path, "rb").read()
+        t0 = time.perf_counter()
+        pip, st = native.compress(data, verify=False)
+        t1 = time.perf_counter()
+        out, _ = native.decompress(pip)
+        t2 = time.perf_counter()
+        ok = out == data
+        ratio = 100.0 * (1 - len(pip) / len(data))
+        print(
+            f"{path}: {len(data)} -> {len(pip)} bytes ({ratio:.1f}% saved), "
+            f"{st.n_frames} frames, compress {st.n_frames/(t1-t0):.1f} fps, "
+            f"decompress {st.n_frames/(t2-t1):.1f} fps, "
+            f"bit-exact: {'YES' if ok else 'NO'}"
+        )
+        return 0 if ok else 1
+
+    if not args.output:
+        ap.error("output file required")
+    data = open(args.input, "rb").read()
+    if data[:4] == b"PIPT":
+        out, st = native.decompress(data)
+        open(args.output, "wb").write(out)
+        if args.stats:
+            print(f"decompressed {len(data)} -> {len(out)} bytes, "
+                  f"{st.n_frames} frames", file=sys.stderr)
+    else:
+        out, st = native.compress(data, verify=not args.no_verify)
+        open(args.output, "wb").write(out)
+        if args.stats:
+            ratio = 100.0 * (1 - len(out) / len(data))
+            print(
+                f"compressed {len(data)} -> {len(out)} bytes ({ratio:.1f}% saved), "
+                f"{st.n_frames} frames, {st.n_fallback_slices} fallback slices",
+                file=sys.stderr,
+            )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,355 @@
+// Adaptive binary arithmetic coder + integer prior structures.
+//
+// Reference parity: the libvpx-style bool range coder
+// (codec/decoder/core/inc/bitreader.h / bitwriter.h), DynProb and the
+// Branch/Unary/UEGk prior family (compression_stream.h:87-244, emitInt /
+// scanInt at :523-676). Clean-room redesign: the coder follows the
+// public VP8 bool-coder algorithm (RFC 6386 §7); the integer codec keeps
+// the proven zero/sign/unary-exponent/mantissa decomposition but uses a
+// flat per-(exponent,bit) mantissa context table instead of the
+// reference's binary-search indexing, and everything writes into a single
+// stream per shard (the reference pays per-tag sidecar overhead).
+#pragma once
+
+#include "common.h"
+
+namespace h264pip {
+
+// ---------------------------------------------------------------------------
+// Adaptive bit probability: counts-based estimator, halving rescale.
+// prob = P(bit==0) scaled to [1,255].
+// ---------------------------------------------------------------------------
+struct DynProb {
+  u8 prob = 128;
+  u16 c0 = 0, c1 = 0;
+
+  inline void update(bool bit) {
+    if (bit) ++c1; else ++c0;
+    prob = u8((256u * (c0 + 1)) / (c0 + c1 + 2));
+    if (prob == 0) prob = 1;  // vpx coder requires prob in [1,255]
+    if (c0 + c1 > 512) {
+      c0 = (c0 + 1) >> 1;
+      c1 = (c1 + 1) >> 1;
+    }
+  }
+};
+
+// ---------------------------------------------------------------------------
+// Bool writer (VP8-style range coder, carry propagation into buffer)
+// ---------------------------------------------------------------------------
+class BoolWriter {
+ public:
+  BoolWriter() { reset(); }
+
+  void reset() {
+    buf_.clear();
+    low_ = 0;
+    range_ = 255;
+    count_ = -24;
+    n_bits_ = 0;
+  }
+
+  inline void put(bool bit, u8 prob /* P(bit==0) in [1,255] */) {
+    ++n_bits_;
+    u32 split = 1 + (((range_ - 1) * prob) >> 8);
+    if (bit) {
+      low_ += split;
+      range_ -= split;
+    } else {
+      range_ = split;
+    }
+    int shift = __builtin_clz(range_) - 24;  // bring range into [128,255]
+    range_ <<= shift;
+    count_ += shift;
+    if (count_ >= 0) {
+      int offset = shift - count_;
+      if ((low_ << (offset - 1)) & 0x80000000u) {
+        // carry into already-emitted bytes
+        int x = int(buf_.size()) - 1;
+        while (x >= 0 && buf_[x] == 0xff) {
+          buf_[x] = 0;
+          --x;
+        }
+        if (x >= 0) buf_[x] += 1;
+      }
+      buf_.push_back(u8(low_ >> (24 - offset)));
+      low_ <<= offset;
+      low_ &= 0xffffff;
+      shift = count_;
+      count_ -= 8;
+    }
+    low_ <<= shift;
+  }
+
+  inline void put_adaptive(bool bit, DynProb* p) {
+    put(bit, p->prob);
+    p->update(bit);
+  }
+
+  void stop() {  // flush: 32 literal bits
+    for (int i = 0; i < 32; ++i) put((low_ >> 31) & 0, 128), (void)0;
+  }
+
+  std::vector<u8> finish() {
+    for (int i = 0; i < 32; ++i) put(false, 128);
+    return std::move(buf_);
+  }
+
+  size_t size() const { return buf_.size(); }
+  u64 n_bits() const { return n_bits_; }
+
+ private:
+  std::vector<u8> buf_;
+  u32 low_;
+  u32 range_;
+  int count_;
+  u64 n_bits_;
+};
+
+// ---------------------------------------------------------------------------
+// Bool reader
+// ---------------------------------------------------------------------------
+class BoolReader {
+ public:
+  BoolReader() : data_(nullptr), size_(0) {}
+
+  void init(const u8* data, size_t size) {
+    data_ = data;
+    size_ = size;
+    pos_ = 0;
+    value_ = 0;
+    count_ = -8;
+    range_ = 255;
+    fill();
+  }
+
+  inline bool get(u8 prob) {
+    u32 split = 1 + (((range_ - 1) * prob) >> 8);
+    if (count_ < 0) fill();
+    u64 bigsplit = u64(split) << (64 - 8);
+    bool bit;
+    if (value_ >= bigsplit) {
+      range_ -= split;
+      value_ -= bigsplit;
+      bit = true;
+    } else {
+      range_ = split;
+      bit = false;
+    }
+    int shift = __builtin_clz(range_) - 24;
+    range_ <<= shift;
+    value_ <<= shift;
+    count_ -= shift;
+    return bit;
+  }
+
+  inline bool get_adaptive(DynProb* p) {
+    bool bit = get(p->prob);
+    p->update(bit);
+    return bit;
+  }
+
+ private:
+  void fill() {
+    int shift = 64 - 8 - (count_ + 8);
+    while (shift >= 0) {
+      if (pos_ >= size_) {
+        // feeding zeros past the end is fine: the encoder's 32-bit flush
+        // guarantees all real symbols resolve before we'd consume them
+        count_ += 8;
+        value_ |= 0;
+        shift -= 8;
+        continue;
+      }
+      count_ += 8;
+      value_ |= u64(data_[pos_++]) << shift;
+      shift -= 8;
+    }
+  }
+
+  const u8* data_;
+  size_t size_;
+  size_t pos_;
+  u64 value_;
+  int count_;
+  u32 range_;
+};
+
+// ---------------------------------------------------------------------------
+// Prior structures over the single stream.
+//
+// All coding helpers live on Coder<IO>, templated over direction so the
+// emit and scan paths are a single body (the determinism contract between
+// compress and recode is enforced structurally).
+// ---------------------------------------------------------------------------
+
+// N-bit value via a full binary tree of adaptive probs (2^N - 1 nodes).
+template <int N>
+struct BranchPrior {
+  DynProb p[(1 << N) - 1];
+};
+
+// Unary with adaptive probs for the first N positions (clamped after).
+template <int N>
+struct UnaryPrior {
+  DynProb p[N];
+  DynProb* at(int i) { return &p[i < N ? i : N - 1]; }
+};
+
+// Integer prior: optional zero bit, optional sign bit, unary exponent with
+// E adaptive positions, mantissa bits with per-(exponent,position) probs.
+// ORDER low bits are coded explicitly (Rice-style).
+template <int E, int MEXP, int ORDER>
+struct IntPriorT {
+  DynProb zero;
+  DynProb sign;
+  UnaryPrior<E> exponent;
+  // mantissa context: [exponent clamp MEXP][bit index clamp 16]
+  DynProb mantissa[MEXP][16];
+  DynProb* mant(int e, int i) {
+    if (e >= MEXP) e = MEXP - 1;
+    if (i >= 16) i = 15;
+    return &mantissa[e][i];
+  }
+};
+
+// UEGk prior: unary part up to THRESH (M adaptive positions), then escape
+// into an IntPriorT tail.
+template <int THRESH, int M, int E, int MEXP, int ORDER>
+struct UEGkPriorT {
+  DynProb zero;
+  DynProb sign;
+  UnaryPrior<M> first;
+  IntPriorT<E, MEXP, ORDER> tail;
+};
+
+class StreamWriter;
+class StreamReader;
+
+// Direction-generic coder facade.
+class StreamWriter {
+ public:
+  BoolWriter w;
+  // Billing: bytes position snapshot per feature tag (set by the engine).
+  static constexpr bool kIsWriter = true;
+
+  inline bool bit(bool b, DynProb* p) {
+    w.put_adaptive(b, p);
+    return b;
+  }
+  inline u32 raw_bits(u32 v, int n) {
+    for (int i = n - 1; i >= 0; --i) w.put((v >> i) & 1, 128);
+    return v;
+  }
+  u64 n_bits() const { return w.n_bits(); }
+};
+
+class StreamReader {
+ public:
+  BoolReader r;
+  static constexpr bool kIsWriter = false;
+
+  inline bool bit(bool /*unused*/, DynProb* p) { return r.get_adaptive(p); }
+  inline u32 raw_bits(u32 /*unused*/, int n) {
+    u32 v = 0;
+    for (int i = 0; i < n; ++i) v = (v << 1) | u32(r.get(128));
+    return v;
+  }
+};
+
+// --- generic symbol codecs (templated over StreamWriter/StreamReader) ---
+
+template <class IO, int N>
+inline u32 code_branch(IO& io, u32 val, BranchPrior<N>* prior) {
+  // binary tree walk, MSB first; node index in heap order
+  u32 out = 0;
+  int node = 0;
+  for (int d = N - 1; d >= 0; --d) {
+    bool b = io.bit((val >> d) & 1, &prior->p[node]);
+    out = (out << 1) | u32(b);
+    node = 2 * node + 1 + (b ? 1 : 0);
+  }
+  return out;
+}
+
+template <class IO, int N>
+inline int code_unary(IO& io, int val, UnaryPrior<N>* prior, int cap = -1) {
+  // emits val ones then a zero; if cap >= 0 and val reaches cap, no
+  // terminator (value saturated).
+  int i = 0;
+  while (true) {
+    if (cap >= 0 && i == cap) return i;
+    bool more = io.bit(i < val, prior->at(i));
+    if (!more) return i;
+    ++i;
+    PIP_CHECK(i < (1 << 20), "unary runaway");
+  }
+}
+
+// Core int codec. Codes `val` given structure flags. Returns the value
+// (== val when writing). hasZero: val may be 0. hasSign: val may be <0.
+template <class IO, int E, int MEXP, int ORDER>
+inline i32 code_int(IO& io, i32 val, IntPriorT<E, MEXP, ORDER>* prior,
+                    bool hasZero, bool hasSign) {
+  if (hasZero) {
+    bool z = io.bit(val == 0, &prior->zero);
+    if (z) return 0;
+  }
+  bool neg = false;
+  if (hasSign) {
+    neg = io.bit(val < 0, &prior->sign);
+  }
+  u32 mag = 0;
+  if (IO::kIsWriter) {
+    mag = u32(val < 0 ? -val : val);
+    PIP_CHECK(mag >= 1, "code_int needs |val| >= 1");
+  }
+  // data in [0, inf): mag - 1. high = 1 + (data >> ORDER) has bit_length
+  // log2+1; exponent = floor(log2(high)).
+  u32 data = mag - 1;  // writer only
+  u32 high = 1 + (data >> ORDER);
+  int log2 = IO::kIsWriter ? ilog2_floor(high) : 0;
+  log2 = code_unary(io, log2, &prior->exponent);
+  PIP_CHECK(log2 < 30, "code_int exponent overflow");
+  // mantissa: log2 bits of high below the MSB, then ORDER low bits
+  u32 rhigh = 1;
+  for (int i = log2 - 1; i >= 0; --i) {
+    bool b = io.bit((high >> i) & 1, prior->mant(log2, log2 - 1 - i));
+    rhigh = (rhigh << 1) | u32(b);
+  }
+  u32 rlow = 0;
+  for (int i = ORDER - 1; i >= 0; --i) {
+    bool b = io.bit((data >> i) & 1, prior->mant(log2, log2 + (ORDER - 1 - i)));
+    rlow = (rlow << 1) | u32(b);
+  }
+  u32 rdata = ((rhigh - 1) << ORDER) | rlow;
+  i32 result = i32(rdata + 1);
+  return neg ? -result : result;
+}
+
+template <class IO, int THRESH, int M, int E, int MEXP, int ORDER>
+inline i32 code_uegk(IO& io, i32 val, UEGkPriorT<THRESH, M, E, MEXP, ORDER>* prior,
+                     bool hasZero) {
+  if (hasZero) {
+    bool z = io.bit(val == 0, &prior->zero);
+    if (z) return 0;
+  }
+  bool neg = io.bit(val < 0, &prior->sign);
+  u32 mag = IO::kIsWriter ? u32(val < 0 ? -val : val) : 0;
+  int first = code_unary(io, IO::kIsWriter ? int(mag - 1) : 0, &prior->first, THRESH);
+  if (first < THRESH) {
+    i32 r = first + 1;
+    return neg ? -r : r;
+  }
+  i32 second = code_int(io, IO::kIsWriter ? i32(mag - 1 - THRESH) : 0, &prior->tail,
+                        /*hasZero=*/true, /*hasSign=*/false);
+  i32 r = THRESH + second + 1;
+  return neg ? -r : r;
+}
+
+// code_int with hasZero semantics but no separate struct: convenience
+// aliases matching the reference's prior families.
+template <int E, int MEXP>
+using UIntPrior = IntPriorT<E, MEXP, 0>;  // 0..inf, no sign
+
+}  // namespace h264pip

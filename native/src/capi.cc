@@ -1,0 +1,81 @@
+// C API surface for ctypes (the Python side lives in
+// losslessh264_tpu/native.py). Mirrors the reference's CLI capabilities
+// (h264dec.cpp compress/decompress) as a library.
+#include "engine.h"
+
+#include <cstring>
+
+using namespace h264pip;
+
+namespace {
+void set_err(char* err, size_t cap, const char* msg) {
+  if (err && cap > 0) {
+    strncpy(err, msg, cap - 1);
+    err[cap - 1] = '\0';
+  }
+}
+
+u8* alloc_copy(const std::vector<u8>& v) {
+  u8* p = static_cast<u8*>(malloc(v.size() ? v.size() : 1));
+  if (p && !v.empty()) memcpy(p, v.data(), v.size());
+  return p;
+}
+}  // namespace
+
+extern "C" {
+
+struct PipStats {
+  u64 in_bytes, out_bytes, n_nals, n_slices, n_fallback_slices, n_frames, n_mbs;
+};
+
+int pip_compress_c(const u8* data, size_t size, int verify, u8** out,
+                   size_t* out_size, PipStats* stats_out, char* err,
+                   size_t err_cap) {
+  try {
+    EngineStats st;
+    std::vector<u8> v = pip_compress(data, size, verify != 0, &st);
+    *out = alloc_copy(v);
+    *out_size = v.size();
+    if (stats_out) {
+      stats_out->in_bytes = st.in_bytes;
+      stats_out->out_bytes = st.out_bytes;
+      stats_out->n_nals = st.n_nals;
+      stats_out->n_slices = st.n_slices;
+      stats_out->n_fallback_slices = st.n_fallback_slices;
+      stats_out->n_frames = st.n_frames;
+      stats_out->n_mbs = st.n_mbs;
+    }
+    return 0;
+  } catch (const std::exception& e) {
+    set_err(err, err_cap, e.what());
+    return 1;
+  }
+}
+
+int pip_decompress_c(const u8* data, size_t size, u8** out, size_t* out_size,
+                     PipStats* stats_out, char* err, size_t err_cap) {
+  try {
+    EngineStats st;
+    std::vector<u8> v = pip_decompress(data, size, &st);
+    *out = alloc_copy(v);
+    *out_size = v.size();
+    if (stats_out) {
+      stats_out->in_bytes = st.in_bytes;
+      stats_out->out_bytes = st.out_bytes;
+      stats_out->n_slices = st.n_slices;
+      stats_out->n_frames = st.n_frames;
+    }
+    return 0;
+  } catch (const std::exception& e) {
+    set_err(err, err_cap, e.what());
+    return 1;
+  }
+}
+
+void pip_free(u8* p) { free(p); }
+
+// --- unit-test hooks (bool coder + priors), mirrored from the reference's
+// always-on test_arithmetic_coding self-test ---
+int pip_selftest_arith(char* err, size_t err_cap);
+
+}  // extern "C"

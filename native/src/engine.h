@@ -1,0 +1,61 @@
+// Top-level compress / decompress engine and the single-file .pip
+// container.
+//
+// Reference parity: the h264dec driver loop (h264dec.cpp:123-374),
+// WelsDecodeBs NAL walking + default-stream passthrough
+// (decoder.cpp:656-845), WelsDecodeSliceForNonRecoding /
+// WelsDecodeSliceForRecoding (decode_slice.cpp). Clean-room redesign:
+// single-file container, explicit shared state transition, compress-time
+// slice verification (the reference's ROUNDTRIP_TEST made always-cheap).
+#pragma once
+
+#include "common.h"
+
+#include <map>
+#include <string>
+
+namespace h264pip {
+
+struct EngineStats {
+  u64 in_bytes = 0;
+  u64 out_bytes = 0;
+  u64 n_nals = 0;
+  u64 n_slices = 0;
+  u64 n_fallback_slices = 0;  // passed through unmodeled
+  u64 n_frames = 0;
+  u64 n_mbs = 0;
+  // billing: arithmetic-stream bits per feature (indexes: see BillTag)
+  double bill_bits[32] = {};
+};
+
+enum BillTag {
+  BILL_MB_TYPE = 0,
+  BILL_SKIP = 1,
+  BILL_END = 2,
+  BILL_CBP = 3,
+  BILL_QP = 4,
+  BILL_PRED_MODE = 5,
+  BILL_INTRA_MODE = 6,
+  BILL_SUB_MB = 7,
+  BILL_REF = 8,
+  BILL_MVD = 9,
+  BILL_LUMA_DC = 10,
+  BILL_CHROMA_DC = 11,
+  BILL_LUMA_AC = 12,
+  BILL_CHROMA_AC = 13,
+  BILL_PCM = 14,
+  BILL_OTHER = 15,
+  BILL_NUM = 16,
+};
+
+// Compress an Annex-B .264 stream into the .pip container.
+// Throws PipError on malformed input. `verify` re-synthesizes every slice
+// during compression and asserts bit-equality with the original.
+std::vector<u8> pip_compress(const u8* data, size_t size, bool verify,
+                             EngineStats* stats);
+
+// Reconstruct the original .264 byte stream from a .pip container.
+std::vector<u8> pip_decompress(const u8* data, size_t size,
+                               EngineStats* stats);
+
+}  // namespace h264pip

@@ -1,0 +1,535 @@
+// The recompression context model: adaptive priors over every macroblock
+// symbol, conditioned on spatial neighbors (LEFT/ABOVE) and the co-located
+// macroblock of the previous frame (PAST).
+//
+// Reference parity: macroblock_model.{h,cpp} + the serializer order in
+// WelsDecodeSliceForNonRecoding (decode_slice.cpp:2174-2474). Clean-room
+// redesign: identical conditioning ideas (PAST/left/above nonzero counts,
+// positional AC contexts, QP-delta swizzle, preferred-value coding of
+// pred modes), but compact tables, a single arithmetic stream, and one
+// templated emit/scan body so compress and recode cannot diverge.
+#pragma once
+
+#include "arith.h"
+#include "state.h"
+#include "tables.h"
+
+namespace h264pip {
+
+// ---------------------------------------------------------------------------
+// FreqImage: model-side double-buffered per-MB record store (reference:
+// decoded_macroblock.h:106-191, function-local static in decode_slice.cpp).
+// Here it is explicit, per-engine state — shardable.
+// ---------------------------------------------------------------------------
+struct FreqImage {
+  int w = 0, h = 0;
+  bool prior_valid = false;
+  std::vector<MbRecord> cur, prev;
+  std::vector<u8> cur_init, prev_init;
+  std::vector<u16> prev_skip_run;  // consecutive-skip run length at each MB
+
+  void reset(int width, int height) {
+    w = width;
+    h = height;
+    size_t n = size_t(w) * h;
+    cur.assign(n, MbRecord());
+    prev.assign(n, MbRecord());
+    cur_init.assign(n, 0);
+    prev_init.assign(n, 0);
+    prev_skip_run.assign(n, 0);
+    prior_valid = false;
+  }
+
+  void advance_frame() {
+    std::swap(cur, prev);
+    std::swap(cur_init, prev_init);
+    size_t n = cur.size();
+    std::fill(cur_init.begin(), cur_init.end(), u8(0));
+    prev_skip_run.assign(n, 0);
+    int run = 0;
+    for (int i = int(n) - 1; i >= 0; --i) {
+      run = (prev_init[i] && prev[i].mb_class == MB_PSKIP) ? run + 1 : 0;
+      prev_skip_run[i] = u16(std::min(run, 65535));
+    }
+    prior_valid = true;
+  }
+
+  const MbRecord* at(int x, int y) const {
+    if (x < 0 || y < 0 || x >= w || y >= h) return nullptr;
+    size_t i = size_t(y) * w + x;
+    return cur_init[i] ? &cur[i] : nullptr;
+  }
+  const MbRecord* past_at(int x, int y) const {
+    if (!prior_valid || x < 0 || y < 0 || x >= w || y >= h) return nullptr;
+    size_t i = size_t(y) * w + x;
+    return prev_init[i] ? &prev[i] : nullptr;
+  }
+  int past_skip_run(int x, int y) const {
+    if (!prior_valid || x < 0 || y < 0 || x >= w || y >= h) return 0;
+    return prev_skip_run[size_t(y) * w + x];
+  }
+  void store(int x, int y, const MbRecord& r) {
+    size_t i = size_t(y) * w + x;
+    cur[i] = r;
+    cur_init[i] = 1;
+  }
+};
+
+// ---------------------------------------------------------------------------
+// Prior type aliases (parameters follow the reference's proven choices:
+// MVD UEGk with order 3 — quarter-pel phase bits; AC UEGk(14,...)).
+// ---------------------------------------------------------------------------
+using SkipRunPrior = IntPriorT<12, 8, 0>;
+using DcPrior = IntPriorT<8, 8, 0>;
+using NzPrior = IntPriorT<6, 8, 0>;
+using AcPrior = UEGkPriorT<14, 4, 6, 8, 0>;
+using MvdPrior = UEGkPriorT<9, 4, 6, 8, 3>;
+
+inline int cls_bucket(u8 c) {  // 0 intra4/8, 1 I16, 2 inter, 3 skip/pcm
+  switch (c) {
+    case MB_I4x4:
+    case MB_I8x8: return 0;
+    case MB_I16x16: return 1;
+    case MB_PCM: return 3;
+    case MB_PSKIP: return 3;
+    default: return 2;
+  }
+}
+
+struct Model {
+  BranchPrior<4> mb_type[31][2];
+  SkipRunPrior skip_run[65];
+  DynProb end_bit[2048];
+  DynProb end_bit_skip[2048];
+  BranchPrior<2> cbp_c[4][MB_NUM_CLASSES];
+  BranchPrior<4> cbp_l[17][MB_NUM_CLASSES];
+  DynProb qp_delta[2][3][128];  // [isFirst][sign(lastDelta)+1] zero+tree<7>
+  DynProb i16_mode[8][8];       // [past-pref] zero+tree<3>
+  DynProb chroma_mode[8][8];
+  BranchPrior<4> pred_mode[2][8][9];  // [is8x8][availIdx][predMode]
+  BranchPrior<2> sub_mb[4];           // [position]
+  UnaryPrior<4> ref_idx[3][4];        // [past refidx clamp 2][partition]
+  MvdPrior mvd[4][16][2];             // [class bucket][slot][xy]
+  DynProb t8x8_flag[MB_NUM_CLASSES][64];
+  DcPrior luma_dc[16][3];  // [coef idx][past-dc bucket: 0,|1|,>1]
+  DcPrior chroma_dc[8][3];
+  NzPrior nz_4x4[3][3][3][3][3];  // [color][clsb(<=2)][past][left][above]
+  NzPrior nz_8x8[3][3][3];        // [past][left][above]
+  AcPrior ac_4x4[3][2][16][5][5][3];  // [color][intra][scan][nzleft][prev][pastnz]
+  AcPrior ac_8x8[16][5][5][3];        // [scan>>2][nzleft][prev][pastnz]
+  BranchPrior<8> pcm_byte[3];         // [plane]
+
+  Model() = default;
+};
+
+// ---------------------------------------------------------------------------
+// Model context for one MB. `rec` points at the record being emitted
+// (writer: fully populated) or filled (reader: populated as symbols are
+// scanned — earlier fields are valid context for later symbols).
+// ---------------------------------------------------------------------------
+struct ModelCtx {
+  Model* M = nullptr;
+  FreqImage* fi = nullptr;
+  SliceCtx* sc = nullptr;  // bitstream-state (kept in sync on both sides)
+  int mbx = 0, mby = 0;
+  int slice_is_p = 0;
+  int mb_index_in_slice = 0;
+  const MbRecord* past = nullptr;
+  const MbRecord* left = nullptr;
+  const MbRecord* above = nullptr;
+  MbRecord* rec = nullptr;
+
+  void at(int x, int y, int index_in_slice, MbRecord* r) {
+    mbx = x;
+    mby = y;
+    mb_index_in_slice = index_in_slice;
+    past = fi->past_at(x, y);
+    left = fi->at(x - 1, y);
+    above = fi->at(x, y - 1);
+    rec = r;
+  }
+};
+
+// Zero-or-tree coding of a value in [0, 2^N] with a preferred value
+// (reference: emitBitsZeroToPow2Inclusive, compression_stream.h:455-463).
+// p points at 1 + (2^N - 1) DynProbs.
+template <class IO, int N>
+inline u32 code_zero_pow2(IO& io, u32 val, DynProb* p, u32 preferred) {
+  bool nz = io.bit(val != preferred, &p[0]);
+  if (!nz) return preferred;
+  u32 x = 0;
+  if (IO::kIsWriter) x = val > preferred ? val - 1 : val;
+  u32 out = 0;
+  int node = 0;
+  for (int d = N - 1; d >= 0; --d) {
+    bool b = io.bit((x >> d) & 1, &p[1 + node]);
+    out = (out << 1) | u32(b);
+    node = 2 * node + 1 + (b ? 1 : 0);
+  }
+  return out + (out >= preferred ? 1 : 0);
+}
+
+// per-block model nonzero counts at sub-4x4 granularity (rec.nnz layout)
+inline int rec_block_nnz(const MbRecord* r, int color, int blk) {
+  if (!r) return 0;
+  if (color == 0) return r->nnz[blk];
+  return r->nnz[16 + (color - 1) * 4 + blk];
+}
+inline int rec_block8_nnz(const MbRecord* r, int blk8) {
+  if (!r) return 0;
+  static const int kTopLeft[4] = {0, 2, 8, 10};
+  int tl = kTopLeft[blk8];
+  return r->nnz[tl] + r->nnz[tl + 1] + r->nnz[tl + 4] + r->nnz[tl + 5];
+}
+
+// ---------------------------------------------------------------------------
+// AC/DC block codec. `coeff` spans scan positions [start, start+n).
+// blk: luma raster 0..15 (4x4) / 8x8 block 0..3 / chroma raster 0..3.
+// On the reader side, fills coeff and rec->nnz for the block.
+// ---------------------------------------------------------------------------
+template <class IO, bool IS8x8>
+void code_block(IO& io, ModelCtx& mc, int color, int blk, i16* coeff,
+                int start, int n) {
+  Model& M = *mc.M;
+  MbRecord* rec = mc.rec;
+  int pastc, leftc, abovec;
+  if (IS8x8) {
+    int bx = blk & 1, by = blk >> 1;
+    pastc = std::min(2, rec_block8_nnz(mc.past, blk));
+    leftc = std::min(2, bx > 0 ? rec_block8_nnz(rec, blk - 1)
+                               : rec_block8_nnz(mc.left, blk + 1));
+    abovec = std::min(2, by > 0 ? rec_block8_nnz(rec, blk - 2)
+                                : rec_block8_nnz(mc.above, blk + 2));
+  } else if (color == 0) {
+    int bx = blk & 3, by = blk >> 2;
+    pastc = std::min(2, rec_block_nnz(mc.past, 0, blk));
+    leftc = std::min(2, bx > 0 ? rec_block_nnz(rec, 0, blk - 1)
+                               : rec_block_nnz(mc.left, 0, by * 4 + 3));
+    abovec = std::min(2, by > 0 ? rec_block_nnz(rec, 0, blk - 4)
+                                : rec_block_nnz(mc.above, 0, 12 + bx));
+  } else {
+    int bx = blk & 1, by = blk >> 1;
+    pastc = std::min(2, rec_block_nnz(mc.past, color, blk));
+    leftc = std::min(2, bx > 0 ? rec_block_nnz(rec, color, blk - 1)
+                               : rec_block_nnz(mc.left, color, by * 2 + 1));
+    abovec = std::min(2, by > 0 ? rec_block_nnz(rec, color, blk - 2)
+                                : rec_block_nnz(mc.above, color, 2 + bx));
+  }
+  int nonzeros = 0;
+  if (IO::kIsWriter) {
+    for (int i = 0; i < n; ++i)
+      if (coeff[start + i]) ++nonzeros;
+  }
+  NzPrior* nzp;
+  if (IS8x8) {
+    nzp = &M.nz_8x8[pastc][leftc][abovec];
+  } else {
+    int cb = std::min(2, cls_bucket(rec->mb_class));
+    nzp = &M.nz_4x4[color][cb][pastc][leftc][abovec];
+  }
+  nonzeros = code_int(io, nonzeros, nzp, /*hasZero=*/true, /*hasSign=*/false);
+  PIP_CHECK(nonzeros >= 0 && nonzeros <= n, "block nonzeros out of range");
+
+  bool intra = mb_is_intra(rec->mb_class);
+  int nzleft = nonzeros;
+  i32 prev = 0;
+  const MbRecord* past = mc.past;
+  for (int i = 0; i < n && nzleft > 0; ++i) {
+    int pastnz = 2;
+    if (past) {
+      i16 pv = 0;
+      if (IS8x8) {
+        pv = past->transform_8x8 ? past->luma_ac8[blk][start + i] : i16(0);
+      } else if (color == 0) {
+        pv = past->transform_8x8 ? i16(0) : past->luma_ac[blk][start + i];
+      } else {
+        pv = past->chroma_ac[(color - 1) * 4 + blk][start + i];
+      }
+      pastnz = pv ? 1 : 0;
+    }
+    int prevb = std::max(-2, std::min(2, int(prev))) + 2;
+    AcPrior* ap;
+    if (IS8x8) {
+      ap = &M.ac_8x8[(start + i) >> 2][std::min(4, nzleft)][prevb][pastnz];
+    } else {
+      ap = &M.ac_4x4[color][intra ? 1 : 0][start + i][std::min(4, nzleft)]
+                    [prevb][pastnz];
+    }
+    i32 c = code_uegk(io, IO::kIsWriter ? i32(coeff[start + i]) : 0, ap,
+                      /*hasZero=*/true);
+    if (!IO::kIsWriter) coeff[start + i] = i16(c);
+    if (c != 0) --nzleft;
+    prev = c;
+  }
+  PIP_CHECK(nzleft == 0, "block nonzeros mismatch");
+  // update rec.nnz so later blocks see this block's counts
+  if (IS8x8) {
+    for (int b = 0; b < 4; ++b) {
+      int cnt = 0;
+      for (int k = 0; k < 16; ++k)
+        if (coeff[4 * k + b]) ++cnt;
+      int d = blk * 4 + b;
+      rec->nnz[kBlk4x4DecodeOrder[d]] = u8(cnt);
+    }
+  } else {
+    int cnt = 0;
+    for (int i = 0; i < n; ++i)
+      if (coeff[start + i]) ++cnt;
+    if (color == 0)
+      rec->nnz[blk] = u8(cnt);
+    else
+      rec->nnz[16 + (color - 1) * 4 + blk] = u8(cnt);
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Whole-MB symbol codec (order mirrors the reference serializer).
+// Reader side fills *mc.rec. ctx.cur / SliceCtx are NOT modified here —
+// the engine applies the record to the bitstream state separately.
+// ---------------------------------------------------------------------------
+template <class IO>
+void code_mb_symbols(IO& io, ModelCtx& mc) {
+  Model& M = *mc.M;
+  MbRecord& rec = *mc.rec;
+  SliceCtx& sc = *mc.sc;
+
+  // 1. mb class
+  int spatial = mc.left ? mc.left->mb_class
+                        : (mc.above ? mc.above->mb_class : 15);
+  int prior = spatial + (mc.past ? mc.past->mb_class : 15);
+  u32 cls = code_branch<IO, 4>(io, rec.mb_class,
+                               &M.mb_type[prior][mc.slice_is_p]);
+  if (!IO::kIsWriter) {
+    PIP_CHECK(cls < MB_NUM_CLASSES && cls != 9 && cls != 10, "bad mb class");
+    rec.mb_class = u8(cls);
+  }
+  if (rec.mb_class == MB_PSKIP) return;
+
+  if (rec.mb_class == MB_PCM) {
+    for (int i = 0; i < 384; ++i) {
+      int plane = i < 256 ? 0 : (i < 320 ? 1 : 2);
+      u32 v = code_branch<IO, 8>(io, rec.pcm[i], &M.pcm_byte[plane]);
+      if (!IO::kIsWriter) rec.pcm[i] = u8(v);
+    }
+    return;
+  }
+
+  // 2. CBP (I16 carries cbp in mb_type; model codes it uniformly)
+  {
+    int pc = mc.past ? std::min(3, int(mc.past->cbp_chroma)) : 0;
+    u32 v = code_branch<IO, 2>(io, rec.cbp_chroma, &M.cbp_c[pc][rec.mb_class]);
+    if (!IO::kIsWriter) {
+      PIP_CHECK(v <= 2, "bad cbp_chroma");
+      rec.cbp_chroma = u8(v);
+    }
+    int pl = mc.past ? int(mc.past->cbp_luma) : 16;
+    v = code_branch<IO, 4>(io, rec.cbp_luma, &M.cbp_l[pl][rec.mb_class]);
+    if (!IO::kIsWriter) rec.cbp_luma = u8(v);
+    if (rec.mb_class == MB_I16x16) {
+      PIP_CHECK(rec.cbp_luma == 0 || rec.cbp_luma == 15, "bad I16 cbp_luma");
+    }
+  }
+
+  // 3. transform_8x8 for inter MBs (I8x8 is implied by the class; the
+  //    eligibility condition depends on sub types, coded below first for
+  //    P8x8 -- so order: sub types, then flag, then the rest)
+  if (rec.mb_class == MB_P8x8 || rec.mb_class == MB_P8x8REF0) {
+    for (int i = 0; i < 4; ++i) {
+      u32 v = code_branch<IO, 2>(io, rec.sub_types[i], &M.sub_mb[i]);
+      if (!IO::kIsWriter) rec.sub_types[i] = u8(v);
+    }
+  }
+  if (!IO::kIsWriter) rec.transform_8x8 = (rec.mb_class == MB_I8x8);
+  {
+    // inter 8x8 flag eligibility (mirrors cavlc.cc inter_has_8x8_flag)
+    bool elig = sc.pps->transform_8x8_mode && mb_is_inter(rec.mb_class) &&
+                rec.cbp_luma != 0;
+    if (elig && (rec.mb_class == MB_P8x8 || rec.mb_class == MB_P8x8REF0)) {
+      for (int i = 0; i < 4; ++i)
+        if (rec.sub_types[i] != SUB_8x8) elig = false;
+    }
+    if (elig) {
+      bool f = io.bit(rec.transform_8x8,
+                      &M.t8x8_flag[rec.mb_class][sc.cur_qp & 63]);
+      if (!IO::kIsWriter) rec.transform_8x8 = f;
+    }
+  }
+
+  // 4. QP delta (present iff residual syntax present)
+  bool has_dqp =
+      rec.cbp_luma != 0 || rec.cbp_chroma != 0 || rec.mb_class == MB_I16x16;
+  if (has_dqp) {
+    int is_first = mc.mb_index_in_slice == 0 ? 1 : 0;
+    int sgn = sc.last_dqp < 0 ? 0 : (sc.last_dqp == 0 ? 1 : 2);
+    u32 v = code_zero_pow2<IO, 7>(io, swizzle_sign(rec.dqp),
+                                  M.qp_delta[is_first][sgn], 0);
+    if (!IO::kIsWriter) rec.dqp = i8(unswizzle_sign(u16(v)));
+  } else if (!IO::kIsWriter) {
+    rec.dqp = 0;
+  }
+
+  // 5. intra modes
+  if (rec.mb_class == MB_I16x16) {
+    u32 pref = mc.past ? std::min<u32>(6, mc.past->i16_mode) : 7;
+    u32 v = code_zero_pow2<IO, 3>(io, rec.i16_mode, M.i16_mode[pref], pref);
+    if (!IO::kIsWriter) {
+      PIP_CHECK(v <= 3, "bad i16 mode");
+      rec.i16_mode = u8(v);
+    }
+  }
+  if (mb_is_intra(rec.mb_class) && sc.sps->chroma_format_idc != 0) {
+    u32 pref = mc.past ? std::min<u32>(6, mc.past->chroma_mode) : 7;
+    u32 v = code_zero_pow2<IO, 3>(io, rec.chroma_mode, M.chroma_mode[pref], pref);
+    if (!IO::kIsWriter) {
+      PIP_CHECK(v <= 3, "bad chroma mode");
+      rec.chroma_mode = u8(v);
+    }
+  }
+  if (rec.mb_class == MB_I4x4) {
+    for (int d = 0; d < 16; ++d) {
+      int r = kBlk4x4DecodeOrder[d];
+      int bx = r & 3, by = r >> 2;
+      int pred = sc.pred_intra_4x4_mode(r);
+      int availL = bx > 0 || sc.left_avail();
+      int availT = by > 0 || sc.above_avail();
+      int availIdx = (availL << 2) | (availT << 1) |
+                     ((bx > 0 && by > 0) || (bx > 0 && sc.above_avail()) ||
+                              (by > 0 && sc.left_avail()) ||
+                              sc.mb_avail(sc.addr_above_left())
+                          ? 1
+                          : 0);
+      u32 v = code_branch<IO, 4>(io, rec.i4_modes[d],
+                                 &M.pred_mode[0][availIdx][pred]);
+      if (!IO::kIsWriter) {
+        PIP_CHECK(v <= 8, "bad i4 mode");
+        rec.i4_modes[d] = u8(v);
+      }
+      // make the mode visible to the in-MB predictor for later blocks
+      sc.cur.i4_modes[r] = i8(rec.i4_modes[d]);
+    }
+    // restore: engine will re-run apply/commit; clear working modes
+  } else if (rec.mb_class == MB_I8x8) {
+    static const int kTopLeft[4] = {0, 2, 8, 10};
+    for (int b = 0; b < 4; ++b) {
+      int pred = sc.pred_intra_8x8_mode(b);
+      u32 v = code_branch<IO, 4>(io, rec.i4_modes[b],
+                                 &M.pred_mode[1][(b & 1) | ((b >> 1) << 1)][pred]);
+      if (!IO::kIsWriter) {
+        PIP_CHECK(v <= 8, "bad i8 mode");
+        rec.i4_modes[b] = u8(v);
+      }
+      int tl = kTopLeft[b];
+      i8 m = i8(rec.i4_modes[b]);
+      sc.cur.i4_modes[tl] = sc.cur.i4_modes[tl + 1] = m;
+      sc.cur.i4_modes[tl + 4] = sc.cur.i4_modes[tl + 5] = m;
+    }
+  }
+
+  // 6. inter: ref idx + MVD
+  if (mb_is_inter(rec.mb_class)) {
+    int nparts = rec.mb_class == MB_P16x16 ? 1
+                 : (rec.mb_class == MB_P16x8 || rec.mb_class == MB_P8x16) ? 2
+                 : 4;
+    int num_ref = sc.sh->num_ref_idx_l0_active;
+    if (num_ref > 1 && rec.mb_class != MB_P8x8REF0) {
+      for (int p = 0; p < nparts; ++p) {
+        int pastref = mc.past ? std::max(0, std::min(2, int(mc.past->ref_idx[p])))
+                              : 0;
+        int v = code_unary(io, IO::kIsWriter ? rec.ref_idx[p] : 0,
+                           &M.ref_idx[pastref][p], num_ref - 1);
+        if (!IO::kIsWriter) rec.ref_idx[p] = i8(v);
+      }
+    }
+    int cb = cls_bucket(rec.mb_class);
+    auto code_mv = [&](int slot) {
+      for (int xy = 0; xy < 2; ++xy) {
+        i32 v = code_uegk(io, IO::kIsWriter ? i32(rec.mvd[slot][xy]) : 0,
+                          &M.mvd[cb][slot][xy], /*hasZero=*/true);
+        if (!IO::kIsWriter) rec.mvd[slot][xy] = i16(v);
+      }
+    };
+    switch (rec.mb_class) {
+      case MB_P16x16: code_mv(0); break;
+      case MB_P16x8:
+      case MB_P8x16:
+        code_mv(0);
+        code_mv(1);
+        break;
+      default:  // P8x8 / P8x8REF0
+        for (int i = 0; i < 4; ++i) {
+          static const int kCnt[4] = {1, 2, 2, 4};
+          for (int j = 0; j < kCnt[rec.sub_types[i]]; ++j) code_mv(4 * i + j);
+        }
+        break;
+    }
+  }
+
+  // 7. residuals
+  if (rec.mb_class == MB_I16x16) {
+    for (int i = 0; i < 16; ++i) {
+      int pastb = 0;
+      if (mc.past) {
+        i32 pv = mc.past->luma_dc[i];
+        pastb = pv == 0 ? 0 : (pv == 1 || pv == -1 ? 1 : 2);
+      }
+      i32 v = code_int(io, IO::kIsWriter ? i32(rec.luma_dc[i]) : 0,
+                       &M.luma_dc[i][pastb], /*hasZero=*/true, /*hasSign=*/true);
+      if (!IO::kIsWriter) rec.luma_dc[i] = i16(v);
+    }
+  }
+  if (rec.cbp_chroma == 1 || rec.cbp_chroma == 2) {
+    for (int c = 0; c < 2; ++c) {
+      for (int i = 0; i < 4; ++i) {
+        int idx = c * 4 + i;
+        int pastb = 0;
+        if (mc.past) {
+          i32 pv = mc.past->chroma_dc[c][i];
+          pastb = pv == 0 ? 0 : (pv == 1 || pv == -1 ? 1 : 2);
+        }
+        i32 v = code_int(io, IO::kIsWriter ? i32(rec.chroma_dc[c][i]) : 0,
+                         &M.chroma_dc[idx][pastb], true, true);
+        if (!IO::kIsWriter) rec.chroma_dc[c][i] = i16(v);
+      }
+    }
+  }
+  bool is_i16 = rec.mb_class == MB_I16x16;
+  for (int i8 = 0; i8 < 4; ++i8) {
+    if (!(rec.cbp_luma & (1 << i8))) continue;
+    if (rec.transform_8x8) {
+      code_block<IO, true>(io, mc, 0, i8, rec.luma_ac8[i8], 0, 64);
+    } else {
+      for (int b = 0; b < 4; ++b) {
+        int r = kBlk4x4DecodeOrder[i8 * 4 + b];
+        code_block<IO, false>(io, mc, 0, r, rec.luma_ac[r], is_i16 ? 1 : 0,
+                              is_i16 ? 15 : 16);
+      }
+    }
+  }
+  if (rec.cbp_chroma == 2) {
+    for (int c = 0; c < 2; ++c) {
+      for (int b = 0; b < 4; ++b) {
+        code_block<IO, false>(io, mc, c + 1, b, rec.chroma_ac[c * 4 + b], 1, 15);
+      }
+    }
+  }
+}
+
+// slice-level symbols
+template <class IO>
+inline int code_skip_run(IO& io, Model& M, FreqImage& fi, int mbx, int mby,
+                         int run) {
+  int pr = fi.past_skip_run(mbx, mby);
+  int bucket = std::min(64, (pr + 7) / 8);
+  return code_int(io, run, &M.skip_run[bucket], /*hasZero=*/true,
+                  /*hasSign=*/false);
+}
+
+template <class IO>
+inline bool code_end_bit(IO& io, Model& M, int mb_index, bool after_skip,
+                         bool end) {
+  DynProb* p = after_skip ? &M.end_bit_skip[std::min(mb_index, 2047)]
+                          : &M.end_bit[std::min(mb_index, 2047)];
+  return io.bit(end, p);
+}
+
+}  // namespace h264pip

@@ -1,0 +1,188 @@
+#include "state.h"
+
+#include "tables.h"
+
+namespace h264pip {
+
+// nnz lookup helper: luma blocks 0..15 (raster), chroma u 16..19, v 20..23.
+static inline int mb_nnz(const MbState& m, int idx) {
+  if (m.mb_class == MB_PCM) return 16;
+  return m.nnz[idx];
+}
+
+int SliceCtx::nC_luma(int blk) const {
+  int bx = blk & 3, by = blk >> 2;
+  int nA = -1, nB = -1;  // -1: unavailable
+  if (bx > 0) {
+    nA = cur.nnz[blk - 1];
+  } else {
+    const MbState* A = nbr(addr_left());
+    if (A) nA = mb_nnz(*A, by * 4 + 3);
+  }
+  if (by > 0) {
+    nB = cur.nnz[blk - 4];
+  } else {
+    const MbState* B = nbr(addr_above());
+    if (B) nB = mb_nnz(*B, 12 + bx);
+  }
+  if (nA >= 0 && nB >= 0) return (nA + nB + 1) >> 1;
+  if (nA >= 0) return nA;
+  if (nB >= 0) return nB;
+  return 0;
+}
+
+int SliceCtx::nC_chroma(int c, int blk) const {
+  int base = 16 + c * 4;
+  int bx = blk & 1, by = blk >> 1;
+  int nA = -1, nB = -1;
+  if (bx > 0) {
+    nA = cur.nnz[base + blk - 1];
+  } else {
+    const MbState* A = nbr(addr_left());
+    if (A) nA = mb_nnz(*A, base + by * 2 + 1);
+  }
+  if (by > 0) {
+    nB = cur.nnz[base + blk - 2];
+  } else {
+    const MbState* B = nbr(addr_above());
+    if (B) nB = mb_nnz(*B, base + 2 + bx);
+  }
+  if (nA >= 0 && nB >= 0) return (nA + nB + 1) >> 1;
+  if (nA >= 0) return nA;
+  if (nB >= 0) return nB;
+  return 0;
+}
+
+// Intra mode of a neighboring 4x4 block position; -1 if the covering MB is
+// unavailable, else the mode (DC=2 substituted for non-I4x4/I8x8 MBs).
+static int nbr_block_mode(const SliceCtx& ctx, const MbState* m, int blk) {
+  if (!m) return -1;
+  if (m->i4_modes[blk] < 0) return 2;  // inter or I16 neighbor -> DC
+  return m->i4_modes[blk];
+}
+
+int SliceCtx::pred_intra_4x4_mode(int blk) const {
+  int bx = blk & 3, by = blk >> 2;
+  int modeA, modeB;
+  if (bx > 0) {
+    modeA = cur.i4_modes[blk - 1] < 0 ? 2 : cur.i4_modes[blk - 1];
+  } else {
+    modeA = nbr_block_mode(*this, nbr(addr_left()), by * 4 + 3);
+  }
+  if (by > 0) {
+    modeB = cur.i4_modes[blk - 4] < 0 ? 2 : cur.i4_modes[blk - 4];
+  } else {
+    modeB = nbr_block_mode(*this, nbr(addr_above()), 12 + bx);
+  }
+  if (modeA < 0 || modeB < 0) return 2;  // dcPredModePredictedFlag
+  return std::min(modeA, modeB);
+}
+
+int SliceCtx::pred_intra_8x8_mode(int blk8) const {
+  // 8x8 blocks map onto the 4x4 grid: blk8 (2x2 raster) covers 4x4 blocks
+  // with top-left raster index:
+  static const int kTopLeft[4] = {0, 2, 8, 10};
+  int tl = kTopLeft[blk8];
+  int bx = blk8 & 1, by = blk8 >> 1;
+  int modeA, modeB;
+  if (bx > 0) {
+    modeA = cur.i4_modes[tl - 1] < 0 ? 2 : cur.i4_modes[tl - 1];
+  } else {
+    modeA = nbr_block_mode(*this, nbr(addr_left()), (by * 2) * 4 + 3);
+  }
+  if (by > 0) {
+    modeB = cur.i4_modes[tl - 4] < 0 ? 2 : cur.i4_modes[tl - 4];
+  } else {
+    modeB = nbr_block_mode(*this, nbr(addr_above()), 12 + bx * 2);
+  }
+  if (modeA < 0 || modeB < 0) return 2;
+  return std::min(modeA, modeB);
+}
+
+void SliceCtx::commit(const MbRecord& rec) {
+  cur.decoded = true;
+  cur.slice_id = slice_id;
+  cur.mb_class = rec.mb_class;
+  cur.transform_8x8 = rec.transform_8x8;
+  cur.cbp_luma = rec.cbp_luma;
+  cur.cbp_chroma = rec.cbp_chroma;
+  cur.qp = i8(cur_qp);
+  cur.dqp = rec.dqp;
+  cur.intra16 = (rec.mb_class == MB_I16x16);
+  cur.intra_chroma_mode = rec.chroma_mode;
+  cur.skip_flag = (rec.mb_class == MB_PSKIP);
+  memcpy(cur.nnz, rec.nnz, sizeof(cur.nnz));
+  if (rec.mb_class == MB_PCM) {
+    for (int i = 0; i < 24; ++i) cur.nnz[i] = 16;
+    for (int i = 0; i < 16; ++i) cur.i4_modes[i] = -1;
+  }
+  if (rec.mb_class == MB_I4x4) {
+    for (int d = 0; d < 16; ++d)
+      cur.i4_modes[kBlk4x4DecodeOrder[d]] = i8(rec.i4_modes[d]);
+  } else if (rec.mb_class == MB_I8x8) {
+    static const int kTopLeft[4] = {0, 2, 8, 10};
+    for (int b = 0; b < 4; ++b) {
+      int tl = kTopLeft[b];
+      i8 m = i8(rec.i4_modes[b]);
+      cur.i4_modes[tl] = cur.i4_modes[tl + 1] = m;
+      cur.i4_modes[tl + 4] = cur.i4_modes[tl + 5] = m;
+    }
+  }
+  // mvd / ref_idx / sub types (CABAC contexts; stored raster-in-MB)
+  for (int d = 0; d < 16; ++d) {
+    int r = kBlk4x4DecodeOrder[d];
+    cur.mvd[r][0] = rec.mvd[d][0];
+    cur.mvd[r][1] = rec.mvd[d][1];
+  }
+  memcpy(cur.ref_idx, rec.ref_idx, sizeof(cur.ref_idx));
+  memcpy(cur.sub_types, rec.sub_types, sizeof(cur.sub_types));
+  pic->at(mb_addr) = cur;
+}
+
+int SliceCtx::commit_skips(int addr, int count) {
+  for (int i = 0; i < count; ++i) {
+    begin_mb(addr);
+    MbRecord skip;
+    skip.mb_class = MB_PSKIP;
+    commit(skip);
+    addr = next_mb_address(*pic, addr);
+  }
+  mb_addr = addr;
+  return addr;
+}
+
+void derive_nnz(MbRecord& rec) {
+  memset(rec.nnz, 0, sizeof(rec.nnz));
+  if (rec.transform_8x8) {
+    // CAVLC 8x8: sub-4x4 b of 8x8 block i holds scan positions 4k+b; its
+    // total_coeff feeds the nnz cache at the corresponding 4x4 position.
+    for (int i8 = 0; i8 < 4; ++i8) {
+      for (int b = 0; b < 4; ++b) {
+        int cnt = 0;
+        for (int k = 0; k < 16; ++k)
+          if (rec.luma_ac8[i8][4 * k + b]) ++cnt;
+        int d = i8 * 4 + b;  // decode-order 4x4 index
+        rec.nnz[kBlk4x4DecodeOrder[d]] = u8(cnt);
+      }
+    }
+  } else {
+    for (int d = 0; d < 16; ++d) {
+      int r = kBlk4x4DecodeOrder[d];
+      int cnt = 0;
+      int start = (rec.mb_class == MB_I16x16) ? 1 : 0;
+      for (int k = start; k < 16; ++k)
+        if (rec.luma_ac[r][k]) ++cnt;
+      rec.nnz[r] = u8(cnt);
+    }
+  }
+  for (int c = 0; c < 2; ++c) {
+    for (int b = 0; b < 4; ++b) {
+      int cnt = 0;
+      for (int k = 1; k < 16; ++k)
+        if (rec.chroma_ac[c * 4 + b][k]) ++cnt;
+      rec.nnz[16 + c * 4 + b] = u8(cnt);
+    }
+  }
+}
+
+}  // namespace h264pip
