@@ -1,6 +1,7 @@
 #include "engine.h"
 
 #include "bitio.h"
+#include "cabac_mb.h"
 #include "cavlc.h"
 #include "model.h"
 
@@ -69,7 +70,7 @@ static std::vector<NalSpan> scan_annexb(const u8* d, size_t n,
 // ---------------------------------------------------------------------------
 // Container records
 // ---------------------------------------------------------------------------
-enum RecType : u8 { REC_RAW = 0, REC_SLICE = 1, REC_END = 2 };
+enum RecType : u8 { REC_RAW = 0, REC_SLICE = 1, REC_END = 2, REC_SLICE_TAIL = 3 };
 
 // CRC-32 (IEEE) of the original stream, stored in the container header so
 // decompress always verifies integrity end-to-end.
@@ -241,6 +242,58 @@ static void compress_slice_cavlc(StreamWriter& io, WalkState& ws,
   }
 }
 
+// Model-symbol pass for CABAC slices: one MB record per symbol group
+// (PSKIP entries included), end bit after each. Shared by compress
+// (IO=StreamWriter, records given) and recode (IO=StreamReader, records
+// produced). Commits model-level MB state; stores records into FreqImage.
+template <class IO>
+static void cabac_model_slice(IO& io, WalkState& ws, const Sps& sps,
+                              const Pps& pps, const SliceHeader& sh,
+                              std::vector<MbRecord>* recs) {
+  SliceCtx sc;
+  sc.begin_slice(&sps, &pps, &sh, &ws.pic);
+  compute_slice_group_map(sps, pps, sh, ws.pic);
+  ModelCtx mc;
+  mc.M = ws.model.get();
+  mc.fi = &ws.fi;
+  mc.sc = &sc;
+  mc.slice_is_p = (sh.slice_type == SLICE_P || sh.slice_type == SLICE_SP) ? 1 : 0;
+
+  int addr = sh.first_mb_in_slice;
+  int w = ws.pic.mb_width;
+  size_t k = 0;
+  while (true) {
+    PIP_CHECK(addr < ws.pic.num_mbs(), "cabac model slice overruns picture");
+    sc.begin_mb(addr);
+    MbRecord local;
+    MbRecord* rec;
+    if (IO::kIsWriter) {
+      PIP_CHECK(k < recs->size(), "cabac model record underrun");
+      rec = &(*recs)[k];
+    } else {
+      local = MbRecord();
+      rec = &local;
+    }
+    mc.at(addr % w, addr / w, int(k), rec);
+    code_mb_symbols(io, mc);
+    bool has_dqp = rec->cbp_luma != 0 || rec->cbp_chroma != 0 ||
+                   rec->mb_class == MB_I16x16;
+    if (has_dqp)
+      sc.apply_dqp(rec->dqp);
+    else
+      sc.last_dqp = 0;
+    rec->qp = u8(sc.cur_qp);
+    sc.commit(*rec);
+    ws.fi.store(addr % w, addr / w, *rec);
+    if (!IO::kIsWriter) recs->push_back(*rec);
+    ++k;
+    bool end = code_end_bit(io, *ws.model, int(k), /*after_skip=*/false,
+                            IO::kIsWriter ? (k == recs->size()) : false);
+    addr = next_mb_address(ws.pic, addr);
+    if (end) break;
+  }
+}
+
 // Recode direction: scan model symbols, synthesize the slice RBSP.
 static std::vector<u8> recode_slice_cavlc(StreamReader& io, WalkState& ws,
                                           const Sps& sps, const Pps& pps,
@@ -342,6 +395,7 @@ std::vector<u8> pip_compress(const u8* data, size_t size, bool verify,
     int nal_ref_idc = (payload[0] >> 5) & 3;
 
     bool modeled = false;
+    bool did_bookkeeping = false;
     if (nal_is_vcl(nal_type) && (nal_type == 1 || nal_type == 5)) {
       // Pre-check support WITHOUT touching model/stream state; once a
       // slice starts being modeled, failures are fatal (a mid-slice
@@ -362,7 +416,6 @@ std::vector<u8> pip_compress(const u8* data, size_t size, bool verify,
                                 ws.pps_map);
         const Pps& pps = ws.pps_map.at(sh.pps_id);
         const Sps& sps = ws.sps_map.at(pps.sps_id);
-        PIP_CHECK(!pps.entropy_coding_mode, "CABAC not yet modeled");
         PIP_CHECK(sh.slice_type == SLICE_P || sh.slice_type == SLICE_I,
                   "slice type not yet modeled");
         PIP_CHECK(sps.chroma_format_idc == 1 || sps.chroma_format_idc == 0,
@@ -378,31 +431,117 @@ std::vector<u8> pip_compress(const u8* data, size_t size, bool verify,
         const Pps& pps = ws.pps_map.at(sh.pps_id);
         const Sps& sps = ws.sps_map.at(pps.sps_id);
         ws.on_slice_header(sps, pps, sh);
-        compress_slice_cavlc(io, ws, sps, pps, sh, rbsp, stats);
-
-        def.push_back(REC_SLICE);
-        put_varint(def, prefix_len);
-        def.push_back(payload[0]);
-        put_varint(def, sh.header_bits);
-        size_t hbytes = (sh.header_bits + 7) / 8;
-        def.insert(def.end(), rbsp.begin(), rbsp.begin() + hbytes);
-        modeled = true;
-        if (stats) ++stats->n_slices;
+        did_bookkeeping = true;
+        std::vector<u8> trailing;
+        size_t drop = 0;  // synth bytes replaced by verbatim trailing
+        if (!pps.entropy_coding_mode) {
+          compress_slice_cavlc(io, ws, sps, pps, sh, rbsp, stats);
+          modeled = true;
+        } else {
+          // CABAC: 3-pass — parse, write-verify (per-slice fallback),
+          // then model emission. State replays run on a snapshot.
+          PicState snapshot = ws.pic;
+          SliceCtx sc;
+          sc.begin_slice(&sps, &pps, &sh, &ws.pic);
+          compute_slice_group_map(sps, pps, sh, ws.pic);
+          bool ok = true;
+          CabacSliceParse pr;
+          try {
+            pr = cabac_parse_slice(rbsp, sc, sh);
+          } catch (const PipError&) {
+            ok = false;
+          }
+          if (ok) {
+            ws.pic = snapshot;
+            SliceCtx sc2;
+            sc2.begin_slice(&sps, &pps, &sh, &ws.pic);
+            compute_slice_group_map(sps, pps, sh, ws.pic);
+            std::vector<u8> synth;
+            try {
+              synth = cabac_write_slice(pr.recs, sc2, sh, rbsp.data(),
+                                        sh.header_bits);
+            } catch (const PipError&) {
+              ok = false;
+            }
+            if (getenv("PIP_DEBUG")) {
+              size_t n = std::min(synth.size(), rbsp.size());
+              size_t d = 0;
+              while (d < n && synth[d] == rbsp[d]) ++d;
+              if (d < synth.size() || synth.size() > rbsp.size()) {
+                fprintf(stderr,
+                        "[pip] FAIL mbs=%zu synth=%zu rbsp=%zu diff=%zu "
+                        "orig[-3:]=%02x %02x %02x synth[-3:]=%02x %02x %02x\n",
+                        pr.recs.size(), synth.size(), rbsp.size(), d,
+                        rbsp[synth.size() - 3], rbsp[synth.size() - 2],
+                        rbsp[synth.size() - 1], synth[synth.size() - 3],
+                        synth[synth.size() - 2], synth[synth.size() - 1]);
+              } else {
+                fprintf(stderr, "[pip] OK   mbs=%zu synth=%zu last=%02x\n",
+                        pr.recs.size(), synth.size(), synth.back());
+              }
+            }
+            // Different conformant encoders flush the final arithmetic
+            // codeword bits differently; only the complete-byte prefix is
+            // implementation-invariant. Allow the last few synth bytes to
+            // disagree and carry the original tail verbatim.
+            if (ok) {
+              size_t n = std::min(synth.size(), rbsp.size());
+              size_t common = 0;
+              while (common < n && synth[common] == rbsp[common]) ++common;
+              drop = synth.size() - common;
+              ok = drop <= 4 && rbsp.size() >= synth.size() - drop;
+            }
+            if (ok) {
+              trailing.assign(rbsp.begin() + (synth.size() - drop), rbsp.end());
+              ok = trailing.size() < 4096;
+            }
+            if (ok) {
+              ws.pic = snapshot;
+              cabac_model_slice(io, ws, sps, pps, sh, &pr.recs);
+              if (getenv("PIP_DEBUG"))
+                fprintf(stderr, "[pip:C] slice mbs=%zu synth=%zu drop=%zu trail=%zu\n",
+                        pr.recs.size(), synth.size(), drop, trailing.size());
+              if (stats) stats->n_mbs += pr.recs.size();
+              modeled = true;
+            } else {
+              ws.pic = snapshot;
+            }
+          } else {
+            ws.pic = snapshot;
+          }
+        }
+        if (modeled) {
+          bool tail = drop != 0 || !trailing.empty();
+          def.push_back(tail ? REC_SLICE_TAIL : REC_SLICE);
+          put_varint(def, prefix_len);
+          def.push_back(payload[0]);
+          put_varint(def, sh.header_bits);
+          size_t hbytes = (sh.header_bits + 7) / 8;
+          def.insert(def.end(), rbsp.begin(), rbsp.begin() + hbytes);
+          if (tail) {
+            put_varint(def, drop);
+            put_varint(def, trailing.size());
+            def.insert(def.end(), trailing.begin(), trailing.end());
+          }
+          if (stats) ++stats->n_slices;
+        }
       }
     }
     if (!modeled) {
       if (nal_is_vcl(nal_type)) {
         // keep picture-boundary bookkeeping consistent on both sides
-        try {
-          std::vector<u8> rbsp = ebsp_to_rbsp(payload + 1, plen - 1);
-          BitReader hbr(rbsp.data(), rbsp.size());
-          SliceHeader sh = parse_slice_header(hbr, nal_ref_idc, nal_type,
-                                              ws.sps_map, ws.pps_map);
-          const Pps& pps = ws.pps_map.at(sh.pps_id);
-          const Sps& sps = ws.sps_map.at(pps.sps_id);
-          ws.on_slice_header(sps, pps, sh);
-        } catch (const PipError&) {
-          // header unparseable: picture bookkeeping unchanged (mirrored)
+        if (!did_bookkeeping) {
+          try {
+            std::vector<u8> rbsp = ebsp_to_rbsp(payload + 1, plen - 1);
+            BitReader hbr(rbsp.data(), rbsp.size());
+            SliceHeader sh = parse_slice_header(hbr, nal_ref_idc, nal_type,
+                                                ws.sps_map, ws.pps_map);
+            const Pps& pps = ws.pps_map.at(sh.pps_id);
+            const Sps& sps = ws.sps_map.at(pps.sps_id);
+            ws.on_slice_header(sps, pps, sh);
+          } catch (const PipError&) {
+            // header unparseable: picture bookkeeping unchanged (mirrored)
+          }
         }
         if (stats) ++stats->n_fallback_slices;
       } else {
@@ -514,7 +653,7 @@ std::vector<u8> pip_decompress(const u8* data, size_t size,
       }
       continue;
     }
-    PIP_CHECK(rec == REC_SLICE, "bad record type");
+    PIP_CHECK(rec == REC_SLICE || rec == REC_SLICE_TAIL, "bad record type");
     u64 prefix_len = get_varint(def, def_size, &dp);
     u8 nal_header = def[dp++];
     u64 header_bits = get_varint(def, def_size, &dp);
@@ -522,20 +661,45 @@ std::vector<u8> pip_decompress(const u8* data, size_t size,
     PIP_CHECK(dp + hbytes <= def_size, "slice record truncated");
     const u8* hdr = def + dp;
     dp += hbytes;
+    u64 drop = 0, trailing_len = 0;
+    const u8* trailing = def + dp;
+    if (rec == REC_SLICE_TAIL) {
+      drop = get_varint(def, def_size, &dp);
+      trailing_len = get_varint(def, def_size, &dp);
+      PIP_CHECK(dp + trailing_len <= def_size, "slice trailing truncated");
+      trailing = def + dp;
+      dp += size_t(trailing_len);
+    }
 
     int nal_type = nal_header & 0x1f;
     int nal_ref_idc = (nal_header >> 5) & 3;
     BitReader hbr(hdr, hbytes);
     SliceHeader sh =
         parse_slice_header(hbr, nal_ref_idc, nal_type, ws.sps_map, ws.pps_map);
-    // tolerate header_bits disagreement (parse must consume exactly)
     PIP_CHECK(sh.header_bits == header_bits, "slice header bit count mismatch");
     const Pps& pps = ws.pps_map.at(sh.pps_id);
     const Sps& sps = ws.sps_map.at(pps.sps_id);
     ws.on_slice_header(sps, pps, sh);
 
-    std::vector<u8> rbsp =
-        recode_slice_cavlc(io, ws, sps, pps, sh, hdr, size_t(header_bits));
+    std::vector<u8> rbsp;
+    if (!pps.entropy_coding_mode) {
+      rbsp = recode_slice_cavlc(io, ws, sps, pps, sh, hdr, size_t(header_bits));
+    } else {
+      // pass 1: scan model symbols into records; pass 2: CABAC-encode
+      std::vector<MbRecord> recs;
+      cabac_model_slice(io, ws, sps, pps, sh, &recs);
+      SliceCtx sc2;
+      sc2.begin_slice(&sps, &pps, &sh, &ws.pic);
+      compute_slice_group_map(sps, pps, sh, ws.pic);
+      rbsp = cabac_write_slice(recs, sc2, sh, hdr, size_t(header_bits));
+      if (getenv("PIP_DEBUG"))
+        fprintf(stderr, "[pip:D] slice mbs=%zu synth=%zu drop=%llu trail=%llu\n",
+                recs.size(), rbsp.size(), (unsigned long long)drop,
+                (unsigned long long)trailing_len);
+    }
+    PIP_CHECK(drop <= rbsp.size(), "slice drop out of range");
+    rbsp.resize(rbsp.size() - size_t(drop));
+    rbsp.insert(rbsp.end(), trailing, trailing + trailing_len);
     std::vector<u8> ebsp = rbsp_to_ebsp(rbsp);
     for (u64 i = 0; i + 1 < prefix_len; ++i) out.push_back(0);
     out.push_back(1);
@@ -543,7 +707,9 @@ std::vector<u8> pip_decompress(const u8* data, size_t size,
     out.insert(out.end(), ebsp.begin(), ebsp.end());
     if (stats) ++stats->n_slices;
   }
-  PIP_CHECK(out.size() == orig_size, "reconstructed size mismatch");
+  PIP_CHECK(out.size() == orig_size,
+            "reconstructed size mismatch: got " + std::to_string(out.size()) +
+                " want " + std::to_string(orig_size));
   PIP_CHECK(crc32_ieee(out.data(), out.size()) == u32(orig_crc),
             "reconstructed stream CRC mismatch");
   if (stats) {

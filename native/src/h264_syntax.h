@@ -193,15 +193,21 @@ struct MbState {
   i8 i4_modes[16] = {};     // resolved modes per 4x4 in raster-in-MB order;
                             // -1 when MB is not I4x4/I8x8
   // CABAC contexts:
-  u8 cbf[27] = {};          // coded_block_flag: see CbfIdx
-  i16 mvd[16][2] = {};      // stored per 4x4 raster-in-MB
-  i8 ref_idx[4] = {};       // per 8x8
+  u8 cbf_dc = 0;            // bit 0: I16 luma DC, 1: chroma U DC, 2: V DC
+  i16 mvd[16][2] = {};      // per 4x4 cell raster-in-MB (partition-replicated)
+  i8 ref_cell[16] = {-1, -1, -1, -1, -1, -1, -1, -1,
+                     -1, -1, -1, -1, -1, -1, -1, -1};  // -1: intra/none
+  i8 ref_idx[4] = {};       // per 8x8 quadrant
   u8 sub_types[4] = {};
   bool skip_flag = false;
   bool intra16 = false;
   u8 intra_chroma_mode = 0;
   i8 dqp = 0;
 };
+
+// Replicate an inter MB's per-partition ref/mvd into per-4x4 cells
+// (raster-in-MB), the layout CABAC neighbor contexts consume.
+void expand_inter_cells(const MbRecord& rec, i8 ref_cell[16], i16 mvd_cell[16][2]);
 
 struct PicState {
   int mb_width = 0, mb_height = 0;

@@ -111,7 +111,9 @@ void SliceCtx::commit(const MbRecord& rec) {
   cur.intra16 = (rec.mb_class == MB_I16x16);
   cur.intra_chroma_mode = rec.chroma_mode;
   cur.skip_flag = (rec.mb_class == MB_PSKIP);
-  memcpy(cur.nnz, rec.nnz, sizeof(cur.nnz));
+  // cur.nnz is filled in-place by the parse/write paths (CAVLC: total_coeff
+  // per sub-4x4; CABAC: engine cache semantics) — not copied from rec.nnz,
+  // whose layout is the model's.
   if (rec.mb_class == MB_PCM) {
     for (int i = 0; i < 24; ++i) cur.nnz[i] = 16;
     for (int i = 0; i < 16; ++i) cur.i4_modes[i] = -1;
@@ -128,15 +130,67 @@ void SliceCtx::commit(const MbRecord& rec) {
       cur.i4_modes[tl + 4] = cur.i4_modes[tl + 5] = m;
     }
   }
-  // mvd / ref_idx / sub types (CABAC contexts; stored raster-in-MB)
-  for (int d = 0; d < 16; ++d) {
-    int r = kBlk4x4DecodeOrder[d];
-    cur.mvd[r][0] = rec.mvd[d][0];
-    cur.mvd[r][1] = rec.mvd[d][1];
-  }
+  // mvd / ref cells (CABAC contexts; partition-replicated, raster-in-MB)
+  expand_inter_cells(rec, cur.ref_cell, cur.mvd);
   memcpy(cur.ref_idx, rec.ref_idx, sizeof(cur.ref_idx));
   memcpy(cur.sub_types, rec.sub_types, sizeof(cur.sub_types));
   pic->at(mb_addr) = cur;
+}
+
+void expand_inter_cells(const MbRecord& rec, i8 ref_cell[16], i16 mvd_cell[16][2]) {
+  auto fill = [&](int bx0, int by0, int w, int h, i8 ref, const i16* mvd) {
+    for (int y = by0; y < by0 + h; ++y) {
+      for (int x = bx0; x < bx0 + w; ++x) {
+        int c = y * 4 + x;
+        ref_cell[c] = ref;
+        mvd_cell[c][0] = mvd[0];
+        mvd_cell[c][1] = mvd[1];
+      }
+    }
+  };
+  static const i16 kZeroMv[2] = {0, 0};
+  switch (rec.mb_class) {
+    case MB_PSKIP:
+      fill(0, 0, 4, 4, 0, kZeroMv);
+      break;
+    case MB_P16x16:
+      fill(0, 0, 4, 4, rec.ref_idx[0], rec.mvd[0]);
+      break;
+    case MB_P16x8:
+      fill(0, 0, 4, 2, rec.ref_idx[0], rec.mvd[0]);
+      fill(0, 2, 4, 2, rec.ref_idx[1], rec.mvd[1]);
+      break;
+    case MB_P8x16:
+      fill(0, 0, 2, 4, rec.ref_idx[0], rec.mvd[0]);
+      fill(2, 0, 2, 4, rec.ref_idx[1], rec.mvd[1]);
+      break;
+    case MB_P8x8:
+    case MB_P8x8REF0:
+      for (int i = 0; i < 4; ++i) {
+        int bx0 = (i & 1) * 2, by0 = (i >> 1) * 2;
+        i8 ref = rec.mb_class == MB_P8x8REF0 ? i8(0) : rec.ref_idx[i];
+        switch (rec.sub_types[i]) {
+          case SUB_8x8:
+            fill(bx0, by0, 2, 2, ref, rec.mvd[4 * i]);
+            break;
+          case SUB_8x4:
+            fill(bx0, by0, 2, 1, ref, rec.mvd[4 * i]);
+            fill(bx0, by0 + 1, 2, 1, ref, rec.mvd[4 * i + 1]);
+            break;
+          case SUB_4x8:
+            fill(bx0, by0, 1, 2, ref, rec.mvd[4 * i]);
+            fill(bx0 + 1, by0, 1, 2, ref, rec.mvd[4 * i + 1]);
+            break;
+          default:  // SUB_4x4
+            for (int j = 0; j < 4; ++j)
+              fill(bx0 + (j & 1), by0 + (j >> 1), 1, 1, ref, rec.mvd[4 * i + j]);
+            break;
+        }
+      }
+      break;
+    default:  // intra / PCM: cells stay -1 / 0
+      break;
+  }
 }
 
 int SliceCtx::commit_skips(int addr, int count) {
