@@ -469,8 +469,9 @@ static void code_mb_cabac(BIO& io, SliceCtx& sc, MbRecord& rec) {
       return N && mb_is_intra(N->mb_class) && N->mb_class != MB_PCM &&
              N->intra_chroma_mode > 0;
     };
+    // NB: plain sum (spec 9.3.3.1.1.8), unlike the <<1-weighted incs
     int inc = (cond(sc.nbr(sc.addr_left())) ? 1 : 0) +
-              (cond(sc.nbr(sc.addr_above())) ? 1 : 0) * 2;
+              (cond(sc.nbr(sc.addr_above())) ? 1 : 0);
     u32 mode = BIO::kIsWriter ? rec.chroma_mode : 0;
     bool nz = io.d(CTX_CHROMA_MODE + inc, mode != 0);
     if (nz) {

@@ -45,12 +45,7 @@ def test_tibby8x8():
 
 
 def test_tibbycabac():
-    # CABAC modeling pending: exactness required, ratio not yet
-    roundtrip(
-        os.path.join(ROUNDTRIP, "tibbycabac.264"),
-        min_savings=None,
-        max_fallback=None,
-    )
+    roundtrip(os.path.join(ROUNDTRIP, "tibbycabac.264"), min_savings=0.0)
 
 
 def _conformance_files():
@@ -65,7 +60,9 @@ def _conformance_files():
     "path", _conformance_files(), ids=[os.path.basename(p) for p in _conformance_files()]
 )
 def test_conformance_roundtrip(path):
-    roundtrip(path, min_savings=None, max_fallback=None)
+    # every slice of every conformance stream must be entropy-modeled
+    # (no verbatim fallbacks) and reconstruct byte-exactly
+    roundtrip(path, min_savings=None, max_fallback=0)
 
 
 def test_ba1_beats_reference():
