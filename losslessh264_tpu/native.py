@@ -155,3 +155,101 @@ def selftest_arith() -> None:
     rc = lib.pip_selftest_arith(err, len(err))
     if rc != 0:
         raise RuntimeError(f"arith selftest failed: {err.value.decode()}")
+
+
+class SymbolDecoder:
+    """Streaming symbol-plane decoder: parses a .264 and yields per-frame
+    numpy planes for the pixel pipeline (native/src/decsupport.cc)."""
+
+    def __init__(self, data: bytes):
+        import numpy as np  # local import; numpy optional for pip paths
+
+        self._np = np
+        lib = load()
+        if not hasattr(lib.pip_sym_open, "_configured"):
+            lib.pip_sym_open.restype = ctypes.c_void_p
+            lib.pip_sym_open.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p, ctypes.c_size_t,
+            ]
+            lib.pip_sym_next.restype = ctypes.c_int
+            lib.pip_sym_next.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int), ctypes.c_char_p, ctypes.c_size_t,
+            ]
+            lib.pip_sym_planes.restype = ctypes.c_int
+            lib.pip_sym_planes.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 22
+            lib.pip_sym_close.argtypes = [ctypes.c_void_p]
+            lib.pip_sym_open._configured = True
+        self._lib = lib
+        err = ctypes.create_string_buffer(512)
+        self._h = lib.pip_sym_open(data, len(data), err, len(err))
+        if not self._h:
+            raise RuntimeError(f"pip_sym_open failed: {err.value.decode()}")
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.pip_sym_close(self._h)
+            self._h = None
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        np = self._np
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        err = ctypes.create_string_buffer(512)
+        rc = self._lib.pip_sym_next(self._h, ctypes.byref(w), ctypes.byref(h),
+                                    err, len(err))
+        if rc == 0:
+            raise StopIteration
+        if rc < 0:
+            raise RuntimeError(f"pip_sym_next failed: {err.value.decode()}")
+        n = w.value * h.value
+        f = {
+            "mb_w": w.value,
+            "mb_h": h.value,
+            "mb_class": np.zeros(n, np.uint8),
+            "qp": np.zeros(n, np.uint8),
+            "cbp_luma": np.zeros(n, np.uint8),
+            "cbp_chroma": np.zeros(n, np.uint8),
+            "transform8": np.zeros(n, np.uint8),
+            "i16_mode": np.zeros(n, np.uint8),
+            "chroma_mode": np.zeros(n, np.uint8),
+            "i4_modes": np.zeros((n, 16), np.int8),
+            "luma_ac": np.zeros((n, 16, 4, 4), np.int16),
+            "luma_dc": np.zeros((n, 4, 4), np.int16),
+            "luma8": np.zeros((n, 4, 8, 8), np.int16),
+            "chroma_ac": np.zeros((n, 8, 4, 4), np.int16),
+            "chroma_dc": np.zeros((n, 2, 2, 2), np.int16),
+            "mv": np.zeros((n, 16, 2), np.int16),
+            "ref_frame": np.zeros((n, 16), np.int16),
+            "pcm": np.zeros((n, 384), np.uint8),
+            "slice_id": np.zeros(n, np.uint8),
+            "deblock_idc": np.zeros(n, np.uint8),
+            "alpha_off": np.zeros(n, np.int8),
+            "beta_off": np.zeros(n, np.int8),
+        }
+        meta = np.zeros(8, np.int32)
+        scaling = np.zeros(96 + 384, np.uint8)
+        ptr = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+        rc = self._lib.pip_sym_planes(
+            self._h, ptr(f["mb_class"]), ptr(f["qp"]), ptr(f["cbp_luma"]),
+            ptr(f["cbp_chroma"]), ptr(f["transform8"]), ptr(f["i16_mode"]),
+            ptr(f["chroma_mode"]), ptr(f["i4_modes"]), ptr(f["luma_ac"]),
+            ptr(f["luma_dc"]), ptr(f["luma8"]), ptr(f["chroma_ac"]),
+            ptr(f["chroma_dc"]), ptr(f["mv"]), ptr(f["ref_frame"]),
+            ptr(f["pcm"]), ptr(f["slice_id"]), ptr(f["deblock_idc"]),
+            ptr(f["alpha_off"]), ptr(f["beta_off"]), ptr(meta), ptr(scaling),
+        )
+        if rc != 0:
+            raise RuntimeError("pip_sym_planes failed")
+        f["use_scaling"] = bool(meta[0])
+        f["chroma_qp_offset"] = int(meta[1])
+        f["second_chroma_qp_offset"] = int(meta[2])
+        f["is_ref"] = bool(meta[3])
+        f["is_idr"] = bool(meta[4])
+        f["constrained_intra"] = bool(meta[5])
+        f["scaling4"] = scaling[:96].reshape(6, 16)
+        f["scaling8"] = scaling[96:].reshape(6, 64)
+        return f

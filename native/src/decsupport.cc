@@ -1,0 +1,765 @@
+#include "decsupport.h"
+
+#include "bitio.h"
+#include "cabac_mb.h"
+#include "cavlc.h"
+#include "tables.h"
+
+#include <algorithm>
+
+namespace h264pip {
+
+// ---------------------------------------------------------------------------
+// DPB entry
+// ---------------------------------------------------------------------------
+struct DpbPic {
+  int frame_num = 0;
+  int output_idx = 0;  // index in decode-output order (what JAX sees)
+  bool long_term = false;
+  int long_term_idx = 0;
+  int frame_num_wrap = 0;
+};
+
+// ---------------------------------------------------------------------------
+// MV prediction helpers (8.4.1.3). Cell-based over the current picture
+// state: each 4x4 cell has (mv, ref) with ref = refIdx within the current
+// slice's L0 list; -1 for intra/unavailable.
+// ---------------------------------------------------------------------------
+struct MvCtx {
+  SliceCtx* sc;
+  // current MB working cells (being filled partition by partition)
+  i16 (*cur_mv)[2];
+  i8* cur_ref;
+
+  struct Nbr {
+    bool avail = false;
+    i16 mv[2] = {0, 0};
+    i8 ref = -1;
+  };
+
+  // cell coordinates relative to current MB; may fall outside (neighbors)
+  Nbr cell(int bx, int by) const {
+    Nbr r;
+    if (bx >= 0 && bx < 4 && by >= 0 && by < 4) {
+      int c = by * 4 + bx;
+      r.avail = true;
+      r.ref = cur_ref[c];
+      r.mv[0] = cur_mv[c][0];
+      r.mv[1] = cur_mv[c][1];
+      return r;
+    }
+    int addr;
+    int nbx = bx, nby = by;
+    if (bx < 0 && by < 0) {
+      addr = sc->addr_above_left();
+      nbx = 3;
+      nby = 3;
+    } else if (bx >= 4 && by < 0) {
+      addr = sc->addr_above_right();
+      nbx = bx - 4;
+      nby = 3;
+    } else if (by < 0) {
+      addr = sc->addr_above();
+      nby = 3;
+    } else if (bx < 0) {
+      addr = sc->addr_left();
+      nbx = 3;
+    } else {
+      return r;  // below/right: unavailable
+    }
+    if (!sc->mb_avail(addr)) return r;
+    const MbState& m = sc->pic->at(addr);
+    int c = nby * 4 + nbx;
+    r.avail = true;
+    r.ref = m.ref_cell[c];
+    r.mv[0] = m.mv[c][0];
+    r.mv[1] = m.mv[c][1];
+    return r;
+  }
+
+  static i16 median3(i16 a, i16 b, i16 c) {
+    return std::max(std::min(a, b), std::min(std::max(a, b), c));
+  }
+
+  // Standard luma MV predictor for a partition at (bx,by) of size (w,h)
+  // cells with reference index `ref`. part_kind: 0 normal, 1 top-16x8,
+  // 2 bottom-16x8, 3 left-8x16, 4 right-8x16.
+  void predict(int bx, int by, int w, int h, int ref, int part_kind,
+               i16 out[2]) const {
+    Nbr A = cell(bx - 1, by);
+    Nbr B = cell(bx, by - 1);
+    Nbr C = cell(bx + w, by - 1);
+    if (!C.avail) C = cell(bx - 1, by - 1);  // fallback to D
+    // treat intra/unavailable as mv 0 ref -1 (already encoded that way)
+    if (part_kind == 1 && B.ref == ref) {
+      out[0] = B.mv[0];
+      out[1] = B.mv[1];
+      return;
+    }
+    if (part_kind == 2 && A.ref == ref) {
+      out[0] = A.mv[0];
+      out[1] = A.mv[1];
+      return;
+    }
+    if (part_kind == 3 && A.ref == ref) {
+      out[0] = A.mv[0];
+      out[1] = A.mv[1];
+      return;
+    }
+    if (part_kind == 4 && C.ref == ref) {
+      out[0] = C.mv[0];
+      out[1] = C.mv[1];
+      return;
+    }
+    // B, C (and D) unavailable while A available -> mvA
+    Nbr Braw = cell(bx, by - 1);
+    Nbr Craw = cell(bx + w, by - 1);
+    Nbr Draw = cell(bx - 1, by - 1);
+    if (!Braw.avail && !Craw.avail && !Draw.avail && A.avail) {
+      out[0] = A.mv[0];
+      out[1] = A.mv[1];
+      return;
+    }
+    int match = (A.ref == ref) + (B.ref == ref) + (C.ref == ref);
+    if (match == 1) {
+      const Nbr& only = (A.ref == ref) ? A : (B.ref == ref ? B : C);
+      out[0] = only.mv[0];
+      out[1] = only.mv[1];
+      return;
+    }
+    out[0] = median3(A.mv[0], B.mv[0], C.mv[0]);
+    out[1] = median3(A.mv[1], B.mv[1], C.mv[1]);
+  }
+
+  // P_Skip motion (8.4.1.1)
+  void skip_mv(i16 out[2]) const {
+    Nbr A = cell(-1, 0);
+    Nbr B = cell(0, -1);
+    if (!A.avail || !B.avail ||
+        (A.ref == 0 && A.mv[0] == 0 && A.mv[1] == 0) ||
+        (B.ref == 0 && B.mv[0] == 0 && B.mv[1] == 0)) {
+      out[0] = out[1] = 0;
+      return;
+    }
+    predict(0, 0, 4, 4, 0, 0, out);
+  }
+};
+
+// Fill absolute MVs + ref cells for a parsed MB record.
+static void derive_mvs(SliceCtx& sc, MbRecord& rec) {
+  i16 mv_cells[16][2] = {};
+  i8 ref_cells[16];
+  memset(ref_cells, -1, sizeof(ref_cells));
+  MvCtx mc{&sc, mv_cells, ref_cells};
+
+  auto fill = [&](int bx, int by, int w, int h, i8 ref, const i16 m[2]) {
+    for (int y = by; y < by + h; ++y)
+      for (int x = bx; x < bx + w; ++x) {
+        int c = y * 4 + x;
+        ref_cells[c] = ref;
+        mv_cells[c][0] = m[0];
+        mv_cells[c][1] = m[1];
+      }
+  };
+
+  switch (rec.mb_class) {
+    case MB_PSKIP: {
+      i16 m[2];
+      // ref 0 must be set before predict? skip uses neighbors only
+      mc.skip_mv(m);
+      fill(0, 0, 4, 4, 0, m);
+      break;
+    }
+    case MB_P16x16: {
+      i16 p[2], m[2];
+      mc.predict(0, 0, 4, 4, rec.ref_idx[0], 0, p);
+      m[0] = i16(p[0] + rec.mvd[0][0]);
+      m[1] = i16(p[1] + rec.mvd[0][1]);
+      fill(0, 0, 4, 4, rec.ref_idx[0], m);
+      break;
+    }
+    case MB_P16x8: {
+      for (int i = 0; i < 2; ++i) {
+        i16 p[2], m[2];
+        mc.predict(0, i * 2, 4, 2, rec.ref_idx[i], 1 + i, p);
+        m[0] = i16(p[0] + rec.mvd[i][0]);
+        m[1] = i16(p[1] + rec.mvd[i][1]);
+        fill(0, i * 2, 4, 2, rec.ref_idx[i], m);
+      }
+      break;
+    }
+    case MB_P8x16: {
+      for (int i = 0; i < 2; ++i) {
+        i16 p[2], m[2];
+        mc.predict(i * 2, 0, 2, 4, rec.ref_idx[i], 3 + i, p);
+        m[0] = i16(p[0] + rec.mvd[i][0]);
+        m[1] = i16(p[1] + rec.mvd[i][1]);
+        fill(i * 2, 0, 2, 4, rec.ref_idx[i], m);
+      }
+      break;
+    }
+    case MB_P8x8:
+    case MB_P8x8REF0: {
+      for (int i = 0; i < 4; ++i) {
+        int bx0 = (i & 1) * 2, by0 = (i >> 1) * 2;
+        i8 ref = rec.mb_class == MB_P8x8REF0 ? i8(0) : rec.ref_idx[i];
+        auto sub = [&](int sx, int sy, int w, int h, int slot) {
+          i16 p[2], m[2];
+          mc.predict(bx0 + sx, by0 + sy, w, h, ref, 0, p);
+          m[0] = i16(p[0] + rec.mvd[slot][0]);
+          m[1] = i16(p[1] + rec.mvd[slot][1]);
+          fill(bx0 + sx, by0 + sy, w, h, ref, m);
+        };
+        switch (rec.sub_types[i]) {
+          case SUB_8x8: sub(0, 0, 2, 2, 4 * i); break;
+          case SUB_8x4:
+            sub(0, 0, 2, 1, 4 * i);
+            sub(0, 1, 2, 1, 4 * i + 1);
+            break;
+          case SUB_4x8:
+            sub(0, 0, 1, 2, 4 * i);
+            sub(1, 0, 1, 2, 4 * i + 1);
+            break;
+          default:
+            for (int j = 0; j < 4; ++j)
+              sub(j & 1, j >> 1, 1, 1, 4 * i + j);
+            break;
+        }
+      }
+      break;
+    }
+    default:
+      break;  // intra: cells stay -1
+  }
+  memcpy(rec.mv, mv_cells, sizeof(mv_cells));
+  // also push into the working MbState so the engine commit stores them
+  memcpy(sc.cur.mv, mv_cells, sizeof(mv_cells));
+}
+
+// ---------------------------------------------------------------------------
+// SymbolDecoder implementation
+// ---------------------------------------------------------------------------
+struct NalSpanLite {
+  size_t payload_start, payload_end;
+};
+
+// local annexb scan (payload spans only)
+static std::vector<NalSpanLite> scan_units(const u8* d, size_t n) {
+  std::vector<NalSpanLite> out;
+  size_t i = 0;
+  std::vector<size_t> sc;
+  while (i + 2 < n) {
+    if (d[i] == 0 && d[i + 1] == 0 && d[i + 2] == 1) {
+      sc.push_back(i);
+      i += 3;
+    } else if (d[i + 2] > 1) {
+      i += 3;
+    } else {
+      ++i;
+    }
+  }
+  for (size_t k = 0; k < sc.size(); ++k) {
+    NalSpanLite s;
+    s.payload_start = sc[k] + 3;
+    size_t e = (k + 1 < sc.size()) ? sc[k + 1] : n;
+    while (e > s.payload_start && d[e - 1] == 0 && (k + 1 < sc.size())) --e;
+    s.payload_end = e;
+    out.push_back(s);
+  }
+  return out;
+}
+
+struct SymbolDecoderImpl {
+  std::vector<u8> data;
+  std::vector<NalSpanLite> nals;
+  size_t nal_idx = 0;
+  std::map<int, Sps> sps_map;
+  std::map<int, Pps> pps_map;
+  SliceHeader prev_sh;
+  bool have_prev = false;
+  PicState pic;
+  int output_idx = 0;
+  int prev_frame_num = 0;
+  std::vector<DpbPic> dpb;
+  int max_long_term_idx = -1;
+  // pending slice (first slice of the next picture, already parsed)
+  bool have_pending = false;
+  std::vector<u8> pending_rbsp;
+  SliceHeader pending_sh;
+};
+
+SymbolDecoder::SymbolDecoder(const u8* data, size_t size) {
+  impl_ = std::make_shared<SymbolDecoderImpl>();
+  impl_->data.assign(data, data + size);
+  impl_->nals = scan_units(impl_->data.data(), impl_->data.size());
+}
+
+static bool is_new_pic(const SliceHeader* prev, const SliceHeader& cur) {
+  if (!prev) return true;
+  if (prev->frame_num != cur.frame_num) return true;
+  if (prev->pps_id != cur.pps_id) return true;
+  if ((prev->nal_ref_idc == 0) != (cur.nal_ref_idc == 0)) return true;
+  if (prev->is_idr != cur.is_idr) return true;
+  if (cur.is_idr && prev->idr_pic_id != cur.idr_pic_id) return true;
+  if (prev->poc_lsb != cur.poc_lsb) return true;
+  if (prev->delta_poc[0] != cur.delta_poc[0]) return true;
+  if (cur.first_mb_in_slice <= prev->first_mb_in_slice) return true;
+  return false;
+}
+
+// Build L0 reference list for a P slice (8.2.4.2.3 + 8.2.4.3). Returns
+// output_idx per list position.
+static std::vector<int> build_ref_list(SymbolDecoderImpl& im, const Sps& sps,
+                                       const SliceHeader& sh) {
+  int max_fn = 1 << sps.log2_max_frame_num;
+  std::vector<DpbPic> st, lt;
+  for (auto& p : im.dpb) {
+    if (p.long_term)
+      lt.push_back(p);
+    else
+      st.push_back(p);
+  }
+  for (auto& p : st) {
+    p.frame_num_wrap =
+        p.frame_num > sh.frame_num ? p.frame_num - max_fn : p.frame_num;
+  }
+  std::sort(st.begin(), st.end(), [](const DpbPic& a, const DpbPic& b) {
+    return a.frame_num_wrap > b.frame_num_wrap;
+  });
+  std::sort(lt.begin(), lt.end(), [](const DpbPic& a, const DpbPic& b) {
+    return a.long_term_idx < b.long_term_idx;
+  });
+  std::vector<DpbPic> list = st;
+  list.insert(list.end(), lt.begin(), lt.end());
+
+  // ref_pic_list_modification (8.2.4.3.1)
+  if (!sh.rplr_l0.empty()) {
+    int pic_num_pred = sh.frame_num;
+    size_t refIdx = 0;
+    int num_active = sh.num_ref_idx_l0_active;
+    if ((int)list.size() < num_active) list.resize(num_active);
+    for (auto& op : sh.rplr_l0) {
+      if (op.first == 0 || op.first == 1) {
+        int abs_diff = int(op.second) + 1;
+        int pred = pic_num_pred;
+        int pic_num = op.first == 0 ? pred - abs_diff : pred + abs_diff;
+        if (pic_num < 0) pic_num += max_fn;
+        if (pic_num >= max_fn) pic_num -= max_fn;
+        pic_num_pred = pic_num;
+        // find short-term pic with PicNum == pic_num
+        int pic_num_wrap = pic_num > sh.frame_num ? pic_num - max_fn : pic_num;
+        DpbPic found{};
+        bool ok = false;
+        for (auto& p : im.dpb) {
+          if (!p.long_term) {
+            int fnw = p.frame_num > sh.frame_num ? p.frame_num - max_fn
+                                                 : p.frame_num;
+            if (fnw == pic_num_wrap) {
+              found = p;
+              ok = true;
+            }
+          }
+        }
+        PIP_CHECK(ok, "RPLR: short-term pic not found");
+        // shift and insert
+        list.insert(list.begin() + refIdx, found);
+        for (size_t i = refIdx + 1; i < list.size(); ++i) {
+          if (!list[i].long_term && list[i].frame_num == found.frame_num) {
+            list.erase(list.begin() + i);
+            break;
+          }
+        }
+        ++refIdx;
+      } else if (op.first == 2) {
+        DpbPic found{};
+        bool ok = false;
+        for (auto& p : im.dpb) {
+          if (p.long_term && p.long_term_idx == (int)op.second) {
+            found = p;
+            ok = true;
+          }
+        }
+        PIP_CHECK(ok, "RPLR: long-term pic not found");
+        list.insert(list.begin() + refIdx, found);
+        for (size_t i = refIdx + 1; i < list.size(); ++i) {
+          if (list[i].long_term && list[i].long_term_idx == found.long_term_idx) {
+            list.erase(list.begin() + i);
+            break;
+          }
+        }
+        ++refIdx;
+      }
+    }
+  }
+  std::vector<int> out;
+  for (auto& p : list) out.push_back(p.output_idx);
+  out.resize(std::max<size_t>(sh.num_ref_idx_l0_active, 1), -1);
+  return out;
+}
+
+// Apply reference marking after decoding a picture (8.2.5).
+static void mark_refs(SymbolDecoderImpl& im, const Sps& sps, const SliceHeader& sh,
+                      int output_idx) {
+  int max_fn = 1 << sps.log2_max_frame_num;
+  if (sh.is_idr) {
+    im.dpb.clear();
+    im.max_long_term_idx = -1;
+    DpbPic p;
+    p.frame_num = sh.frame_num;
+    p.output_idx = output_idx;
+    if (sh.long_term_reference_flag) {
+      p.long_term = true;
+      p.long_term_idx = 0;
+      im.max_long_term_idx = 0;
+    }
+    im.dpb.push_back(p);
+    return;
+  }
+  if (sh.nal_ref_idc == 0) return;
+  if (sh.adaptive_ref_pic_marking) {
+    bool cur_long = false;
+    int cur_lt_idx = 0;
+    for (auto& m : sh.mmco) {
+      switch (m.op) {
+        case 1: {
+          int pic_num = sh.frame_num - (int(m.v1) + 1);
+          while (pic_num < 0) pic_num += max_fn;
+          for (size_t i = 0; i < im.dpb.size(); ++i) {
+            if (!im.dpb[i].long_term) {
+              int pn = im.dpb[i].frame_num > sh.frame_num
+                           ? im.dpb[i].frame_num - max_fn
+                           : im.dpb[i].frame_num;
+              int want = pic_num > sh.frame_num ? pic_num - max_fn : pic_num;
+              if (pn == want) {
+                im.dpb.erase(im.dpb.begin() + i);
+                break;
+              }
+            }
+          }
+          break;
+        }
+        case 2:
+          for (size_t i = 0; i < im.dpb.size(); ++i) {
+            if (im.dpb[i].long_term && im.dpb[i].long_term_idx == (int)m.v1) {
+              im.dpb.erase(im.dpb.begin() + i);
+              break;
+            }
+          }
+          break;
+        case 3: {
+          int pic_num = sh.frame_num - (int(m.v1) + 1);
+          while (pic_num < 0) pic_num += max_fn;
+          for (auto& p : im.dpb) {
+            if (!p.long_term && p.frame_num == pic_num) {
+              p.long_term = true;
+              p.long_term_idx = int(m.v2);
+            }
+          }
+          break;
+        }
+        case 4:
+          im.max_long_term_idx = int(m.v1) - 1;
+          for (size_t i = 0; i < im.dpb.size();) {
+            if (im.dpb[i].long_term &&
+                im.dpb[i].long_term_idx > im.max_long_term_idx)
+              im.dpb.erase(im.dpb.begin() + i);
+            else
+              ++i;
+          }
+          break;
+        case 5:
+          im.dpb.clear();
+          im.max_long_term_idx = -1;
+          break;
+        case 6:
+          cur_long = true;
+          cur_lt_idx = int(m.v2);
+          break;
+      }
+    }
+    DpbPic p;
+    p.frame_num = sh.frame_num;
+    p.output_idx = output_idx;
+    p.long_term = cur_long;
+    p.long_term_idx = cur_lt_idx;
+    im.dpb.push_back(p);
+  } else {
+    // sliding window
+    int num_short = 0;
+    for (auto& p : im.dpb)
+      if (!p.long_term) ++num_short;
+    int max_refs = std::max(1, sps.max_num_ref_frames);
+    if (num_short + 0 >= max_refs) {
+      // remove oldest short-term (smallest FrameNumWrap)
+      int best = -1, bestw = 1 << 30;
+      for (size_t i = 0; i < im.dpb.size(); ++i) {
+        if (im.dpb[i].long_term) continue;
+        int fnw = im.dpb[i].frame_num > sh.frame_num
+                      ? im.dpb[i].frame_num - max_fn
+                      : im.dpb[i].frame_num;
+        if (fnw < bestw) {
+          bestw = fnw;
+          best = int(i);
+        }
+      }
+      if (best >= 0) im.dpb.erase(im.dpb.begin() + best);
+    }
+    DpbPic p;
+    p.frame_num = sh.frame_num;
+    p.output_idx = output_idx;
+    im.dpb.push_back(p);
+  }
+}
+
+// De-zigzag helpers
+static void dez4(const i16* scan, i16* raster, int start) {
+  for (int i = start; i < 16; ++i) raster[kZz4[i]] = scan[i];
+}
+static void dez8(const i16* scan, i16* raster) {
+  for (int i = 0; i < 64; ++i) raster[kZz8[i]] = scan[i];
+}
+
+bool SymbolDecoder::next_frame(FramePlanes* out) {
+  SymbolDecoderImpl& im = *impl_;
+  const u8* d = im.data.data();
+
+  bool frame_open = false;
+  const Sps* sps = nullptr;
+  const Pps* pps = nullptr;
+  SliceHeader first_sh;
+
+  auto open_frame = [&](const Sps& s, const SliceHeader& sh) {
+    int w = s.mb_width(), h = s.mb_height();
+    im.pic.reset(w, h);
+    out->mb_w = w;
+    out->mb_h = h;
+    size_t n = size_t(w) * h;
+    out->mb_class.assign(n, MB_PSKIP);
+    out->qp.assign(n, 0);
+    out->cbp_luma.assign(n, 0);
+    out->cbp_chroma.assign(n, 0);
+    out->transform8.assign(n, 0);
+    out->i16_mode.assign(n, 0);
+    out->chroma_mode.assign(n, 0);
+    out->i4_modes.assign(n * 16, -1);
+    out->luma_ac.assign(n * 256, 0);
+    out->luma_dc.assign(n * 16, 0);
+    out->luma8.assign(n * 256, 0);
+    out->chroma_ac.assign(n * 128, 0);
+    out->chroma_dc.assign(n * 8, 0);
+    out->mv.assign(n * 32, 0);
+    out->ref_frame.assign(n * 16, -1);
+    out->pcm.assign(n * 384, 0);
+    out->slice_id.assign(n, 0xff);
+    out->deblock_idc.assign(n, 1);
+    out->alpha_off.assign(n, 0);
+    out->beta_off.assign(n, 0);
+    out->is_idr = sh.is_idr;
+    out->is_ref = sh.nal_ref_idc != 0;
+    frame_open = true;
+  };
+
+  auto record_mb = [&](int addr, const MbRecord& rec, const SliceCtx& sc,
+                       const SliceHeader& sh, const std::vector<int>& reflist) {
+    size_t n = addr;
+    out->mb_class[n] = rec.mb_class;
+    out->qp[n] = rec.qp;
+    out->cbp_luma[n] = rec.cbp_luma;
+    out->cbp_chroma[n] = rec.cbp_chroma;
+    out->transform8[n] = rec.transform_8x8;
+    out->i16_mode[n] = rec.i16_mode;
+    out->chroma_mode[n] = rec.chroma_mode;
+    for (int c = 0; c < 16; ++c) out->i4_modes[n * 16 + c] = sc.cur.i4_modes[c];
+    if (rec.mb_class == MB_PCM) {
+      memcpy(&out->pcm[n * 384], rec.pcm, 384);
+    }
+    if (rec.transform_8x8 && rec.mb_class != MB_I4x4) {
+      for (int b = 0; b < 4; ++b)
+        dez8(rec.luma_ac8[b], &out->luma8[n * 256 + b * 64]);
+    } else {
+      for (int b = 0; b < 16; ++b) {
+        bool i16f = rec.mb_class == MB_I16x16;
+        dez4(rec.luma_ac[b], &out->luma_ac[n * 256 + b * 16], i16f ? 1 : 0);
+      }
+    }
+    if (rec.mb_class == MB_I16x16) dez4(rec.luma_dc, &out->luma_dc[n * 16], 0);
+    for (int b = 0; b < 8; ++b)
+      dez4(rec.chroma_ac[b], &out->chroma_ac[n * 128 + b * 16], 1);
+    // chroma DC 2x2: scan order is raster already (0,1,2,3)
+    for (int c = 0; c < 2; ++c)
+      for (int k = 0; k < 4; ++k)
+        out->chroma_dc[n * 8 + c * 4 + k] = rec.chroma_dc[c][k];
+    for (int c = 0; c < 16; ++c) {
+      out->mv[(n * 16 + c) * 2 + 0] = rec.mv[c][0];
+      out->mv[(n * 16 + c) * 2 + 1] = rec.mv[c][1];
+      i8 r = sc.cur.ref_cell[c];
+      out->ref_frame[n * 16 + c] =
+          (r >= 0 && r < (int)reflist.size()) ? i16(reflist[r]) : i16(-1);
+    }
+    out->slice_id[n] = sc.slice_id;
+    out->deblock_idc[n] = u8(sh.disable_deblocking_idc);
+    out->alpha_off[n] = i8(sh.alpha_c0_offset);
+    out->beta_off[n] = i8(sh.beta_offset);
+  };
+
+  auto process_slice = [&](const std::vector<u8>& rbsp, const SliceHeader& sh) {
+    auto pit = im.pps_map.find(sh.pps_id);
+    PIP_CHECK(pit != im.pps_map.end(), "unknown PPS");
+    pps = &pit->second;
+    sps = &im.sps_map.at(pps->sps_id);
+    if (!frame_open) {
+      open_frame(*sps, sh);
+      first_sh = sh;
+      // effective scaling lists / chroma offsets for the frame
+      out->use_scaling = sps->seq_scaling_matrix_present || pps->pic_scaling_matrix_present;
+      if (pps->pic_scaling_matrix_present) {
+        memcpy(out->scaling4, pps->scaling_4x4, sizeof(out->scaling4));
+        memcpy(out->scaling8, pps->scaling_8x8, sizeof(out->scaling8));
+      } else if (sps->seq_scaling_matrix_present) {
+        memcpy(out->scaling4, sps->scaling_4x4, sizeof(out->scaling4));
+        memcpy(out->scaling8, sps->scaling_8x8, sizeof(out->scaling8));
+      }
+      out->chroma_qp_offset = pps->chroma_qp_index_offset;
+      out->second_chroma_qp_offset = pps->second_chroma_qp_index_offset;
+      out->intra_avail_mode = pps->constrained_intra_pred;
+    }
+    std::vector<int> reflist;
+    if (sh.slice_type == SLICE_P || sh.slice_type == SLICE_SP) {
+      reflist = build_ref_list(im, *sps, sh);
+    }
+    SliceCtx sc;
+    sc.begin_slice(sps, pps, &sh, &im.pic);
+    compute_slice_group_map(*sps, *pps, sh, im.pic);
+
+    if (!pps->entropy_coding_mode) {
+      BitReader br(rbsp.data(), rbsp.size());
+      br.seek_bits(sh.header_bits);
+      bool isP = sh.slice_type == SLICE_P || sh.slice_type == SLICE_SP;
+      int addr = sh.first_mb_in_slice;
+      while (true) {
+        PIP_CHECK(addr < im.pic.num_mbs(), "slice overrun");
+        if (isP) {
+          int run = int(br.ue());
+          for (int k = 0; k < run; ++k) {
+            sc.begin_mb(addr);
+            MbRecord skip;
+            skip.mb_class = MB_PSKIP;
+            derive_mvs(sc, skip);
+            skip.qp = u8(sc.cur_qp);
+            sc.commit(skip);
+            record_mb(addr, skip, sc, sh, reflist);
+            addr = next_mb_address(im.pic, addr);
+          }
+          if (run > 0 && !br.more_rbsp_data()) break;
+        }
+        sc.begin_mb(addr);
+        MbRecord rec;
+        parse_mb_cavlc(br, sc, rec);
+        if (rec.cbp_luma || rec.cbp_chroma || rec.mb_class == MB_I16x16)
+          sc.apply_dqp(rec.dqp);
+        else
+          sc.last_dqp = 0;
+        rec.qp = u8(sc.cur_qp);
+        if (mb_is_inter(rec.mb_class)) derive_mvs(sc, rec);
+        sc.commit(rec);
+        record_mb(addr, rec, sc, sh, reflist);
+        addr = next_mb_address(im.pic, addr);
+        if (!br.more_rbsp_data()) break;
+      }
+    } else {
+      // CABAC: parse records first, then replay for MV derivation
+      CabacSliceParse pr = cabac_parse_slice(rbsp, sc, sh);
+      // re-walk to attach MVs/ref + planes (cabac_parse_slice already
+      // committed; we need per-MB sc.cur context, so replay on a fresh
+      // SliceCtx over a reset picture region)
+      SliceCtx sc2;
+      sc2.begin_slice(sps, pps, &sh, &im.pic);
+      int addr = sh.first_mb_in_slice;
+      for (auto& rc : pr.recs) {
+        MbRecord rec = rc;
+        sc2.begin_mb(addr);
+        if (rec.cbp_luma || rec.cbp_chroma || rec.mb_class == MB_I16x16)
+          sc2.apply_dqp(rec.dqp);
+        else
+          sc2.last_dqp = 0;
+        if (mb_is_inter(rec.mb_class)) derive_mvs(sc2, rec);
+        // restore i4 modes into working state for plane export
+        if (rec.mb_class == MB_I4x4) {
+          for (int dd = 0; dd < 16; ++dd)
+            sc2.cur.i4_modes[kBlk4x4DecodeOrder[dd]] = i8(rec.i4_modes[dd]);
+        } else if (rec.mb_class == MB_I8x8) {
+          static const int kTL[4] = {0, 2, 8, 10};
+          for (int b = 0; b < 4; ++b) {
+            i8 m = i8(rec.i4_modes[b]);
+            sc2.cur.i4_modes[kTL[b]] = sc2.cur.i4_modes[kTL[b] + 1] = m;
+            sc2.cur.i4_modes[kTL[b] + 4] = sc2.cur.i4_modes[kTL[b] + 5] = m;
+          }
+        }
+        sc2.commit(rec);
+        record_mb(addr, rec, sc2, sh, reflist);
+        addr = next_mb_address(im.pic, addr);
+      }
+    }
+  };
+
+  // main NAL loop
+  while (true) {
+    std::vector<u8> rbsp;
+    SliceHeader sh;
+    bool have_slice = false;
+    if (im.have_pending) {
+      rbsp = std::move(im.pending_rbsp);
+      sh = im.pending_sh;
+      im.have_pending = false;
+      have_slice = true;
+    } else {
+      if (im.nal_idx >= im.nals.size()) break;
+      auto& u = im.nals[im.nal_idx++];
+      const u8* payload = d + u.payload_start;
+      size_t plen = u.payload_end - u.payload_start;
+      if (plen < 1) continue;
+      int type = payload[0] & 0x1f;
+      int ref_idc = (payload[0] >> 5) & 3;
+      if (type == 7 || type == 8) {
+        std::vector<u8> r = ebsp_to_rbsp(payload + 1, plen - 1);
+        BitReader br(r.data(), r.size());
+        if (type == 7) {
+          Sps s = parse_sps(br);
+          im.sps_map[s.sps_id] = s;
+        } else {
+          Pps p = parse_pps(br, im.sps_map);
+          im.pps_map[p.pps_id] = p;
+        }
+        continue;
+      }
+      if (type != 1 && type != 5) continue;
+      rbsp = ebsp_to_rbsp(payload + 1, plen - 1);
+      BitReader br(rbsp.data(), rbsp.size());
+      sh = parse_slice_header(br, ref_idc, type, im.sps_map, im.pps_map);
+      have_slice = true;
+    }
+    if (!have_slice) break;
+
+    bool newpic = is_new_pic(im.have_prev ? &im.prev_sh : nullptr, sh);
+    if (newpic && frame_open) {
+      // this slice belongs to the NEXT picture: stash and finish
+      im.pending_rbsp = std::move(rbsp);
+      im.pending_sh = sh;
+      im.have_pending = true;
+      break;
+    }
+    im.prev_sh = sh;
+    im.have_prev = true;
+    process_slice(rbsp, sh);
+  }
+
+  if (!frame_open) return false;
+  // close the frame: mark references
+  const Pps& fp = im.pps_map.at(first_sh.pps_id);
+  const Sps& fs = im.sps_map.at(fp.sps_id);
+  mark_refs(im, fs, first_sh, im.output_idx);
+  ++im.output_idx;
+  return true;
+}
+
+}  // namespace h264pip

@@ -1,0 +1,60 @@
+// Decode-support: parse a .264 stream into per-frame symbol planes for
+// the JAX/TPU pixel pipeline (losslessh264_tpu/decoder.py). Covers motion
+// vector prediction (ISO 14496-10 8.4.1) and DPB / reference list
+// management (8.2.4, 8.2.5) on the host; everything pixel-domain happens
+// on the TPU.
+//
+// Reference parity: mv_pred.cpp (PredMv/PredPSkipMvFromNeighbor),
+// manage_dec_ref.cpp, pic_queue.cpp, decoder_core.cpp InitRefPicList.
+#pragma once
+
+#include "h264_syntax.h"
+
+namespace h264pip {
+
+// Per-frame symbol planes, laid out for direct numpy export.
+struct FramePlanes {
+  int mb_w = 0, mb_h = 0;
+  int poc = 0;
+  bool is_ref = false;
+  bool is_idr = false;
+  // per-MB (n = mb_w*mb_h):
+  std::vector<u8> mb_class;
+  std::vector<u8> qp;
+  std::vector<u8> cbp_luma, cbp_chroma;
+  std::vector<u8> transform8;
+  std::vector<u8> i16_mode, chroma_mode;
+  std::vector<i8> i4_modes;      // n*16, raster cells (-1 none)
+  std::vector<i16> luma_ac;      // n*16*16, raster within 4x4 (de-zigzagged)
+  std::vector<i16> luma_dc;      // n*16, raster of the DC 4x4
+  std::vector<i16> luma8;        // n*4*64, raster within 8x8
+  std::vector<i16> chroma_ac;    // n*8*16, raster (u0..3, v0..3)
+  std::vector<i16> chroma_dc;    // n*8 (2x2 u then v)
+  std::vector<i16> mv;           // n*16*2 absolute quarter-pel
+  std::vector<i16> ref_frame;    // n*16: output index of reference, -1 intra
+  std::vector<u8> pcm;           // n*384
+  std::vector<u8> slice_id;      // per MB
+  std::vector<u8> deblock_idc;   // per MB (from its slice)
+  std::vector<i8> alpha_off, beta_off;
+  // per-frame:
+  int chroma_qp_offset = 0, second_chroma_qp_offset = 0;
+  u8 intra_avail_mode = 0;  // constrained_intra_pred flag
+  bool use_scaling = false;
+  u8 scaling4[6][16] = {};
+  u8 scaling8[6][64] = {};
+};
+
+struct SymbolDecoderImpl;
+
+// Streaming decoder: open once, pull frames in decode order.
+class SymbolDecoder {
+ public:
+  SymbolDecoder(const u8* data, size_t size);
+  // Returns false at end of stream. Fills `out`.
+  bool next_frame(FramePlanes* out);
+
+ private:
+  std::shared_ptr<SymbolDecoderImpl> impl_;
+};
+
+}  // namespace h264pip

@@ -101,7 +101,13 @@ struct SliceHeader {
   bool num_ref_idx_override = false;
   int num_ref_idx_l0_active = 1, num_ref_idx_l1_active = 1;
   bool ref_pic_list_mod_l0 = false;
-  // MMCO / reordering / weight tables are passthrough; only presence parsed.
+  // ref_pic_list_modification ops for L0: pairs (idc, value)
+  std::vector<std::pair<u32, u32>> rplr_l0;
+  // dec_ref_pic_marking MMCO ops: (op, val1, val2)
+  struct Mmco {
+    u32 op, v1, v2;
+  };
+  std::vector<Mmco> mmco;
   bool adaptive_ref_pic_marking = false;
   bool no_output_of_prior_pics = false, long_term_reference_flag = false;
   int cabac_init_idc = 0;
@@ -174,6 +180,8 @@ struct MbRecord {
   u8 pcm[384] = {};          // I_PCM raw samples
   // Parse-side bookkeeping (not serialized; recomputed on recode):
   u8 nnz[24] = {};           // total_coeff per sub-4x4: 16 luma + 4 u + 4 v
+  // Decode-support only (decsupport.cc): absolute MVs per 4x4 cell
+  i16 mv[16][2] = {};
 };
 
 // ---------------------------------------------------------------------------
@@ -195,6 +203,8 @@ struct MbState {
   // CABAC contexts:
   u8 cbf_dc = 0;            // bit 0: I16 luma DC, 1: chroma U DC, 2: V DC
   i16 mvd[16][2] = {};      // per 4x4 cell raster-in-MB (partition-replicated)
+  // Decode-support (filled only by the decode walker, decsupport.cc):
+  i16 mv[16][2] = {};       // absolute quarter-pel MVs per 4x4 cell
   i8 ref_cell[16] = {-1, -1, -1, -1, -1, -1, -1, -1,
                      -1, -1, -1, -1, -1, -1, -1, -1};  // -1: intra/none
   i8 ref_idx[4] = {};       // per 8x8 quadrant

@@ -207,13 +207,14 @@ Pps parse_pps(BitReader& br, const std::map<int, Sps>& sps_map) {
   return p;
 }
 
-static void parse_ref_pic_list_modification(BitReader& br, const SliceHeader& sh) {
+static void parse_ref_pic_list_modification(BitReader& br, SliceHeader& sh) {
   if (sh.slice_type != SLICE_I && sh.slice_type != SLICE_SI) {
-    if (br.bit()) {  // ref_pic_list_modification_flag_l0
+    sh.ref_pic_list_mod_l0 = br.bit();
+    if (sh.ref_pic_list_mod_l0) {
       while (true) {
         u32 op = br.ue();
         if (op == 3) break;
-        br.ue();  // abs_diff_pic_num_minus1 or long_term_pic_num
+        sh.rplr_l0.push_back({op, br.ue()});
       }
     }
   }
@@ -259,10 +260,12 @@ static void parse_dec_ref_pic_marking(BitReader& br, SliceHeader& sh) {
       while (true) {
         u32 op = br.ue();
         if (op == 0) break;
-        if (op == 1 || op == 3) br.ue();
-        if (op == 2) br.ue();
-        if (op == 3 || op == 6) br.ue();
-        if (op == 4) br.ue();
+        SliceHeader::Mmco m{op, 0, 0};
+        if (op == 1 || op == 3) m.v1 = br.ue();
+        if (op == 2) m.v1 = br.ue();
+        if (op == 3 || op == 6) m.v2 = br.ue();
+        if (op == 4) m.v1 = br.ue();
+        sh.mmco.push_back(m);
       }
     }
   }
