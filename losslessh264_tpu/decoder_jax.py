@@ -1,0 +1,569 @@
+"""TPU-native H.264 frame reconstruction pipeline (JAX).
+
+Per frame: residuals (dequant+IDCT, fully batched), inter prediction
+(quarter-pel MC, batched over every inter 4x4 cell), intra prediction and
+deblocking as slope-2 MB wavefronts (lax.scan over anti-diagonals, vmap
+across the MBs of each diagonal). One jit per frame geometry.
+
+Validated frame-exact against decoder_np (itself validated against the
+reference decoder's YUV output).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import decoder_np as dn
+from . import native
+from .ops import deblock as jdb
+from .ops import intra as jintra
+from .ops import mc as jmc
+from .ops import transform as jt
+
+PAD = 32          # reference-plane padding (luma)
+WPAD = 8          # working-plane padding for wavefront gathers
+BLK = jintra.BLK_ORDER
+
+# static per-block above-right availability kind for I4x4 decode order:
+# 0 = never, 1 = always (in-MB), 2 = needs MB availT, 3 = needs MB availTR
+_I4_TR_KIND = np.zeros(16, np.int64)
+for _d, _r in enumerate(BLK):
+    _by, _bx = divmod(int(_r), 4)
+    if _by == 0:
+        _I4_TR_KIND[_r] = 2 if _bx < 3 else 3
+    elif _bx == 3:
+        _I4_TR_KIND[_r] = 0
+    else:
+        _nb = (_by - 1) * 4 + _bx + 1
+        _I4_TR_KIND[_r] = 1 if list(BLK).index(_nb) < _d else 0
+
+_I4_TL_KIND = np.zeros(16, np.int64)  # 0 availTL, 1 availT, 2 availL, 3 always
+for _r in range(16):
+    _by, _bx = divmod(_r, 4)
+    if _bx == 0 and _by == 0:
+        _I4_TL_KIND[_r] = 0
+    elif _by == 0:
+        _I4_TL_KIND[_r] = 1
+    elif _bx == 0:
+        _I4_TL_KIND[_r] = 2
+    else:
+        _I4_TL_KIND[_r] = 3
+
+
+def _diagonals(mb_w, mb_h):
+    """Slope-2 wavefront: list of arrays of MB indices per diagonal."""
+    diags = {}
+    for i in range(mb_w * mb_h):
+        y, x = divmod(i, mb_w)
+        diags.setdefault(2 * y + x, []).append(i)
+    nd = 2 * (mb_h - 1) + mb_w
+    K = max(len(v) for v in diags.values())
+    out = np.full((nd, K), -1, np.int32)
+    for d, v in diags.items():
+        out[d, :len(v)] = v
+    return out
+
+
+# ---------------------------------------------------------------------------
+# per-MB intra reconstruction (used inside the wavefront, vmapped)
+# ---------------------------------------------------------------------------
+def _recon_mb_luma(loc, res, cls, i4_modes, i16_mode, t8, aL, aT, aTL, aTR):
+    """loc: [17,25] local luma context (row 0 = top, col 0 = left, interior
+    to be filled); res: [16,16] residual. Returns the 16x16 interior."""
+    # ---- I16 ----
+    left16 = loc[1:17, 0]
+    top16 = loc[0, 1:17]
+    preds16 = jintra.pred16_all(left16, top16, loc[0, 0], aL, aT)
+    tile_i16 = jnp.clip(preds16[jnp.clip(i16_mode, 0, 3)] + res, 0, 255)
+
+    # ---- I4x4 (sequential 16 blocks over the local buffer) ----
+    def i4_body(loc_buf):
+        for d in range(16):
+            r = int(BLK[d])
+            by, bx = divmod(r, 4)
+            ly, lx = 1 + by * 4, 1 + bx * 4
+            leftv = jax.lax.dynamic_slice(loc_buf, (ly, lx - 1), (4, 1))[:, 0]
+            topv = jax.lax.dynamic_slice(loc_buf, (ly - 1, lx), (1, 8))[0]
+            tl = loc_buf[ly - 1, lx - 1]
+            kind = _I4_TR_KIND[r]
+            if kind == 0:
+                trv = jnp.array(False)
+            elif kind == 1:
+                trv = jnp.array(True)
+            elif kind == 2:
+                trv = aT
+            else:
+                trv = aTR
+            topv = jnp.where(jnp.arange(8) < 4, topv,
+                             jnp.where(trv, topv, topv[3]))
+            blk_aL = aL if bx == 0 else jnp.array(True)
+            blk_aT = aT if by == 0 else jnp.array(True)
+            preds = jintra.pred4_all(leftv, topv, tl, blk_aL, blk_aT)
+            mode = jnp.clip(i4_modes[r], 0, 8)
+            tile = jnp.clip(preds[mode] + res[by * 4:by * 4 + 4,
+                                              bx * 4:bx * 4 + 4], 0, 255)
+            loc_buf = jax.lax.dynamic_update_slice(loc_buf, tile, (ly, lx))
+        return loc_buf[1:17, 1:17]
+
+    tile_i4 = i4_body(loc)
+
+    # ---- I8x8 (4 sequential blocks) ----
+    def i8_body(loc_buf):
+        for b8 in range(4):
+            by, bx = divmod(b8, 2)
+            ly, lx = 1 + by * 8, 1 + bx * 8
+            leftv = jax.lax.dynamic_slice(loc_buf, (ly, lx - 1), (8, 1))[:, 0]
+            topv = jax.lax.dynamic_slice(loc_buf, (ly - 1, lx), (1, 16))[0]
+            tl = loc_buf[ly - 1, lx - 1]
+            if b8 == 0:
+                trv, tlv_a = aT, aTL
+            elif b8 == 1:
+                trv, tlv_a = aTR, aT
+            elif b8 == 2:
+                trv, tlv_a = jnp.array(True), aL
+            else:
+                trv, tlv_a = jnp.array(False), jnp.array(True)
+            topv = jnp.where(jnp.arange(16) < 8, topv,
+                             jnp.where(trv, topv, topv[7]))
+            blk_aL = aL if bx == 0 else jnp.array(True)
+            blk_aT = aT if by == 0 else jnp.array(True)
+            preds = jintra.pred8_all(leftv, topv, tl, blk_aL, blk_aT, tlv_a)
+            mode = jnp.clip(i4_modes[[0, 2, 8, 10][b8]], 0, 8)
+            tile = jnp.clip(preds[mode] + res[by * 8:by * 8 + 8,
+                                              bx * 8:bx * 8 + 8], 0, 255)
+            loc_buf = jax.lax.dynamic_update_slice(loc_buf, tile, (ly, lx))
+        return loc_buf[1:17, 1:17]
+
+    tile_i8 = i8_body(loc)
+
+    interior = loc[1:17, 1:17]
+    out = jnp.where(cls == 1, tile_i16,
+          jnp.where(cls == 2, tile_i8,
+           jnp.where(cls == 0, jnp.where(t8 != 0, tile_i8, tile_i4),
+                     interior)))
+    return out
+
+
+def _recon_mb_chroma(locc, resc, cls, cmode, aL, aT):
+    """locc: [9,9]; resc: [8,8]. Returns 8x8 interior (intra only)."""
+    left = locc[1:9, 0]
+    top = locc[0, 1:9]
+    preds = jintra.pred_chroma_all(left, top, locc[0, 0], aL, aT)
+    tile = jnp.clip(preds[jnp.clip(cmode, 0, 3)] + resc, 0, 255)
+    is_intra = (cls == 0) | (cls == 1) | (cls == 2)
+    return jnp.where(is_intra, tile, locc[1:9, 1:9])
+
+
+# ---------------------------------------------------------------------------
+# frame reconstruction (jitted per geometry)
+# ---------------------------------------------------------------------------
+@functools.partial(jax.jit, static_argnames=("mb_w", "mb_h"))
+def recon_frame(mb_w: int, mb_h: int, planes, ref_y, ref_u, ref_v, diags):
+    n = mb_w * mb_h
+    H, W = mb_h * 16, mb_w * 16
+    p = planes
+    cls = p["mb_class"].astype(jnp.int32)
+    qp = p["qp"].astype(jnp.int32)
+    flat4 = jnp.full((4, 4), 16, jnp.int32)
+    flat8 = jnp.full((8, 8), 16, jnp.int32)
+    w4 = [jnp.where(p["use_scaling"], w, flat4) for w in p["w4"]]
+    w8 = [jnp.where(p["use_scaling"], w, flat8) for w in p["w8"]]
+
+    res_y = jt.luma_residuals(cls, qp, p["cbp_luma"].astype(jnp.int32),
+                              p["transform8"], p["luma_ac"], p["luma_dc"],
+                              p["luma8"], w4[0], w4[3], w8[0], w8[1])
+    res_u, res_v = jt.chroma_residuals(
+        cls, qp, p["cbp_chroma"].astype(jnp.int32), p["chroma_ac"],
+        p["chroma_dc"], p["chroma_qp_offset"], p["second_chroma_qp_offset"],
+        w4[1], w4[2], w4[4], w4[5])
+
+    # ---- inter prediction ----
+    mbi = jnp.arange(n)
+    mby0 = (mbi // mb_w) * 16
+    mbx0 = (mbi % mb_w) * 16
+    cell = jnp.arange(16)
+    cy0 = (mby0[:, None] + (cell // 4)[None, :] * 4).reshape(-1)
+    cx0 = (mbx0[:, None] + (cell % 4)[None, :] * 4).reshape(-1)
+    refp = p["ref_slot"].reshape(-1).astype(jnp.int32)
+    mvx = p["mv"][:, :, 0].reshape(-1).astype(jnp.int32)
+    mvy = p["mv"][:, :, 1].reshape(-1).astype(jnp.int32)
+    valid = refp >= 0
+    refc = jnp.clip(refp, 0, ref_y.shape[0] - 1)
+    pred_cells = jmc.mc_luma_cells(ref_y, PAD, refc, cy0, cx0, mvx, mvy)
+    predc_u = jmc.mc_chroma_cells(ref_u, PAD // 2, refc, cy0 // 2, cx0 // 2,
+                                  mvx, mvy)
+    predc_v = jmc.mc_chroma_cells(ref_v, PAD // 2, refc, cy0 // 2, cx0 // 2,
+                                  mvx, mvy)
+    # assemble inter MB tiles
+    pred_y_mb = pred_cells.reshape(n, 4, 4, 4, 4).transpose(0, 1, 3, 2, 4) \
+        .reshape(n, 16, 16)
+    pred_u_mb = predc_u.reshape(n, 4, 4, 2, 2).transpose(0, 1, 3, 2, 4) \
+        .reshape(n, 8, 8)
+    pred_v_mb = predc_v.reshape(n, 4, 4, 2, 2).transpose(0, 1, 3, 2, 4) \
+        .reshape(n, 8, 8)
+    inter_mb = valid.reshape(n, 16).all(axis=1)
+    tile_y = jnp.where(inter_mb[:, None, None],
+                       jnp.clip(pred_y_mb + res_y, 0, 255), 0)
+    tile_u = jnp.where(inter_mb[:, None, None],
+                       jnp.clip(pred_u_mb + res_u, 0, 255), 0)
+    tile_v = jnp.where(inter_mb[:, None, None],
+                       jnp.clip(pred_v_mb + res_v, 0, 255), 0)
+    # PCM overlay
+    pcm = p["pcm"].astype(jnp.int32)
+    is_pcm = cls == 8
+    tile_y = jnp.where(is_pcm[:, None, None], pcm[:, :256].reshape(n, 16, 16),
+                       tile_y)
+    tile_u = jnp.where(is_pcm[:, None, None], pcm[:, 256:320].reshape(n, 8, 8),
+                       tile_u)
+    tile_v = jnp.where(is_pcm[:, None, None], pcm[:, 320:384].reshape(n, 8, 8),
+                       tile_v)
+
+    # scatter tiles into working planes (padded)
+    Yw = jnp.zeros((H + 2 * WPAD, W + 2 * WPAD), jnp.int32)
+    Uw = jnp.zeros((H // 2 + 2 * WPAD, W // 2 + 2 * WPAD), jnp.int32)
+    Vw = jnp.zeros_like(Uw)
+    Yw = Yw.at[WPAD:WPAD + H, WPAD:WPAD + W].set(
+        tile_y.reshape(mb_h, mb_w, 16, 16).transpose(0, 2, 1, 3)
+        .reshape(H, W))
+    Uw = Uw.at[WPAD:WPAD + H // 2, WPAD:WPAD + W // 2].set(
+        tile_u.reshape(mb_h, mb_w, 8, 8).transpose(0, 2, 1, 3)
+        .reshape(H // 2, W // 2))
+    Vw = Vw.at[WPAD:WPAD + H // 2, WPAD:WPAD + W // 2].set(
+        tile_v.reshape(mb_h, mb_w, 8, 8).transpose(0, 2, 1, 3)
+        .reshape(H // 2, W // 2))
+
+    # ---- intra wavefront ----
+    avail = p["avail"]  # [n,4] bool: L, T, TL, TR
+
+    def intra_diag(carry, mb_list):
+        Yw, Uw, Vw = carry
+
+        def compute(mb):
+            mb_c = jnp.clip(mb, 0, n - 1)
+            y0 = (mb_c // mb_w) * 16 + WPAD
+            x0 = (mb_c % mb_w) * 16 + WPAD
+            loc = jax.lax.dynamic_slice(Yw, (y0 - 1, x0 - 1), (17, 25))
+            tile = _recon_mb_luma(
+                loc, res_y[mb_c], cls[mb_c], p["i4_modes"][mb_c],
+                p["i16_mode"][mb_c].astype(jnp.int32),
+                p["transform8"][mb_c], avail[mb_c, 0], avail[mb_c, 1],
+                avail[mb_c, 2], avail[mb_c, 3])
+            cy = (mb_c // mb_w) * 8 + WPAD
+            cx = (mb_c % mb_w) * 8 + WPAD
+            locu = jax.lax.dynamic_slice(Uw, (cy - 1, cx - 1), (9, 9))
+            locv = jax.lax.dynamic_slice(Vw, (cy - 1, cx - 1), (9, 9))
+            cm = p["chroma_mode"][mb_c].astype(jnp.int32)
+            tu = _recon_mb_chroma(locu, res_u[mb_c], cls[mb_c], cm,
+                                  avail[mb_c, 0], avail[mb_c, 1])
+            tv = _recon_mb_chroma(locv, res_v[mb_c], cls[mb_c], cm,
+                                  avail[mb_c, 0], avail[mb_c, 1])
+            return tile, tu, tv, y0, x0, cy, cx
+
+        tiles, tus, tvs, y0s, x0s, cys, cxs = jax.vmap(compute)(mb_list)
+        is_intra = jnp.isin(cls, jnp.array([0, 1, 2]))
+
+        def scatter(k, bufs):
+            Yw, Uw, Vw = bufs
+            mb = mb_list[k]
+            do = (mb >= 0) & is_intra[jnp.clip(mb, 0, n - 1)]
+            cur = jax.lax.dynamic_slice(Yw, (y0s[k], x0s[k]), (16, 16))
+            Yw = jax.lax.dynamic_update_slice(
+                Yw, jnp.where(do, tiles[k], cur), (y0s[k], x0s[k]))
+            curu = jax.lax.dynamic_slice(Uw, (cys[k], cxs[k]), (8, 8))
+            Uw = jax.lax.dynamic_update_slice(
+                Uw, jnp.where(do, tus[k], curu), (cys[k], cxs[k]))
+            curv = jax.lax.dynamic_slice(Vw, (cys[k], cxs[k]), (8, 8))
+            Vw = jax.lax.dynamic_update_slice(
+                Vw, jnp.where(do, tvs[k], curv), (cys[k], cxs[k]))
+            return Yw, Uw, Vw
+
+        Yw, Uw, Vw = jax.lax.fori_loop(0, mb_list.shape[0], scatter,
+                                       (Yw, Uw, Vw))
+        return (Yw, Uw, Vw), 0
+
+    (Yw, Uw, Vw), _ = jax.lax.scan(intra_diag, (Yw, Uw, Vw), diags)
+
+    # ---- deblocking wavefront ----
+    nnz = p["nnz"]
+    bs_v, bs_h = jdb.compute_bs(mb_w, mb_h, cls, nnz, p["mv"],
+                                p["ref_slot"], p["slice_id"],
+                                p["deblock_idc"].astype(jnp.int32))
+    qps = jnp.where(cls == 8, 0, qp)
+    aoff = p["alpha_off"].astype(jnp.int32)
+    boff = p["beta_off"].astype(jnp.int32)
+    t8f = p["transform8"] != 0
+    coff = p["chroma_qp_offset"]
+
+    left_mb = jnp.clip(mbi - 1, 0, n - 1)
+    top_mb = jnp.clip(mbi - mb_w, 0, n - 1)
+
+    def mb_deblock(Yl, Ul, Vl, mb):
+        """Yl: [24,24] local (8 px left/top margin? we use WPAD=8 gather at
+        (y0-8+WPAD...)) — filter the MB's 8 luma + 4+4 chroma edges."""
+        # luma vertical edges
+        for k in range(4):
+            pmb = jnp.where(k == 0, left_mb[mb], mb)
+            qpa = (qps[pmb] + qps[mb] + 1) >> 1
+            ia = jnp.clip(qpa + aoff[mb], 0, 51)
+            ib = jnp.clip(qpa + boff[mb], 0, 51)
+            bs = bs_v[mb, k]
+            if k in (1, 3):
+                bs = jnp.where(t8f[mb], 0, bs)
+            ex = 8 + 4 * k  # local x of edge (MB starts at local 8)
+            pcols = jnp.stack([Yl[8:24, ex - 1 - i] for i in range(4)])
+            qcols = jnp.stack([Yl[8:24, ex + i] for i in range(4)])
+            tc0 = jdb.TC0[ia][jnp.clip(bs, 1, 3) - 1]
+            (p0, p1, p2), (q0, q1, q2) = jdb.filter_luma(
+                pcols, qcols, bs, jdb.ALPHA[ia], jdb.BETA[ib], tc0)
+            Yl = Yl.at[8:24, ex - 1].set(p0).at[8:24, ex - 2].set(p1) \
+                 .at[8:24, ex - 3].set(p2).at[8:24, ex].set(q0) \
+                 .at[8:24, ex + 1].set(q1).at[8:24, ex + 2].set(q2)
+        # luma horizontal edges
+        for k in range(4):
+            pmb = jnp.where(k == 0, top_mb[mb], mb)
+            qpa = (qps[pmb] + qps[mb] + 1) >> 1
+            ia = jnp.clip(qpa + aoff[mb], 0, 51)
+            ib = jnp.clip(qpa + boff[mb], 0, 51)
+            bs = bs_h[mb, k]
+            if k in (1, 3):
+                bs = jnp.where(t8f[mb], 0, bs)
+            ey = 8 + 4 * k
+            prow = jnp.stack([Yl[ey - 1 - i, 8:24] for i in range(4)])
+            qrow = jnp.stack([Yl[ey + i, 8:24] for i in range(4)])
+            tc0 = jdb.TC0[ia][jnp.clip(bs, 1, 3) - 1]
+            (p0, p1, p2), (q0, q1, q2) = jdb.filter_luma(
+                prow, qrow, bs, jdb.ALPHA[ia], jdb.BETA[ib], tc0)
+            Yl = Yl.at[ey - 1, 8:24].set(p0).at[ey - 2, 8:24].set(p1) \
+                 .at[ey - 3, 8:24].set(p2).at[ey, 8:24].set(q0) \
+                 .at[ey + 1, 8:24].set(q1).at[ey + 2, 8:24].set(q2)
+        # chroma edges (k 0 and 2 of luma -> chroma 0 and 4)
+        for k in (0, 2):
+            pmb = jnp.where(k == 0, left_mb[mb], mb)
+            qcp = jdb.CHROMA_QP[jnp.clip(qps[pmb] + coff, 0, 51)]
+            qcq = jdb.CHROMA_QP[jnp.clip(qps[mb] + coff, 0, 51)]
+            qpa = (qcp + qcq + 1) >> 1
+            ia = jnp.clip(qpa + aoff[mb], 0, 51)
+            ib = jnp.clip(qpa + boff[mb], 0, 51)
+            bs = bs_v[mb, k][::2]
+            ex = 8 + 2 * k
+            pc = jnp.stack([Ul[8:16, ex - 1 - i] for i in range(2)])
+            qc = jnp.stack([Ul[8:16, ex + i] for i in range(2)])
+            tc0 = jdb.TC0[ia][jnp.clip(bs, 1, 3) - 1]
+            p0, q0 = jdb.filter_chroma(pc, qc, bs, jdb.ALPHA[ia], jdb.BETA[ib], tc0)
+            Ul = Ul.at[8:16, ex - 1].set(p0).at[8:16, ex].set(q0)
+            pc = jnp.stack([Vl[8:16, ex - 1 - i] for i in range(2)])
+            qc = jnp.stack([Vl[8:16, ex + i] for i in range(2)])
+            p0, q0 = jdb.filter_chroma(pc, qc, bs, jdb.ALPHA[ia], jdb.BETA[ib], tc0)
+            Vl = Vl.at[8:16, ex - 1].set(p0).at[8:16, ex].set(q0)
+        for k in (0, 2):
+            pmb = jnp.where(k == 0, top_mb[mb], mb)
+            qcp = jdb.CHROMA_QP[jnp.clip(qps[pmb] + coff, 0, 51)]
+            qcq = jdb.CHROMA_QP[jnp.clip(qps[mb] + coff, 0, 51)]
+            qpa = (qcp + qcq + 1) >> 1
+            ia = jnp.clip(qpa + aoff[mb], 0, 51)
+            ib = jnp.clip(qpa + boff[mb], 0, 51)
+            bs = bs_h[mb, k][::2]
+            ey = 8 + 2 * k
+            pc = jnp.stack([Ul[ey - 1 - i, 8:16] for i in range(2)])
+            qc = jnp.stack([Ul[ey + i, 8:16] for i in range(2)])
+            tc0 = jdb.TC0[ia][jnp.clip(bs, 1, 3) - 1]
+            p0, q0 = jdb.filter_chroma(pc, qc, bs, jdb.ALPHA[ia], jdb.BETA[ib], tc0)
+            Ul = Ul.at[ey - 1, 8:16].set(p0).at[ey, 8:16].set(q0)
+            pc = jnp.stack([Vl[ey - 1 - i, 8:16] for i in range(2)])
+            qc = jnp.stack([Vl[ey + i, 8:16] for i in range(2)])
+            p0, q0 = jdb.filter_chroma(pc, qc, bs, jdb.ALPHA[ia], jdb.BETA[ib], tc0)
+            Vl = Vl.at[ey - 1, 8:16].set(p0).at[ey, 8:16].set(q0)
+        return Yl, Ul, Vl
+
+    def deblock_diag(carry, mb_list):
+        Yw, Uw, Vw = carry
+
+        def compute(mb):
+            mb_c = jnp.clip(mb, 0, n - 1)
+            y0 = (mb_c // mb_w) * 16 + WPAD - 8
+            x0 = (mb_c % mb_w) * 16 + WPAD - 8
+            Yl = jax.lax.dynamic_slice(Yw, (y0, x0), (24, 24))
+            cy = (mb_c // mb_w) * 8 + WPAD - 8
+            cx = (mb_c % mb_w) * 8 + WPAD - 8
+            Ul = jax.lax.dynamic_slice(Uw, (cy, cx), (16, 16))
+            Vl = jax.lax.dynamic_slice(Vw, (cy, cx), (16, 16))
+            Yl, Ul, Vl = mb_deblock(Yl, Ul, Vl, mb_c)
+            return Yl, Ul, Vl, y0, x0, cy, cx
+
+        Yls, Uls, Vls, y0s, x0s, cys, cxs = jax.vmap(compute)(mb_list)
+
+        def scatter(k, bufs):
+            Yw, Uw, Vw = bufs
+            do = mb_list[k] >= 0
+            cur = jax.lax.dynamic_slice(Yw, (y0s[k], x0s[k]), (24, 24))
+            Yw = jax.lax.dynamic_update_slice(
+                Yw, jnp.where(do, Yls[k], cur), (y0s[k], x0s[k]))
+            curu = jax.lax.dynamic_slice(Uw, (cys[k], cxs[k]), (16, 16))
+            Uw = jax.lax.dynamic_update_slice(
+                Uw, jnp.where(do, Uls[k], curu), (cys[k], cxs[k]))
+            curv = jax.lax.dynamic_slice(Vw, (cys[k], cxs[k]), (16, 16))
+            Vw = jax.lax.dynamic_update_slice(
+                Vw, jnp.where(do, Vls[k], curv), (cys[k], cxs[k]))
+            return Yw, Uw, Vw
+
+        Yw, Uw, Vw = jax.lax.fori_loop(0, mb_list.shape[0], scatter,
+                                       (Yw, Uw, Vw))
+        return (Yw, Uw, Vw), 0
+
+    (Yw, Uw, Vw), _ = jax.lax.scan(deblock_diag, (Yw, Uw, Vw), diags)
+
+    Y = Yw[WPAD:WPAD + H, WPAD:WPAD + W].astype(jnp.uint8)
+    U = Uw[WPAD:WPAD + H // 2, WPAD:WPAD + W // 2].astype(jnp.uint8)
+    V = Vw[WPAD:WPAD + H // 2, WPAD:WPAD + W // 2].astype(jnp.uint8)
+    return Y, U, V
+
+
+# ---------------------------------------------------------------------------
+# stream driver
+# ---------------------------------------------------------------------------
+class JaxDecoder:
+    """Decode a .264 byte stream to YUV frames on the TPU pipeline."""
+
+    MAX_REFS = 17
+
+    def __init__(self, data: bytes):
+        self.sym = native.SymbolDecoder(data)
+        self.slot_of = {}   # output_idx -> ring slot
+        self.ref_y = None
+        self.ref_u = None
+        self.ref_v = None
+        self.next_slot = 0
+        self.out_idx = 0
+        self._diag_cache = {}
+
+    def _prep_refs(self, mb_w, mb_h):
+        H, W = mb_h * 16, mb_w * 16
+        if self.ref_y is None or self.ref_y.shape[1] != H + 2 * PAD:
+            self.ref_y = np.zeros((self.MAX_REFS, H + 2 * PAD, W + 2 * PAD), np.uint8)
+            self.ref_u = np.zeros((self.MAX_REFS, H // 2 + PAD, W // 2 + PAD), np.uint8)
+            self.ref_v = np.zeros_like(self.ref_u)
+            self.slot_of = {}
+
+    def frames(self):
+        for f in self.sym:
+            mb_w, mb_h = f["mb_w"], f["mb_h"]
+            n = mb_w * mb_h
+            self._prep_refs(mb_w, mb_h)
+            key = (mb_w, mb_h)
+            if key not in self._diag_cache:
+                self._diag_cache[key] = jnp.asarray(_diagonals(mb_w, mb_h))
+            diags = self._diag_cache[key]
+
+            # remap output-idx refs to ring slots
+            rf = f["ref_frame"].astype(np.int32)
+            slot_map = np.full(max(self.out_idx + 1, 1), -1, np.int32)
+            for oi, sl in self.slot_of.items():
+                slot_map[oi] = sl
+            ref_slot = np.where(rf >= 0, slot_map[np.clip(rf, 0, len(slot_map) - 1)], -1)
+
+            # nnz plane for deblock (from coeffs, spec semantics)
+            nnz = self._nnz_plane(f)
+            avail = self._avail_plane(f)
+
+            planes = {
+                "mb_class": jnp.asarray(f["mb_class"]),
+                "qp": jnp.asarray(f["qp"]),
+                "cbp_luma": jnp.asarray(f["cbp_luma"]),
+                "cbp_chroma": jnp.asarray(f["cbp_chroma"]),
+                "transform8": jnp.asarray(f["transform8"].astype(np.int32)),
+                "i16_mode": jnp.asarray(f["i16_mode"]),
+                "chroma_mode": jnp.asarray(f["chroma_mode"]),
+                "i4_modes": jnp.asarray(f["i4_modes"].astype(np.int32)),
+                "luma_ac": jnp.asarray(f["luma_ac"]),
+                "luma_dc": jnp.asarray(f["luma_dc"]),
+                "luma8": jnp.asarray(f["luma8"]),
+                "chroma_ac": jnp.asarray(f["chroma_ac"]),
+                "chroma_dc": jnp.asarray(f["chroma_dc"]),
+                "mv": jnp.asarray(f["mv"]),
+                "ref_slot": jnp.asarray(ref_slot.astype(np.int32)),
+                "pcm": jnp.asarray(f["pcm"]),
+                "slice_id": jnp.asarray(f["slice_id"].astype(np.int32)),
+                "deblock_idc": jnp.asarray(f["deblock_idc"]),
+                "alpha_off": jnp.asarray(f["alpha_off"]),
+                "beta_off": jnp.asarray(f["beta_off"]),
+                "nnz": jnp.asarray(nnz),
+                "avail": jnp.asarray(avail),
+                "use_scaling": jnp.asarray(bool(f["use_scaling"])),
+                "chroma_qp_offset": jnp.asarray(np.int32(f["chroma_qp_offset"])),
+                "second_chroma_qp_offset": jnp.asarray(np.int32(f["second_chroma_qp_offset"])),
+                "w4": [jnp.asarray(dn._weights4(f["scaling4"][i])) for i in range(6)],
+                "w8": [jnp.asarray(dn._weights8(f["scaling8"][i])) for i in range(2)],
+            }
+            Y, U, V = recon_frame(mb_w, mb_h, planes,
+                                  jnp.asarray(self.ref_y),
+                                  jnp.asarray(self.ref_u),
+                                  jnp.asarray(self.ref_v), diags)
+            Y, U, V = np.asarray(Y), np.asarray(U), np.asarray(V)
+            # store as reference (host-side ring)
+            slot = self.next_slot
+            self.next_slot = (self.next_slot + 1) % self.MAX_REFS
+            self.slot_of = {oi: sl for oi, sl in self.slot_of.items()
+                            if sl != slot}
+            self.slot_of[self.out_idx] = slot
+            self.ref_y[slot] = np.pad(Y, PAD, mode="edge")
+            self.ref_u[slot] = np.pad(U, PAD // 2, mode="edge")
+            self.ref_v[slot] = np.pad(V, PAD // 2, mode="edge")
+            self.out_idx += 1
+            yield Y, U, V
+
+    @staticmethod
+    def _nnz_plane(f):
+        n = f["mb_w"] * f["mb_h"]
+        nnz = np.zeros((n, 16), np.int32)
+        cls = f["mb_class"]
+        t8 = (f["transform8"] != 0) & (cls != 1)
+        cnt4 = np.count_nonzero(f["luma_ac"].reshape(n, 16, 16), axis=2)
+        cnt8 = np.count_nonzero(f["luma8"].reshape(n, 4, 64), axis=2)
+        blk = np.arange(16)
+        b8_of = (blk // 4 // 2) * 2 + (blk % 4) // 2
+        coded = ((f["cbp_luma"][:, None] >> b8_of[None, :]) & 1) != 0
+        nnz4 = np.where(coded, cnt4, 0)
+        # I16: count AC only (position 0 excluded already: luma_ac[...,0,0]
+        # holds nothing for I16 — the export leaves scan pos 0 empty)
+        nnz8 = np.zeros((n, 16), np.int32)
+        for b8 in range(4):
+            coded8 = ((f["cbp_luma"] >> b8) & 1).astype(bool)
+            val = np.where(coded8, cnt8[:, b8], 0)
+            by, bx = divmod(b8, 2)
+            for sy in range(2):
+                for sx in range(2):
+                    nnz8[:, (by * 2 + sy) * 4 + bx * 2 + sx] = val
+        out = np.where(t8[:, None], nnz8, nnz4)
+        out[cls == 8] = 16
+        return out
+
+    @staticmethod
+    def _avail_plane(f):
+        mb_w, mb_h = f["mb_w"], f["mb_h"]
+        n = mb_w * mb_h
+        sl = f["slice_id"]
+        ci = f["constrained_intra"]
+        intra = np.isin(f["mb_class"], [0, 1, 2, 8])
+        out = np.zeros((n, 4), bool)
+        for i in range(n):
+            y, x = divmod(i, mb_w)
+
+            def ok(nx, ny):
+                if nx < 0 or ny < 0 or nx >= mb_w or ny >= mb_h:
+                    return False
+                j = ny * mb_w + nx
+                if sl[j] != sl[i]:
+                    return False
+                if ci and not intra[j]:
+                    return False
+                return True
+
+            out[i] = (ok(x - 1, y), ok(x, y - 1), ok(x - 1, y - 1), ok(x + 1, y - 1))
+        return out
+
+
+def decode_to_yuv_jax(data: bytes):
+    return list(JaxDecoder(data).frames())

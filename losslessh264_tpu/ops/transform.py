@@ -1,69 +1,57 @@
-"""Integer transform / dequantization kernels (JAX, TPU-first).
+"""Integer transform / dequantization kernels (JAX, TPU-first, batched).
 
 Bit-exact integer implementations of the H.264 inverse transforms,
-batched over all 4x4 blocks of a frame so the work maps onto the VPU as
-large elementwise tensor ops (the reference does this per-block in
-scalar C/SIMD: decode_mb_aux.cpp IdctResAddPred_c, WelsLumaDcDequantIdct
-in decode_slice.cpp:271-312; dequant tables common_tables.cpp
-g_kuiDequantCoeff).
+batched over all blocks of a frame so the work maps onto the VPU as large
+elementwise tensor ops (the reference does this per-block in scalar
+C/SIMD: decode_mb_aux.cpp IdctResAddPred_c / IdctResAddPred8x8,
+WelsLumaDcDequantIdct, decode_slice.cpp WelsChromaDcIdct; dequant tables
+common_tables.cpp g_kuiDequantCoeff / g_kuiDequantCoeff8x8).
 
-Layout convention: coefficient tensors are [N, 4, 4] int32 blocks in
-RASTER order (zigzag already undone by the entropy layer).
+Every function is validated element-exact against the numpy oracle in
+losslessh264_tpu/decoder_np.py (itself validated against the reference
+decoder's YUV output).
 """
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Dequant scale V[qp%6][i] for 4x4 blocks (spec 8.5.9, flat default
-# scaling): three distinct values per qp rem, by coefficient position.
-# Positions (0,0),(0,2),(2,0),(2,2) -> v0; (1,1),(1,3),(3,1),(3,3) -> v1;
-# others -> v2.
-_V = np.array(
-    [
-        [10, 16, 13],
-        [11, 18, 14],
-        [13, 20, 16],
-        [14, 23, 18],
-        [16, 25, 20],
-        [18, 29, 23],
-    ],
-    dtype=np.int32,
-)
+from .. import decoder_np as _np_ref
 
-_POS_CLASS = np.zeros((4, 4), dtype=np.int32)
-for _i in range(4):
-    for _j in range(4):
-        if (_i % 2 == 0) and (_j % 2 == 0):
-            _POS_CLASS[_i, _j] = 0
-        elif (_i % 2 == 1) and (_j % 2 == 1):
-            _POS_CLASS[_i, _j] = 1
-        else:
-            _POS_CLASS[_i, _j] = 2
-
-# dequant table [52, 4, 4]
-_DEQUANT_4x4 = np.zeros((52, 4, 4), dtype=np.int32)
-for _qp in range(52):
-    _DEQUANT_4x4[_qp] = _V[_qp % 6][_POS_CLASS] << (_qp // 6)
-
-DEQUANT_4x4 = jnp.asarray(_DEQUANT_4x4)
+# dequant scale tables (host constants)
+DEQ4_V = jnp.asarray(_np_ref._V4[:, _np_ref._POS4])          # [6,4,4]
+DEQ8_V = jnp.asarray(_np_ref._V8[:, _np_ref._POS8])          # [6,8,8]
+CHROMA_QP = jnp.asarray(_np_ref.CHROMA_QP)
 
 
-def dequant4x4(coeff: jax.Array, qp: jax.Array) -> jax.Array:
-    """coeff: [N,4,4] int32 quantized; qp: [N] int32. Returns dequantized.
+def dequant4(coeff: jax.Array, qp: jax.Array, weights: jax.Array) -> jax.Array:
+    """coeff [..,4,4] int, qp [..] int, weights [..,4,4] (16 = flat).
 
-    Uses the flat (no scaling list) dequant path; scaling-list variants
-    multiply per-position weights in (added with the pixel pipeline).
+    Returns dequantized int32 levels (spec 8.5.9 general form).
     """
-    scale = DEQUANT_4x4[qp]  # [N,4,4]
-    return coeff * scale
+    qp = qp.astype(jnp.int32)
+    ls = weights * DEQ4_V[qp % 6]
+    c = coeff.astype(jnp.int32) * ls
+    qdiv = (qp // 6)[..., None, None]
+    hi = c << jnp.maximum(qdiv - 4, 0)
+    shift = jnp.maximum(4 - qdiv, 0)
+    lo = (c + (1 << jnp.maximum(shift - 1, 0))) >> shift
+    return jnp.where(qdiv >= 4, hi, lo)
 
 
-def _idct_1d(a0, a1, a2, a3):
-    # H.264 4-point inverse core (integer, with >>1 semantics)
+def dequant8(coeff: jax.Array, qp: jax.Array, weights: jax.Array) -> jax.Array:
+    qp = qp.astype(jnp.int32)
+    ls = weights * DEQ8_V[qp % 6]
+    c = coeff.astype(jnp.int32) * ls
+    qdiv = (qp // 6)[..., None, None]
+    hi = c << jnp.maximum(qdiv - 6, 0)
+    shift = jnp.maximum(6 - qdiv, 0)
+    lo = (c + (1 << jnp.maximum(shift - 1, 0))) >> shift
+    return jnp.where(qdiv >= 6, hi, lo)
+
+
+def _idct4_1d(a0, a1, a2, a3):
     e0 = a0 + a2
     e1 = a0 - a2
     e2 = (a1 >> 1) - a3
@@ -72,60 +60,165 @@ def _idct_1d(a0, a1, a2, a3):
 
 
 def idct4x4(blocks: jax.Array) -> jax.Array:
-    """Inverse 4x4 integer transform. blocks: [N,4,4] int32 (dequantized).
-
-    Returns residuals [N,4,4] int32 (after the final (x+32)>>6 rounding).
-    Bit-exact vs the scalar reference (IdctResAddPred_c).
-    """
+    """[..,4,4] dequantized int32 -> residual int32 (incl. (x+32)>>6)."""
     b = blocks.astype(jnp.int32)
-    # horizontal pass (operate on columns of each row vector)
-    r0, r1, r2, r3 = _idct_1d(b[:, :, 0], b[:, :, 1], b[:, :, 2], b[:, :, 3])
-    h = jnp.stack([r0, r1, r2, r3], axis=-1)  # [N,4,4] rows transformed
-    # vertical pass
-    c0, c1, c2, c3 = _idct_1d(h[:, 0, :], h[:, 1, :], h[:, 2, :], h[:, 3, :])
-    v = jnp.stack([c0, c1, c2, c3], axis=-2)
+    r = _idct4_1d(b[..., 0], b[..., 1], b[..., 2], b[..., 3])
+    h = jnp.stack(r, axis=-1)
+    c = _idct4_1d(h[..., 0, :], h[..., 1, :], h[..., 2, :], h[..., 3, :])
+    v = jnp.stack(c, axis=-2)
     return (v + 32) >> 6
 
 
 def hadamard4x4(dc: jax.Array) -> jax.Array:
-    """Inverse 4x4 Hadamard for Intra16x16 luma DC. dc: [N,4,4] int32."""
+    """Inverse 4x4 Hadamard for I16 luma DC. [..,4,4] -> [..,4,4]."""
     b = dc.astype(jnp.int32)
 
-    def h1(a0, a1, a2, a3):
-        e0 = a0 + a2
-        e1 = a0 - a2
-        e2 = a1 - a3
-        e3 = a1 + a3
-        return e0 + e3, e1 + e2, e1 - e2, e0 - e3
+    def h1_last(a):
+        e0 = a[..., 0] + a[..., 2]
+        e1 = a[..., 0] - a[..., 2]
+        e2 = a[..., 1] - a[..., 3]
+        e3 = a[..., 1] + a[..., 3]
+        return jnp.stack([e0 + e3, e1 + e2, e1 - e2, e0 - e3], axis=-1)
 
-    r0, r1, r2, r3 = h1(b[:, :, 0], b[:, :, 1], b[:, :, 2], b[:, :, 3])
-    h = jnp.stack([r0, r1, r2, r3], axis=-1)
-    c0, c1, c2, c3 = h1(h[:, 0, :], h[:, 1, :], h[:, 2, :], h[:, 3, :])
-    return jnp.stack([c0, c1, c2, c3], axis=-2)
-
-
-def luma_dc_dequant(dc_transformed: jax.Array, qp: jax.Array) -> jax.Array:
-    """Post-Hadamard DC dequant for I16 (spec 8.5.10)."""
-    v0 = DEQUANT_4x4[qp][:, 0:1, 0:1]  # V[qp%6][0] << (qp//6)
-    qp_ = qp.astype(jnp.int32)
-    # ((c * V0) << (qp/6)) >> 8 with qp/6 already folded into V0; spec form:
-    # dcY = (f * LevelScale(qp%6,0,0) << (qp/6)) >> 8 for qp >= 12 different
-    # rounding; use the general formula:
-    raw = dc_transformed * (DEQUANT_4x4[qp_ % 6][:, 0:1, 0:1])
-    shift = qp_ // 6
-    down = 2 - shift
-    up = shift - 2
-    pos = jnp.maximum(up, 0).reshape(-1, 1, 1)
-    neg = jnp.maximum(down, 0).reshape(-1, 1, 1)
-    rounded = (raw << pos)
-    rounded = (rounded + ((1 << neg.clip(min=1)) >> 1) * (neg > 0)) >> neg
-    return rounded
+    h = h1_last(b)                      # transform rows (last axis)
+    v = h1_last(jnp.swapaxes(h, -1, -2))
+    return jnp.swapaxes(v, -1, -2)
 
 
-@functools.partial(jax.jit)
-def recon_residual_frame(coeff_blocks: jax.Array, qp: jax.Array) -> jax.Array:
-    """Dequant + IDCT over all 4x4 blocks of a frame — the decode hot path.
+def idct8x8(blocks: jax.Array) -> jax.Array:
+    """[..,8,8] dequantized -> residual (spec 8.5.12.2)."""
+    b = blocks.astype(jnp.int32)
 
-    coeff_blocks: [N, 4, 4] int32, qp: [N] int32 -> residual [N, 4, 4].
+    def core_last(a):
+        a0, a1, a2, a3 = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
+        a4, a5, a6, a7 = a[..., 4], a[..., 5], a[..., 6], a[..., 7]
+        e0 = a0 + a4
+        e1 = -a3 + a5 - a7 - (a7 >> 1)
+        e2 = a0 - a4
+        e3 = a1 + a7 - a3 - (a3 >> 1)
+        e4 = (a2 >> 1) - a6
+        e5 = -a1 + a7 + a5 + (a5 >> 1)
+        e6 = a2 + (a6 >> 1)
+        e7 = a3 + a5 + a1 + (a1 >> 1)
+        f0 = e0 + e6
+        f1 = e1 + (e7 >> 2)
+        f2 = e2 + e4
+        f3 = e3 + (e5 >> 2)
+        f4 = e2 - e4
+        f5 = (e3 >> 2) - e5
+        f6 = e0 - e6
+        f7 = e7 - (e1 >> 2)
+        return jnp.stack([f0 + f7, f2 + f5, f4 + f3, f6 + f1,
+                          f6 - f1, f4 - f3, f2 - f5, f0 - f7], axis=-1)
+
+    h = core_last(b)
+    v = core_last(jnp.swapaxes(h, -1, -2))
+    return (jnp.swapaxes(v, -1, -2) + 32) >> 6
+
+
+def luma_dc_dequant(dc_t: jax.Array, qp: jax.Array, w00: jax.Array) -> jax.Array:
+    """Post-Hadamard I16 DC dequant (8.5.10). dc_t [..,4,4], qp [..]."""
+    qp = qp.astype(jnp.int32)
+    scale = (w00 * DEQ4_V[qp % 6][..., 0, 0])[..., None, None]
+    qdiv = (qp // 6)[..., None, None]
+    hi = (dc_t * scale) << jnp.maximum(qdiv - 6, 0)
+    shift = jnp.maximum(6 - qdiv, 0)
+    lo = (dc_t * scale + (1 << jnp.maximum(shift - 1, 0))) >> shift
+    return jnp.where(qdiv >= 6, hi, lo)
+
+
+def chroma_dc_transform_dequant(dc: jax.Array, qpc: jax.Array,
+                                w00: jax.Array) -> jax.Array:
+    """2x2 inverse Hadamard + dequant (8.5.11). dc [..,2,2], qpc [..]."""
+    a = dc[..., 0, 0].astype(jnp.int32)
+    b = dc[..., 0, 1].astype(jnp.int32)
+    c = dc[..., 1, 0].astype(jnp.int32)
+    d = dc[..., 1, 1].astype(jnp.int32)
+    t = jnp.stack([jnp.stack([a + b + c + d, a - b + c - d], -1),
+                   jnp.stack([a + b - c - d, a - b - c + d], -1)], -2)
+    qpc = qpc.astype(jnp.int32)
+    scale = (w00 * DEQ4_V[qpc % 6][..., 0, 0])[..., None, None]
+    return ((t * scale) << (qpc // 6)[..., None, None]) >> 5
+
+
+# ---------------------------------------------------------------------------
+# Whole-frame residual assembly: the decode hot path, fully batched.
+# ---------------------------------------------------------------------------
+def luma_residuals(mb_class, qp, cbp_luma, transform8, luma_ac, luma_dc,
+                   luma8, w4_intra, w4_inter, w8_intra, w8_inter):
+    """Per-MB luma residual [n,16,16] int32.
+
+    mb_class/qp/cbp_luma/transform8: [n]; luma_ac [n,16,4,4];
+    luma_dc [n,4,4]; luma8 [n,4,8,8]; w*: [4,4]/[8,8] weight matrices.
     """
-    return idct4x4(dequant4x4(coeff_blocks, qp))
+    n = mb_class.shape[0]
+    is_i16 = mb_class == 1
+    is_intra = (mb_class == 0) | (mb_class == 1) | (mb_class == 2)
+    t8 = (transform8 != 0) & ~is_i16
+
+    w4 = jnp.where(is_intra[:, None, None], w4_intra, w4_inter)
+    # 4x4 path (covers I16 AC with DC substituted)
+    deq = dequant4(luma_ac, qp[:, None], w4[:, None])  # [n,16,4,4]
+    dct = hadamard4x4(luma_dc)
+    dcd = luma_dc_dequant(dct, qp, w4_intra[0, 0])     # [n,4,4]
+    # substitute DC into position 0 for I16 MBs
+    dc_flat = dcd.reshape(n, 16)  # raster [by*4+bx]
+    deq = deq.at[:, :, 0, 0].set(
+        jnp.where(is_i16[:, None], dc_flat, deq[:, :, 0, 0]))
+    res4 = idct4x4(deq)  # [n,16,4,4]
+    # cbp gating per 8x8 (I16 ignores cbp for DC but AC already zero if
+    # uncoded, and DC substitution applies regardless)
+    blk_idx = jnp.arange(16)
+    b8_of_blk = (blk_idx // 4 // 2) * 2 + (blk_idx % 4) // 2  # raster-> 8x8 idx
+    coded4 = ((cbp_luma[:, None] >> b8_of_blk[None, :]) & 1) != 0
+    coded4 = coded4 | is_i16[:, None]  # I16: DC always present
+    res4 = jnp.where(coded4[:, :, None, None], res4, 0)
+
+    # 8x8 path
+    w8 = jnp.where(is_intra[:, None, None], w8_intra, w8_inter)
+    deq8 = dequant8(luma8, qp[:, None], w8[:, None])
+    res8 = idct8x8(deq8)  # [n,4,8,8]
+    coded8 = ((cbp_luma[:, None] >> jnp.arange(4)[None, :]) & 1) != 0
+    res8 = jnp.where(coded8[:, :, None, None], res8, 0)
+
+    # assemble [n,16,16]
+    out4 = res4.reshape(n, 4, 4, 4, 4).transpose(0, 1, 3, 2, 4).reshape(n, 16, 16)
+    out8 = res8.reshape(n, 2, 2, 8, 8).transpose(0, 1, 3, 2, 4).reshape(n, 16, 16)
+    return jnp.where(t8[:, None, None], out8, out4)
+
+
+def chroma_residuals(mb_class, qp, cbp_chroma, chroma_ac, chroma_dc,
+                     chroma_qp_offset, second_chroma_qp_offset,
+                     w4_u_intra, w4_v_intra, w4_u_inter, w4_v_inter):
+    """Per-MB chroma residuals ([n,8,8] u, [n,8,8] v)."""
+    n = mb_class.shape[0]
+    is_intra = (mb_class == 0) | (mb_class == 1) | (mb_class == 2)
+    qp = qp.astype(jnp.int32)
+    outs = []
+    for c in range(2):
+        off = chroma_qp_offset if c == 0 else second_chroma_qp_offset
+        qpc = CHROMA_QP[jnp.clip(qp + off, 0, 51)]
+        w = jnp.where(is_intra[:, None, None],
+                      w4_u_intra if c == 0 else w4_v_intra,
+                      w4_u_inter if c == 0 else w4_v_inter)
+        dcd = chroma_dc_transform_dequant(chroma_dc[:, c], qpc, w[:, 0, 0])
+        ac = chroma_ac[:, c * 4:(c + 1) * 4]  # [n,4,4,4]
+        deq = dequant4(ac, qpc[:, None], w[:, None])
+        deq = jnp.where((cbp_chroma == 2)[:, None, None, None], deq, 0)
+        dc_flat = dcd.reshape(n, 4)
+        has_dc = (cbp_chroma != 0)
+        deq = deq.at[:, :, 0, 0].set(
+            jnp.where(has_dc[:, None], dc_flat, deq[:, :, 0, 0]))
+        res = idct4x4(deq)
+        res = jnp.where(has_dc[:, None, None, None] |
+                        (cbp_chroma == 2)[:, None, None, None], res, 0)
+        out = res.reshape(n, 2, 2, 4, 4).transpose(0, 1, 3, 2, 4).reshape(n, 8, 8)
+        outs.append(out)
+    return outs[0], outs[1]
+
+
+@jax.jit
+def recon_residual_frame(coeff_blocks: jax.Array, qp: jax.Array) -> jax.Array:
+    """Dequant + IDCT over 4x4 blocks (flat weights) — used by bench/entry."""
+    w = jnp.full((4, 4), 16, jnp.int32)
+    return idct4x4(dequant4(coeff_blocks, qp, w))

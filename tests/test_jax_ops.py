@@ -1,0 +1,103 @@
+"""Stage-level validation of the JAX/TPU kernels against the numpy
+reconstruction oracle (which is itself validated bit-exactly against the
+reference decoder's YUV output)."""
+import numpy as np
+import pytest
+
+from losslessh264_tpu import decoder_np as dn
+from losslessh264_tpu.ops import mc as jmc
+from losslessh264_tpu.ops import transform as jt
+
+rng = np.random.default_rng(7)
+
+
+def test_dequant4_idct4():
+    coeff = rng.integers(-256, 256, (64, 4, 4)).astype(np.int16)
+    qps = rng.integers(0, 52, (64,))
+    w = np.full((4, 4), 16, np.int32)
+    got = np.asarray(jt.idct4x4(jt.dequant4(coeff, qps, w)))
+    for i in range(64):
+        want = dn.idct4x4(dn.dequant4(coeff[i], int(qps[i]), w))
+        np.testing.assert_array_equal(got[i], want)
+
+
+def test_dequant4_scaling_list():
+    coeff = rng.integers(-64, 64, (16, 4, 4)).astype(np.int16)
+    qps = rng.integers(0, 52, (16,))
+    wz = rng.integers(4, 60, (16,)).astype(np.int32)
+    w = dn._weights4(wz)
+    got = np.asarray(jt.dequant4(coeff, qps, w))
+    for i in range(16):
+        np.testing.assert_array_equal(got[i], dn.dequant4(coeff[i], int(qps[i]), w))
+
+
+def test_idct8x8():
+    coeff = rng.integers(-256, 256, (32, 8, 8)).astype(np.int16)
+    qps = rng.integers(0, 52, (32,))
+    w = np.full((8, 8), 16, np.int32)
+    got = np.asarray(jt.idct8x8(jt.dequant8(coeff, qps, w)))
+    for i in range(32):
+        want = dn.idct8x8(dn.dequant8(coeff[i], int(qps[i]), w))
+        np.testing.assert_array_equal(got[i], want)
+
+
+def test_luma_dc():
+    dc = rng.integers(-256, 256, (32, 4, 4)).astype(np.int16)
+    qps = rng.integers(0, 52, (32,))
+    got = np.asarray(jt.luma_dc_dequant(jt.hadamard4x4(dc), qps,
+                                        np.int32(16)))
+    w = np.full((4, 4), 16, np.int32)
+    for i in range(32):
+        want = dn.luma_dc_dequant(dn.hadamard4x4(dc[i].astype(np.int64)),
+                                  int(qps[i]), w)
+        np.testing.assert_array_equal(got[i], want)
+
+
+def test_chroma_dc():
+    dc = rng.integers(-128, 128, (32, 2, 2)).astype(np.int16)
+    qps = rng.integers(0, 40, (32,))
+    got = np.asarray(jt.chroma_dc_transform_dequant(dc, qps, np.int32(16)))
+    w = np.full((4, 4), 16, np.int32)
+    for i in range(32):
+        a, b_, c, d = (int(dc[i, 0, 0]), int(dc[i, 0, 1]), int(dc[i, 1, 0]),
+                       int(dc[i, 1, 1]))
+        ht = np.array([[a + b_ + c + d, a - b_ + c - d],
+                       [a + b_ - c - d, a - b_ - c + d]], np.int64)
+        want = dn.chroma_dc_dequant(ht, int(qps[i]), w)
+        np.testing.assert_array_equal(got[i], want)
+
+
+def test_mc_luma():
+    H, W, PAD = 64, 64, 32
+    ref = rng.integers(0, 256, (H, W)).astype(np.uint8)
+    ref_pad = np.pad(ref, PAD, mode="edge")
+    stack = ref_pad[None]
+    B = 200
+    ys = rng.integers(0, H - 4, B)
+    xs = rng.integers(0, W - 4, B)
+    mvx = rng.integers(-40, 40, B)
+    mvy = rng.integers(-40, 40, B)
+    got = np.asarray(jmc.mc_luma_cells(stack, PAD, np.zeros(B, np.int32),
+                                       ys, xs, mvx, mvy))
+    for i in range(B):
+        want = dn.mc_luma_block(ref_pad, PAD, int(ys[i]), int(xs[i]),
+                                int(mvx[i]), int(mvy[i]), 4, 4)
+        np.testing.assert_array_equal(got[i], want, err_msg=f"cell {i} mv=({mvx[i]},{mvy[i]})")
+
+
+def test_mc_chroma():
+    H, W, PAD = 32, 32, 16
+    ref = rng.integers(0, 256, (H, W)).astype(np.uint8)
+    ref_pad = np.pad(ref, PAD, mode="edge")
+    stack = ref_pad[None]
+    B = 200
+    ys = rng.integers(0, H - 2, B)
+    xs = rng.integers(0, W - 2, B)
+    mvx = rng.integers(-40, 40, B)
+    mvy = rng.integers(-40, 40, B)
+    got = np.asarray(jmc.mc_chroma_cells(stack, PAD, np.zeros(B, np.int32),
+                                         ys, xs, mvx, mvy))
+    for i in range(B):
+        want = dn.mc_chroma_block(ref_pad, PAD, int(ys[i]), int(xs[i]),
+                                  int(mvx[i]), int(mvy[i]), 2, 2)
+        np.testing.assert_array_equal(got[i], want)
