@@ -27,6 +27,9 @@ def main(argv=None):
     ap.add_argument("--no-verify", action="store_true",
                     help="skip compress-time roundtrip verification")
     ap.add_argument("--stats", action="store_true", help="print stats to stderr")
+    ap.add_argument("--billing", action="store_true",
+                    help="print per-feature compressed-size billing "
+                         "(reference parity: analyze_billing.py)")
     args = ap.parse_args(argv)
 
     if args.input == "roundtrip":
@@ -47,6 +50,13 @@ def main(argv=None):
             f"decompress {st.n_frames/(t2-t1):.1f} fps, "
             f"bit-exact: {'YES' if ok else 'NO'}"
         )
+        if args.billing and st.bill:
+            total = sum(st.bill.values())
+            other = len(pip) - total
+            print(f"  {'feature':<12} {'bytes':>10} {'share':>7}")
+            for k, v in sorted(st.bill.items(), key=lambda kv: -kv[1]):
+                print(f"  {k:<12} {v:>10.0f} {100*v/len(pip):>6.1f}%")
+            print(f"  {'headers/etc':<12} {other:>10.0f} {100*other/len(pip):>6.1f}%")
         return 0 if ok else 1
 
     if not args.output:

@@ -28,7 +28,15 @@ class PipStats(ctypes.Structure):
         ("n_fallback_slices", ctypes.c_uint64),
         ("n_frames", ctypes.c_uint64),
         ("n_mbs", ctypes.c_uint64),
+        ("bill", ctypes.c_double * 32),
     ]
+
+
+BILL_NAMES = [
+    "mb_type", "skip", "end", "cbp", "qp", "pred_mode", "intra_mode",
+    "sub_mb", "ref", "mvd", "luma_dc", "chroma_dc", "luma_ac", "chroma_ac",
+    "pcm", "other",
+]
 
 
 @dataclass
@@ -40,6 +48,7 @@ class Stats:
     n_fallback_slices: int = 0
     n_frames: int = 0
     n_mbs: int = 0
+    bill: dict | None = None
 
 
 def _build():
@@ -90,6 +99,18 @@ def load():
         ctypes.c_char_p,
         ctypes.c_size_t,
     ]
+    lib.pip_compress_sharded_c.restype = ctypes.c_int
+    lib.pip_compress_sharded_c.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_size_t,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.c_size_t),
+        ctypes.POINTER(PipStats),
+        ctypes.c_char_p,
+        ctypes.c_size_t,
+    ]
     lib.pip_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
     lib.pip_selftest_arith.restype = ctypes.c_int
     lib.pip_selftest_arith.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
@@ -98,6 +119,8 @@ def load():
 
 
 def _stats_from(c: PipStats) -> Stats:
+    bill = {BILL_NAMES[i]: c.bill[i] for i in range(len(BILL_NAMES))
+            if c.bill[i] > 0}
     return Stats(
         in_bytes=c.in_bytes,
         out_bytes=c.out_bytes,
@@ -106,6 +129,7 @@ def _stats_from(c: PipStats) -> Stats:
         n_fallback_slices=c.n_fallback_slices,
         n_frames=c.n_frames,
         n_mbs=c.n_mbs,
+        bill=bill,
     )
 
 
@@ -122,6 +146,28 @@ def compress(data: bytes, verify: bool = True) -> tuple[bytes, Stats]:
     )
     if rc != 0:
         raise RuntimeError(f"pip_compress failed: {err.value.decode()}")
+    try:
+        result = ctypes.string_at(out, out_size.value)
+    finally:
+        lib.pip_free(out)
+    return result, _stats_from(st)
+
+
+def compress_sharded(data: bytes, n_shards: int,
+                     verify: bool = False) -> tuple[bytes, Stats]:
+    """GOP-sharded parallel compression (shards are model-independent —
+    the multi-host distribution unit)."""
+    lib = load()
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    out_size = ctypes.c_size_t()
+    st = PipStats()
+    err = ctypes.create_string_buffer(1024)
+    rc = lib.pip_compress_sharded_c(
+        data, len(data), n_shards, 1 if verify else 0, ctypes.byref(out),
+        ctypes.byref(out_size), ctypes.byref(st), err, len(err),
+    )
+    if rc != 0:
+        raise RuntimeError(f"pip_compress_sharded failed: {err.value.decode()}")
     try:
         result = ctypes.string_at(out, out_size.value)
     finally:

@@ -230,15 +230,24 @@ class StreamReader;
 class StreamWriter {
  public:
   BoolWriter w;
-  // Billing: bytes position snapshot per feature tag (set by the engine).
   static constexpr bool kIsWriter = true;
+  // Billing: compressed bytes per feature tag (sampling: each output byte
+  // billed to the feature of the bit that produced it — reference:
+  // ArithmeticCodedOutput::emitBit billing, compression_stream.h:407-435).
+  double* bill = nullptr;  // array indexed by tag
+  int tag = 0;
 
+  inline void set_tag(int t) { tag = t; }
   inline bool bit(bool b, DynProb* p) {
+    size_t before = w.size();
     w.put_adaptive(b, p);
+    if (bill) bill[tag] += double(w.size() - before);
     return b;
   }
   inline u32 raw_bits(u32 v, int n) {
+    size_t before = w.size();
     for (int i = n - 1; i >= 0; --i) w.put((v >> i) & 1, 128);
+    if (bill) bill[tag] += double(w.size() - before);
     return v;
   }
   u64 n_bits() const { return w.n_bits(); }
@@ -249,6 +258,7 @@ class StreamReader {
   BoolReader r;
   static constexpr bool kIsWriter = false;
 
+  inline void set_tag(int) {}
   inline bool bit(bool /*unused*/, DynProb* p) { return r.get_adaptive(p); }
   inline u32 raw_bits(u32 /*unused*/, int n) {
     u32 v = 0;

@@ -26,6 +26,7 @@ extern "C" {
 
 struct PipStats {
   u64 in_bytes, out_bytes, n_nals, n_slices, n_fallback_slices, n_frames, n_mbs;
+  double bill[32];
 };
 
 int pip_compress_c(const u8* data, size_t size, int verify, u8** out,
@@ -44,6 +45,33 @@ int pip_compress_c(const u8* data, size_t size, int verify, u8** out,
       stats_out->n_fallback_slices = st.n_fallback_slices;
       stats_out->n_frames = st.n_frames;
       stats_out->n_mbs = st.n_mbs;
+      memcpy(stats_out->bill, st.bill_bits, sizeof(stats_out->bill));
+    }
+    return 0;
+  } catch (const std::exception& e) {
+    set_err(err, err_cap, e.what());
+    return 1;
+  }
+}
+
+int pip_compress_sharded_c(const u8* data, size_t size, int n_shards,
+                           int verify, u8** out, size_t* out_size,
+                           PipStats* stats_out, char* err, size_t err_cap) {
+  try {
+    EngineStats st;
+    std::vector<u8> v =
+        pip_compress_sharded(data, size, n_shards, verify != 0, &st);
+    *out = alloc_copy(v);
+    *out_size = v.size();
+    if (stats_out) {
+      stats_out->in_bytes = st.in_bytes;
+      stats_out->out_bytes = st.out_bytes;
+      stats_out->n_nals = st.n_nals;
+      stats_out->n_slices = st.n_slices;
+      stats_out->n_fallback_slices = st.n_fallback_slices;
+      stats_out->n_frames = st.n_frames;
+      stats_out->n_mbs = st.n_mbs;
+      memcpy(stats_out->bill, st.bill_bits, sizeof(stats_out->bill));
     }
     return 0;
   } catch (const std::exception& e) {

@@ -6,6 +6,7 @@
 #include "model.h"
 
 #include <memory>
+#include <thread>
 
 namespace h264pip {
 
@@ -362,13 +363,22 @@ static std::vector<u8> recode_slice_cavlc(StreamReader& io, WalkState& ws,
 // Compress driver
 // ---------------------------------------------------------------------------
 std::vector<u8> pip_compress(const u8* data, size_t size, bool verify,
-                             EngineStats* stats) {
+                             EngineStats* stats, const u8* context,
+                             size_t context_size) {
   size_t trailing_start = size;
   std::vector<NalSpan> nals = scan_annexb(data, size, &trailing_start);
 
   std::vector<u8> def;  // default stream
   StreamWriter io;
+  if (stats) io.bill = stats->bill_bits;
   WalkState ws;
+  if (context && context_size) {
+    size_t cts = context_size;
+    for (const NalSpan& s : scan_annexb(context, context_size, &cts)) {
+      absorb_nal(ws, context + s.payload_start,
+                 s.payload_end - s.payload_start);
+    }
+  }
   // Verification replays the recode path; it needs an independent walk
   // state + reader fed by a snapshot of the writer. We instead verify per
   // slice by re-running the writer-side state transition: the recode body
@@ -563,6 +573,8 @@ std::vector<u8> pip_compress(const u8* data, size_t size, bool verify,
   out.push_back(1);  // version
   put_varint(out, size);
   put_varint(out, crc32_ieee(data, size));
+  put_varint(out, context_size);
+  out.insert(out.end(), context, context + context_size);
   put_varint(out, def.size());
   out.insert(out.end(), def.begin(), def.end());
   put_varint(out, 1);  // number of arith streams
@@ -588,16 +600,208 @@ std::vector<u8> pip_compress(const u8* data, size_t size, bool verify,
 // ---------------------------------------------------------------------------
 // Decompress driver
 // ---------------------------------------------------------------------------
+
+// ---------------------------------------------------------------------------
+// GOP sharding
+// ---------------------------------------------------------------------------
+namespace {
+
+struct GopSegments {
+  // byte ranges [start,end) of each segment + accumulated SPS/PPS bytes
+  // (annex-b framed) active at the start of each segment
+  std::vector<std::pair<size_t, size_t>> ranges;
+  std::vector<std::vector<u8>> contexts;
+};
+
+GopSegments find_gop_segments(const u8* data, size_t size) {
+  GopSegments out;
+  size_t trailing = size;
+  std::vector<NalSpan> nals = scan_annexb(data, size, &trailing);
+  std::vector<size_t> cuts;       // index into nals of segment starts
+  std::vector<std::vector<u8>> ctxs;
+  std::vector<u8> param_accum;    // all SPS/PPS NAL bytes so far
+  int prev_vcl_type = -1;
+  int prev_idr_id = -1;
+  size_t run_start = 0;  // first NAL of the current non-VCL run
+  bool in_nonvcl_run = true;
+  cuts.push_back(0);
+  ctxs.push_back({});
+  for (size_t i = 0; i < nals.size(); ++i) {
+    const u8* p = data + nals[i].payload_start;
+    size_t plen = nals[i].payload_end - nals[i].payload_start;
+    if (plen == 0) continue;
+    int type = p[0] & 0x1f;
+    bool vcl = type >= 1 && type <= 5;
+    if (!vcl) {
+      if (!in_nonvcl_run) {
+        run_start = i;
+        in_nonvcl_run = true;
+      }
+      if (type == 7 || type == 8) {
+        param_accum.insert(param_accum.end(),
+                           data + nals[i].prefix_start,
+                           data + nals[i].payload_end);
+      }
+      continue;
+    }
+    int idr_id = -1;
+    if (type == 5) {
+      // peek idr_pic_id (first_mb ue, slice_type ue, pps ue, frame_num,
+      // idr_pic_id) -- cheap approximate: treat any transition into IDR
+      // as a new GOP; consecutive IDR slices of the same AU share
+      // idr_pic_id which we distinguish by first_mb_in_slice == 0
+      BitReader br(p + 1, std::min<size_t>(plen - 1, 8));
+      idr_id = int(br.ue() == 0);  // 1 iff first slice of the IDR picture
+    }
+    if (type == 5 && idr_id == 1) {
+      size_t cut_nal = in_nonvcl_run ? run_start : i;
+      if (nals[cut_nal].prefix_start != 0) {
+        cuts.push_back(cut_nal);
+        ctxs.push_back(param_accum);
+      }
+    }
+    prev_vcl_type = type;
+    (void)prev_idr_id;
+    in_nonvcl_run = false;
+  }
+  for (size_t k = 0; k < cuts.size(); ++k) {
+    size_t start = nals[cuts[k]].prefix_start;
+    size_t end = (k + 1 < cuts.size()) ? nals[cuts[k + 1]].prefix_start : size;
+    out.ranges.push_back({start, end});
+    out.contexts.push_back(std::move(ctxs[k]));
+  }
+  return out;
+}
+
+}  // namespace
+
+std::vector<u8> pip_compress_sharded(const u8* data, size_t size,
+                                     int n_shards, bool verify,
+                                     EngineStats* stats) {
+  GopSegments segs = find_gop_segments(data, size);
+  size_t n_gops = segs.ranges.size();
+  if (n_shards <= 1 || n_gops <= 1) {
+    return pip_compress(data, size, verify, stats);
+  }
+  // group whole GOPs into <= n_shards byte-balanced shards
+  size_t total = size;
+  size_t target = (total + n_shards - 1) / n_shards;
+  std::vector<std::pair<size_t, size_t>> shard_ranges;   // gop index ranges
+  std::vector<std::vector<u8>> shard_ctx;
+  size_t g = 0;
+  while (g < n_gops) {
+    size_t start_g = g;
+    size_t bytes = 0;
+    while (g < n_gops && (bytes == 0 || bytes + (segs.ranges[g].second -
+                                                 segs.ranges[g].first) <= target)) {
+      bytes += segs.ranges[g].second - segs.ranges[g].first;
+      ++g;
+    }
+    shard_ranges.push_back({segs.ranges[start_g].first,
+                            segs.ranges[g - 1].second});
+    shard_ctx.push_back(segs.contexts[start_g]);
+  }
+  size_t S = shard_ranges.size();
+  std::vector<std::vector<u8>> payloads(S);
+  std::vector<EngineStats> sstats(S);
+  std::vector<std::string> errors(S);
+  std::vector<std::thread> threads;
+  for (size_t si = 0; si < S; ++si) {
+    threads.emplace_back([&, si] {
+      try {
+        payloads[si] = pip_compress(
+            data + shard_ranges[si].first,
+            shard_ranges[si].second - shard_ranges[si].first, verify,
+            &sstats[si], shard_ctx[si].data(), shard_ctx[si].size());
+      } catch (const std::exception& e) {
+        errors[si] = e.what();
+      }
+    });
+  }
+  for (auto& t : threads) t.join();
+  for (auto& e : errors) PIP_CHECK(e.empty(), "shard compress: " + e);
+
+  std::vector<u8> out;
+  out.push_back('P');
+  out.push_back('I');
+  out.push_back('P');
+  out.push_back('S');
+  out.push_back(1);
+  put_varint(out, size);
+  put_varint(out, crc32_ieee(data, size));
+  put_varint(out, S);
+  for (auto& p : payloads) put_varint(out, p.size());
+  for (auto& p : payloads) out.insert(out.end(), p.begin(), p.end());
+  if (stats) {
+    stats->in_bytes = size;
+    stats->out_bytes = out.size();
+    for (auto& ss : sstats) {
+      stats->n_nals += ss.n_nals;
+      stats->n_slices += ss.n_slices;
+      stats->n_fallback_slices += ss.n_fallback_slices;
+      stats->n_frames += ss.n_frames;
+      stats->n_mbs += ss.n_mbs;
+      for (int i = 0; i < 32; ++i) stats->bill_bits[i] += ss.bill_bits[i];
+    }
+  }
+  return out;
+}
+
+static std::vector<u8> decompress_sharded(const u8* data, size_t size,
+                                          EngineStats* stats) {
+  size_t pos = 5;
+  u64 orig_size = get_varint(data, size, &pos);
+  u64 orig_crc = get_varint(data, size, &pos);
+  u64 S = get_varint(data, size, &pos);
+  PIP_CHECK(S >= 1 && S <= 4096, "bad shard count");
+  std::vector<size_t> lens(S);
+  for (u64 i = 0; i < S; ++i) lens[i] = size_t(get_varint(data, size, &pos));
+  std::vector<std::vector<u8>> outs(S);
+  std::vector<std::string> errors(S);
+  std::vector<std::thread> threads;
+  size_t off = pos;
+  for (u64 i = 0; i < S; ++i) {
+    size_t o = off;
+    off += lens[i];
+    PIP_CHECK(off <= size, "sharded container truncated");
+    threads.emplace_back([&, i, o] {
+      try {
+        EngineStats ss;
+        outs[i] = pip_decompress(data + o, lens[i], &ss);
+      } catch (const std::exception& e) {
+        errors[i] = e.what();
+      }
+    });
+  }
+  for (auto& t : threads) t.join();
+  for (auto& e : errors) PIP_CHECK(e.empty(), "shard decompress: " + e);
+  std::vector<u8> out;
+  out.reserve(size_t(orig_size));
+  for (auto& o : outs) out.insert(out.end(), o.begin(), o.end());
+  PIP_CHECK(out.size() == orig_size, "sharded size mismatch");
+  PIP_CHECK(crc32_ieee(out.data(), out.size()) == u32(orig_crc),
+            "sharded CRC mismatch");
+  if (stats) {
+    stats->in_bytes = size;
+    stats->out_bytes = out.size();
+  }
+  return out;
+}
+
 std::vector<u8> pip_decompress(const u8* data, size_t size,
                                EngineStats* stats) {
   size_t pos = 0;
-  PIP_CHECK(size >= 5 && data[0] == 'P' && data[1] == 'I' && data[2] == 'P' &&
-                data[3] == 'T',
+  PIP_CHECK(size >= 5 && data[0] == 'P' && data[1] == 'I' && data[2] == 'P',
             "bad magic");
+  if (data[3] == 'S') return decompress_sharded(data, size, stats);
+  PIP_CHECK(data[3] == 'T', "bad magic");
   PIP_CHECK(data[4] == 1, "bad version");
   pos = 5;
   u64 orig_size = get_varint(data, size, &pos);
   u64 orig_crc = get_varint(data, size, &pos);
+  u64 ctx_len = get_varint(data, size, &pos);
+  const u8* ctx = data + pos;
+  pos += size_t(ctx_len);
   u64 def_len = get_varint(data, size, &pos);
   const u8* def = data + pos;
   size_t def_size = size_t(def_len);
@@ -612,6 +816,12 @@ std::vector<u8> pip_decompress(const u8* data, size_t size,
   StreamReader io;
   io.r.init(arith, size_t(alen));
   WalkState ws;
+  if (ctx_len) {
+    size_t cts = size_t(ctx_len);
+    for (const NalSpan& s : scan_annexb(ctx, size_t(ctx_len), &cts)) {
+      absorb_nal(ws, ctx + s.payload_start, s.payload_end - s.payload_start);
+    }
+  }
   std::vector<u8> out;
   out.reserve(size_t(orig_size));
 

@@ -51,10 +51,24 @@ enum BillTag {
 // Compress an Annex-B .264 stream into the .pip container.
 // Throws PipError on malformed input. `verify` re-synthesizes every slice
 // during compression and asserts bit-equality with the original.
+// `context`/`context_size`: optional NAL stream (SPS/PPS) parsed for
+// parameter-set state but not emitted — used by GOP sharding.
 std::vector<u8> pip_compress(const u8* data, size_t size, bool verify,
-                             EngineStats* stats);
+                             EngineStats* stats,
+                             const u8* context = nullptr,
+                             size_t context_size = 0);
 
-// Reconstruct the original .264 byte stream from a .pip container.
+// GOP-sharded compression: splits at IDR access-unit boundaries into up
+// to `n_shards` independent segments, compressed in parallel threads,
+// each with its own model + arithmetic stream (the multi-host DCN
+// sharding unit — shards share no state; SURVEY.md §5.8). Falls back to
+// the plain container when no cut points exist.
+std::vector<u8> pip_compress_sharded(const u8* data, size_t size,
+                                     int n_shards, bool verify,
+                                     EngineStats* stats);
+
+// Reconstruct the original .264 byte stream from a .pip container
+// (plain "PIPT" or sharded "PIPS"; sharded segments decode in parallel).
 std::vector<u8> pip_decompress(const u8* data, size_t size,
                                EngineStats* stats);
 

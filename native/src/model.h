@@ -11,6 +11,7 @@
 #pragma once
 
 #include "arith.h"
+#include "engine.h"  // BillTag
 #include "state.h"
 #include "tables.h"
 
@@ -215,6 +216,7 @@ void code_block(IO& io, ModelCtx& mc, int color, int blk, i16* coeff,
     abovec = std::min(2, by > 0 ? rec_block_nnz(rec, color, blk - 2)
                                 : rec_block_nnz(mc.above, color, 2 + bx));
   }
+  io.set_tag(color == 0 ? BILL_LUMA_AC : BILL_CHROMA_AC);
   int nonzeros = 0;
   if (IO::kIsWriter) {
     for (int i = 0; i < n; ++i)
@@ -294,6 +296,7 @@ void code_mb_symbols(IO& io, ModelCtx& mc) {
   SliceCtx& sc = *mc.sc;
 
   // 1. mb class
+  io.set_tag(BILL_MB_TYPE);
   int spatial = mc.left ? mc.left->mb_class
                         : (mc.above ? mc.above->mb_class : 15);
   int prior = spatial + (mc.past ? mc.past->mb_class : 15);
@@ -306,6 +309,7 @@ void code_mb_symbols(IO& io, ModelCtx& mc) {
   if (rec.mb_class == MB_PSKIP) return;
 
   if (rec.mb_class == MB_PCM) {
+    io.set_tag(BILL_PCM);
     for (int i = 0; i < 384; ++i) {
       int plane = i < 256 ? 0 : (i < 320 ? 1 : 2);
       u32 v = code_branch<IO, 8>(io, rec.pcm[i], &M.pcm_byte[plane]);
@@ -315,6 +319,7 @@ void code_mb_symbols(IO& io, ModelCtx& mc) {
   }
 
   // 2. CBP (I16 carries cbp in mb_type; model codes it uniformly)
+  io.set_tag(BILL_CBP);
   {
     int pc = mc.past ? std::min(3, int(mc.past->cbp_chroma)) : 0;
     u32 v = code_branch<IO, 2>(io, rec.cbp_chroma, &M.cbp_c[pc][rec.mb_class]);
@@ -333,6 +338,7 @@ void code_mb_symbols(IO& io, ModelCtx& mc) {
   // 3. transform_8x8 for inter MBs (I8x8 is implied by the class; the
   //    eligibility condition depends on sub types, coded below first for
   //    P8x8 -- so order: sub types, then flag, then the rest)
+  io.set_tag(BILL_SUB_MB);
   if (rec.mb_class == MB_P8x8 || rec.mb_class == MB_P8x8REF0) {
     for (int i = 0; i < 4; ++i) {
       u32 v = code_branch<IO, 2>(io, rec.sub_types[i], &M.sub_mb[i]);
@@ -349,6 +355,7 @@ void code_mb_symbols(IO& io, ModelCtx& mc) {
         if (rec.sub_types[i] != SUB_8x8) elig = false;
     }
     if (elig) {
+      io.set_tag(BILL_OTHER);
       bool f = io.bit(rec.transform_8x8,
                       &M.t8x8_flag[rec.mb_class][sc.cur_qp & 63]);
       if (!IO::kIsWriter) rec.transform_8x8 = f;
@@ -359,6 +366,7 @@ void code_mb_symbols(IO& io, ModelCtx& mc) {
   bool has_dqp =
       rec.cbp_luma != 0 || rec.cbp_chroma != 0 || rec.mb_class == MB_I16x16;
   if (has_dqp) {
+    io.set_tag(BILL_QP);
     int is_first = mc.mb_index_in_slice == 0 ? 1 : 0;
     int sgn = sc.last_dqp < 0 ? 0 : (sc.last_dqp == 0 ? 1 : 2);
     u32 v = code_zero_pow2<IO, 7>(io, swizzle_sign(rec.dqp),
@@ -369,6 +377,7 @@ void code_mb_symbols(IO& io, ModelCtx& mc) {
   }
 
   // 5. intra modes
+  io.set_tag(BILL_INTRA_MODE);
   if (rec.mb_class == MB_I16x16) {
     u32 pref = mc.past ? std::min<u32>(6, mc.past->i16_mode) : 7;
     u32 v = code_zero_pow2<IO, 3>(io, rec.i16_mode, M.i16_mode[pref], pref);
@@ -385,6 +394,7 @@ void code_mb_symbols(IO& io, ModelCtx& mc) {
       rec.chroma_mode = u8(v);
     }
   }
+  io.set_tag(BILL_PRED_MODE);
   if (rec.mb_class == MB_I4x4) {
     for (int d = 0; d < 16; ++d) {
       int r = kBlk4x4DecodeOrder[d];
@@ -431,6 +441,7 @@ void code_mb_symbols(IO& io, ModelCtx& mc) {
                  : (rec.mb_class == MB_P16x8 || rec.mb_class == MB_P8x16) ? 2
                  : 4;
     int num_ref = sc.sh->num_ref_idx_l0_active;
+    io.set_tag(BILL_REF);
     if (num_ref > 1 && rec.mb_class != MB_P8x8REF0) {
       for (int p = 0; p < nparts; ++p) {
         int pastref = mc.past ? std::max(0, std::min(2, int(mc.past->ref_idx[p])))
@@ -441,6 +452,7 @@ void code_mb_symbols(IO& io, ModelCtx& mc) {
       }
     }
     int cb = cls_bucket(rec.mb_class);
+    io.set_tag(BILL_MVD);
     auto code_mv = [&](int slot) {
       for (int xy = 0; xy < 2; ++xy) {
         i32 v = code_uegk(io, IO::kIsWriter ? i32(rec.mvd[slot][xy]) : 0,
@@ -465,6 +477,7 @@ void code_mb_symbols(IO& io, ModelCtx& mc) {
   }
 
   // 7. residuals
+  io.set_tag(BILL_LUMA_DC);
   if (rec.mb_class == MB_I16x16) {
     for (int i = 0; i < 16; ++i) {
       int pastb = 0;
@@ -477,6 +490,7 @@ void code_mb_symbols(IO& io, ModelCtx& mc) {
       if (!IO::kIsWriter) rec.luma_dc[i] = i16(v);
     }
   }
+  io.set_tag(BILL_CHROMA_DC);
   if (rec.cbp_chroma == 1 || rec.cbp_chroma == 2) {
     for (int c = 0; c < 2; ++c) {
       for (int i = 0; i < 4; ++i) {
@@ -518,6 +532,7 @@ void code_mb_symbols(IO& io, ModelCtx& mc) {
 template <class IO>
 inline int code_skip_run(IO& io, Model& M, FreqImage& fi, int mbx, int mby,
                          int run) {
+  io.set_tag(BILL_SKIP);
   int pr = fi.past_skip_run(mbx, mby);
   int bucket = std::min(64, (pr + 7) / 8);
   return code_int(io, run, &M.skip_run[bucket], /*hasZero=*/true,
@@ -529,6 +544,7 @@ inline bool code_end_bit(IO& io, Model& M, int mb_index, bool after_skip,
                          bool end) {
   DynProb* p = after_skip ? &M.end_bit_skip[std::min(mb_index, 2047)]
                           : &M.end_bit[std::min(mb_index, 2047)];
+  io.set_tag(BILL_END);
   return io.bit(end, p);
 }
 

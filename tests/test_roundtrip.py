@@ -79,3 +79,21 @@ def test_compress_time_verification():
     data = open(os.path.join(ROUNDTRIP, "tibby.264"), "rb").read()
     pip, _ = native.compress(data, verify=True)  # raises on mismatch
     assert len(pip) > 0
+
+
+def test_sharded_roundtrip():
+    # GOP-sharded parallel compression (multi-host distribution unit):
+    # shards are model-independent; reconstruction must stay byte-exact
+    for name in ["MIDR_MW_D.264", "BA1_FT_C.264"]:
+        data = open(os.path.join(RES, name), "rb").read()
+        pip, st = native.compress_sharded(data, 4)
+        assert pip[:4] == b"PIPS"
+        out, _ = native.decompress(pip)
+        assert out == data
+
+
+def test_billing_accounts_for_stream():
+    data = open(os.path.join(ROUNDTRIP, "tibby.264"), "rb").read()
+    pip, st = native.compress(data, verify=False)
+    assert st.bill and sum(st.bill.values()) <= len(pip)
+    assert st.bill["luma_ac"] > 0.3 * len(pip)  # dominant feature
