@@ -1,0 +1,268 @@
+"""Baseline H.264 encoder (round 1: all-intra I16x16/I4x4, fixed QP).
+
+Analysis side (mode decision, forward transform, quantization) here —
+numpy now, batched JAX kernels as they land in ops/ — with entropy/NAL
+assembly in the native layer (pip_encode_frame), reusing the exact CAVLC
+writer the recompression recode path uses.
+
+Reference parity (behavior, partial): codec/encoder/core encode pipeline
+(encode_mb_aux.cpp forward DCT/quant, md.cpp intra MD, au_set.cpp +
+svc_encode_slice.cpp NAL/slice framing). ME/inter/rate-control follow in
+later rounds (SURVEY.md §7 step 8).
+"""
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from . import decoder_np as dn
+from . import native
+
+# quant multiplier table MF[qp%6][class] (class as in dn._POS4)
+_MF = np.array([
+    [13107, 5243, 8066],
+    [11916, 4660, 7490],
+    [10082, 4194, 6554],
+    [9362, 3647, 5825],
+    [8192, 3355, 5243],
+    [7282, 2893, 4559],
+], np.int64)
+_ZZ4 = dn._ZZ4
+
+
+def fdct4x4(block):
+    """Forward 4x4 core transform. block: [4,4] int."""
+    C = np.array([[1, 1, 1, 1], [2, 1, -1, -2], [1, -1, -1, 1], [1, -2, 2, -1]],
+                 np.int64)
+    return C @ block.astype(np.int64) @ C.T
+
+
+def quant4x4(W, qp, intra=True, skip_dc=False):
+    """Quantize transformed block; returns [4,4] levels."""
+    qbits = 15 + qp // 6
+    f = (1 << qbits) // 3 if intra else (1 << qbits) // 6
+    mf = _MF[qp % 6][dn._POS4]
+    Z = (np.abs(W) * mf + f) >> qbits
+    Z = np.sign(W) * Z
+    if skip_dc:
+        Z[0, 0] = 0
+    return Z.astype(np.int64)
+
+
+def quant_dc4(Yd, qp):
+    """Quantize the Hadamard-transformed I16 luma DC [4,4]."""
+    qbits = 15 + qp // 6
+    f = (1 << qbits) // 3
+    mf = int(_MF[qp % 6][0])
+    Z = (np.abs(Yd) * mf + 2 * f) >> (qbits + 1)
+    return (np.sign(Yd) * Z).astype(np.int64)
+
+
+def quant_dc2(Yd, qpc):
+    qbits = 15 + qpc // 6
+    f = (1 << qbits) // 3
+    mf = int(_MF[qpc % 6][0])
+    Z = (np.abs(Yd) * mf + 2 * f) >> (qbits + 1)
+    return (np.sign(Yd) * Z).astype(np.int64)
+
+
+def fhadamard4(X):
+    H = np.array([[1, 1, 1, 1], [1, 1, -1, -1], [1, -1, -1, 1], [1, -1, 1, -1]],
+                 np.int64)
+    return (H @ X.astype(np.int64) @ H) // 2
+
+
+def _zz(block4):
+    return block4.reshape(16)[_ZZ4]
+
+
+class IntraEncoder:
+    """All-intra fixed-QP encoder producing Annex-B .264."""
+
+    def __init__(self, width, height, qp=28):
+        assert width % 16 == 0 and height % 16 == 0, "pad input to MB size"
+        self.mb_w = width // 16
+        self.mb_h = height // 16
+        self.qp = qp
+        self.frame_idx = 0
+        self._w4 = dn._weights4(dn._FLAT4)
+        lib = native.load()
+        if not hasattr(lib.pip_encode_frame, "_cfg"):
+            lib.pip_encode_frame.restype = ctypes.c_int
+            lib.pip_encode_frame.argtypes = [ctypes.c_int] * 5 + \
+                [ctypes.c_void_p] * 8 + [ctypes.c_int] + \
+                [ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+                 ctypes.POINTER(ctypes.c_size_t), ctypes.c_char_p,
+                 ctypes.c_size_t]
+            lib.pip_encode_frame._cfg = True
+        self._lib = lib
+
+    def encode_frame(self, Y, U, V):
+        """Encode one frame; returns Annex-B bytes (SPS/PPS on first)."""
+        mw, mh, qp = self.mb_w, self.mb_h, self.qp
+        n = mw * mh
+        qpc = int(dn.CHROMA_QP[qp])
+        recY = np.zeros((mh * 16, mw * 16), np.uint8)
+        recU = np.zeros((mh * 8, mw * 8), np.uint8)
+        recV = np.zeros((mh * 8, mw * 8), np.uint8)
+
+        mb_class = np.ones(n, np.uint8)  # all I16 (I4x4 MD in round 2)
+        i16_mode = np.zeros(n, np.uint8)
+        chroma_mode = np.zeros(n, np.uint8)
+        i4_modes = np.full((n, 16), 2, np.int8)
+        luma_dc = np.zeros((n, 16), np.int16)
+        luma_ac = np.zeros((n, 16, 16), np.int16)
+        chroma_dc = np.zeros((n, 2, 4), np.int16)
+        chroma_ac = np.zeros((n, 8, 16), np.int16)
+
+        for mbi in range(n):
+            my, mx = divmod(mbi, mw)
+            y0, x0 = my * 16, mx * 16
+            availL = mx > 0
+            availT = my > 0
+            src = Y[y0:y0 + 16, x0:x0 + 16].astype(np.int32)
+            left = recY[y0:y0 + 16, x0 - 1].astype(np.int32) if availL else None
+            top = recY[y0 - 1, x0:x0 + 16].astype(np.int32) if availT else None
+            tl = int(recY[y0 - 1, x0 - 1]) if (availL and availT) else 0
+
+            # --- I16 luma mode decision (legal modes only) ---
+            cands = []
+            if availT:
+                cands.append((0, np.tile(top, (16, 1))))
+            if availL:
+                cands.append((1, np.tile(left[:, None], (1, 16))))
+            if availL and availT:
+                dc = (int(left.sum()) + int(top.sum()) + 16) >> 5
+            elif availL:
+                dc = (int(left.sum()) + 8) >> 4
+            elif availT:
+                dc = (int(top.sum()) + 8) >> 4
+            else:
+                dc = 128
+            cands.append((2, np.full((16, 16), dc, np.int32)))
+            if availL and availT:
+                cands.append((3, dn._plane_pred(left, top, tl, 16, 0)))
+            mode, pred = min(cands, key=lambda c: np.abs(src - c[1]).sum())
+            i16_mode[mbi] = mode
+
+            # --- transform + quant ---
+            resid = src - pred
+            Wdc = np.zeros((4, 4), np.int64)
+            qac = np.zeros((16, 16), np.int64)
+            for b in range(16):
+                by, bx = divmod(b, 4)
+                W = fdct4x4(resid[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4])
+                Wdc[by, bx] = W[0, 0]
+                Z = quant4x4(W, qp, intra=True, skip_dc=True)
+                qac[b] = _zz(Z)
+            Yd = fhadamard4(Wdc)
+            qdc = quant_dc4(Yd, qp)
+            luma_dc[mbi] = _zz(qdc)
+            luma_ac[mbi] = qac
+
+            # --- reconstruct (exactly as the decoder will) ---
+            dct = dn.hadamard4x4(qdc)
+            dcd = dn.luma_dc_dequant(dct, qp, self._w4)
+            rec = np.zeros((16, 16), np.int64)
+            for b in range(16):
+                by, bx = divmod(b, 4)
+                blk = np.zeros(16, np.int64)
+                blk[_ZZ4] = qac[b]
+                blk = dn.dequant4(blk.reshape(4, 4), qp, self._w4)
+                blk[0, 0] = dcd[by, bx]
+                rec[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = dn.idct4x4(blk)
+            recY[y0:y0 + 16, x0:x0 + 16] = np.clip(pred + rec, 0, 255)
+
+            # --- chroma (DC mode for simplicity; legal everywhere) ---
+            chroma_mode[mbi] = 0
+            cy0, cx0 = y0 // 2, x0 // 2
+            for ci, (P, R) in enumerate(((U, recU), (V, recV))):
+                csrc = P[cy0:cy0 + 8, cx0:cx0 + 8].astype(np.int32)
+                lft = R[cy0:cy0 + 8, cx0 - 1].astype(np.int32) if availL else None
+                tp = R[cy0 - 1, cx0:cx0 + 8].astype(np.int32) if availT else None
+                predc = np.zeros((8, 8), np.int32)
+                for qy in range(2):
+                    for qx in range(2):
+                        ls = lft[qy * 4:qy * 4 + 4] if availL else None
+                        ts = tp[qx * 4:qx * 4 + 4] if availT else None
+                        if (qy, qx) in ((0, 0), (1, 1)):
+                            if availL and availT:
+                                d = (int(ls.sum()) + int(ts.sum()) + 4) >> 3
+                            elif availT:
+                                d = (int(ts.sum()) + 2) >> 2
+                            elif availL:
+                                d = (int(ls.sum()) + 2) >> 2
+                            else:
+                                d = 128
+                        elif (qy, qx) == (0, 1):
+                            d = ((int(ts.sum()) + 2) >> 2) if availT else (
+                                ((int(ls.sum()) + 2) >> 2) if availL else 128)
+                        else:
+                            d = ((int(ls.sum()) + 2) >> 2) if availL else (
+                                ((int(ts.sum()) + 2) >> 2) if availT else 128)
+                        predc[qy * 4:qy * 4 + 4, qx * 4:qx * 4 + 4] = d
+                residc = csrc - predc
+                Wd2 = np.zeros((2, 2), np.int64)
+                qacs = np.zeros((4, 16), np.int64)
+                for b in range(4):
+                    by, bx = divmod(b, 2)
+                    W = fdct4x4(residc[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4])
+                    Wd2[by, bx] = W[0, 0]
+                    qacs[b] = _zz(quant4x4(W, qpc, intra=True, skip_dc=True))
+                a, b_, c, d_ = (int(Wd2[0, 0]), int(Wd2[0, 1]), int(Wd2[1, 0]),
+                                int(Wd2[1, 1]))
+                Yd2 = np.array([[a + b_ + c + d_, a - b_ + c - d_],
+                                [a + b_ - c - d_, a - b_ - c + d_]], np.int64)
+                qd2 = quant_dc2(Yd2, qpc)
+                chroma_dc[mbi, ci] = qd2.reshape(4)
+                chroma_ac[mbi, ci * 4:(ci + 1) * 4] = qacs
+                # recon
+                aa, bb, cc, dd = (int(qd2[0, 0]), int(qd2[0, 1]),
+                                  int(qd2[1, 0]), int(qd2[1, 1]))
+                ht = np.array([[aa + bb + cc + dd, aa - bb + cc - dd],
+                               [aa + bb - cc - dd, aa - bb - cc + dd]], np.int64)
+                dcd2 = dn.chroma_dc_dequant(ht, qpc, self._w4)
+                recc = np.zeros((8, 8), np.int64)
+                for b in range(4):
+                    by, bx = divmod(b, 2)
+                    blk = np.zeros(16, np.int64)
+                    blk[_ZZ4] = qacs[b]
+                    blk = dn.dequant4(blk.reshape(4, 4), qpc, self._w4)
+                    blk[0, 0] = dcd2[by, bx]
+                    recc[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = dn.idct4x4(blk)
+                R[cy0:cy0 + 8, cx0:cx0 + 8] = np.clip(predc + recc, 0, 255)
+
+        # --- entropy/NAL via native writer ---
+        out = ctypes.POINTER(ctypes.c_uint8)()
+        out_size = ctypes.c_size_t()
+        err = ctypes.create_string_buffer(512)
+        ptr = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+        luma_ac16 = luma_ac.astype(np.int16)
+        chroma_ac16 = chroma_ac.astype(np.int16)
+        luma_dc16 = luma_dc.astype(np.int16)
+        chroma_dc16 = chroma_dc.astype(np.int16)
+        rc = self._lib.pip_encode_frame(
+            mw, mh, qp, self.frame_idx, self.frame_idx & 1,
+            ptr(mb_class), ptr(i16_mode), ptr(chroma_mode), ptr(i4_modes),
+            ptr(luma_dc16), ptr(luma_ac16), ptr(chroma_dc16), ptr(chroma_ac16),
+            1 if self.frame_idx == 0 else 0,
+            ctypes.byref(out), ctypes.byref(out_size), err, len(err))
+        if rc != 0:
+            raise RuntimeError(f"pip_encode_frame: {err.value.decode()}")
+        try:
+            data = ctypes.string_at(out, out_size.value)
+        finally:
+            self._lib.pip_free(out)
+        self.frame_idx += 1
+        self._recon = (recY, recU, recV)
+        return data
+
+
+def encode_yuv(frames, width, height, qp=28):
+    """Encode a list of (Y,U,V) frames; returns Annex-B bytes."""
+    enc = IntraEncoder(width, height, qp)
+    out = b""
+    for (Y, U, V) in frames:
+        out += enc.encode_frame(Y, U, V)
+    return out

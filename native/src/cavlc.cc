@@ -8,19 +8,43 @@ namespace h264pip {
 // VLC primitives
 // ---------------------------------------------------------------------------
 
-// Decode a codeword from an encode table laid out as `n` {val,len} entries;
-// returns the matching entry index. Entries with len==0 are invalid.
-static int vlc_decode(BitReader& br, const VlcCode* table, int n) {
-  for (int len = 1; len <= 16; ++len) {
-    u32 code = br.peek(len);
+// Decode via a 16-bit-peek LUT built once per table from its encode-side
+// {val,len} entries (replaces a linear scan; the reference uses hand-built
+// multi-level tables, decoder_data_tables.cpp).
+struct VlcLut {
+  std::vector<u16> t;  // (idx << 5) | len; 0 = invalid codeword
+
+  void build(const VlcCode* table, int n) {
+    t.assign(65536, 0);
     for (int i = 0; i < n; ++i) {
-      if (table[i].len == len && table[i].val == code) {
-        br.u(len);
-        return i;
-      }
+      if (!table[i].len) continue;
+      u32 base = u32(table[i].val) << (16 - table[i].len);
+      u32 cnt = 1u << (16 - table[i].len);
+      for (u32 k = 0; k < cnt; ++k) t[base + k] = u16((u32(i) << 5) | table[i].len);
     }
   }
-  throw PipError("vlc decode failed");
+};
+
+struct VlcLuts {
+  VlcLut coeff_token[5];
+  VlcLut total_zeros[16];
+  VlcLut total_zeros_cdc[4];
+  VlcLut run_before[8];
+
+  VlcLuts() {
+    for (int c = 0; c < 5; ++c) coeff_token[c].build(&kCoeffToken[c][0][0], 17 * 4);
+    for (int tc = 1; tc < 16; ++tc) total_zeros[tc].build(kTotalZeros[tc], 16);
+    for (int tc = 1; tc < 4; ++tc) total_zeros_cdc[tc].build(kTotalZerosChromaDc[tc], 4);
+    for (int z = 1; z < 8; ++z) run_before[z].build(kRunBefore[z], 15);
+  }
+};
+static const VlcLuts g_luts;
+
+static inline int vlc_decode_lut(BitReader& br, const VlcLut& lut) {
+  u16 e = lut.t[br.peek(16)];
+  PIP_CHECK(e != 0, "vlc decode failed");
+  br.u(e & 31);
+  return int(e >> 5);
 }
 
 // coeff_token: returns (total_coeff, trailing_ones)
@@ -37,8 +61,7 @@ static void parse_coeff_token(BitReader& br, int nC, int* tc, int* t1) {
     }
     return;
   }
-  const VlcCode* flat = &kCoeffToken[cls][0][0];
-  int idx = vlc_decode(br, flat, 17 * 4);
+  int idx = vlc_decode_lut(br, g_luts.coeff_token[cls]);
   *tc = idx / 4;
   *t1 = idx % 4;
 }
@@ -133,9 +156,9 @@ int cavlc_parse_residual(BitReader& br, int nC, int maxNumCoeff, i16* coeff) {
   int totalZeros = 0;
   if (tc < maxNumCoeff) {
     if (maxNumCoeff == 4) {
-      totalZeros = vlc_decode(br, kTotalZerosChromaDc[tc], 4);
+      totalZeros = vlc_decode_lut(br, g_luts.total_zeros_cdc[tc]);
     } else {
-      totalZeros = vlc_decode(br, kTotalZeros[tc], 16);
+      totalZeros = vlc_decode_lut(br, g_luts.total_zeros[tc]);
     }
   }
   int run[16];
@@ -144,7 +167,7 @@ int cavlc_parse_residual(BitReader& br, int nC, int maxNumCoeff, i16* coeff) {
     run[i] = 0;
     if (zerosLeft > 0) {
       int zl = std::min(zerosLeft, 7);
-      run[i] = vlc_decode(br, kRunBefore[zl], 15);
+      run[i] = vlc_decode_lut(br, g_luts.run_before[zl]);
       zerosLeft -= run[i];
     }
   }

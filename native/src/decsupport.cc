@@ -30,6 +30,8 @@ struct MvCtx {
   // current MB working cells (being filled partition by partition)
   i16 (*cur_mv)[2];
   i8* cur_ref;
+  const bool* cur_filled;  // in-MB cells later in decode order are
+                           // NOT available neighbors (spec 6.4.11.7)
 
   struct Nbr {
     bool avail = false;
@@ -42,6 +44,7 @@ struct MvCtx {
     Nbr r;
     if (bx >= 0 && bx < 4 && by >= 0 && by < 4) {
       int c = by * 4 + bx;
+      if (!cur_filled[c]) return r;  // not yet decoded -> unavailable
       r.avail = true;
       r.ref = cur_ref[c];
       r.mv[0] = cur_mv[c][0];
@@ -149,8 +152,9 @@ struct MvCtx {
 static void derive_mvs(SliceCtx& sc, MbRecord& rec) {
   i16 mv_cells[16][2] = {};
   i8 ref_cells[16];
+  bool filled[16] = {};
   memset(ref_cells, -1, sizeof(ref_cells));
-  MvCtx mc{&sc, mv_cells, ref_cells};
+  MvCtx mc{&sc, mv_cells, ref_cells, filled};
 
   auto fill = [&](int bx, int by, int w, int h, i8 ref, const i16 m[2]) {
     for (int y = by; y < by + h; ++y)
@@ -159,6 +163,7 @@ static void derive_mvs(SliceCtx& sc, MbRecord& rec) {
         ref_cells[c] = ref;
         mv_cells[c][0] = m[0];
         mv_cells[c][1] = m[1];
+        filled[c] = true;
       }
   };
 
