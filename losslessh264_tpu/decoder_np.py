@@ -34,7 +34,7 @@ for _i in range(4):
 # 8x8 dequant: V8[qp%6][pos-class] with classes per spec 8.5.9 table
 _V8 = np.array([[20, 18, 32, 19, 25, 24], [22, 19, 35, 21, 28, 26],
                 [26, 23, 42, 24, 33, 31], [28, 25, 45, 26, 35, 33],
-                [32, 28, 51, 30, 40, 38], [36, 32, 58, 34, 43, 41]], np.int32)
+                [32, 28, 51, 30, 40, 38], [36, 32, 58, 34, 46, 43]], np.int32)
 _POS8 = np.zeros((8, 8), np.int32)
 for _i in range(8):
     for _j in range(8):

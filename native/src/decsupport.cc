@@ -399,6 +399,18 @@ static std::vector<int> build_ref_list(SymbolDecoderImpl& im, const Sps& sps,
   std::vector<int> out;
   for (auto& p : list) out.push_back(p.output_idx);
   out.resize(std::max<size_t>(sh.num_ref_idx_l0_active, 1), -1);
+  if (getenv("PIP_DBG_REF")) {
+    fprintf(stderr, "DBGLIST fn=%d nact=%d rplr=[", sh.frame_num,
+            sh.num_ref_idx_l0_active);
+    for (auto& op : sh.rplr_l0) fprintf(stderr, "(%d,%u)", op.first, op.second);
+    fprintf(stderr, "] dpb=[");
+    for (auto& p : im.dpb)
+      fprintf(stderr, "(fn=%d out=%d lt=%d)", p.frame_num, p.output_idx,
+              int(p.long_term));
+    fprintf(stderr, "] list=[");
+    for (int v : out) fprintf(stderr, "%d,", v);
+    fprintf(stderr, "]\n");
+  }
   return out;
 }
 
@@ -601,6 +613,13 @@ bool SymbolDecoder::next_frame(FramePlanes* out) {
       out->ref_frame[n * 16 + c] =
           (r >= 0 && r < (int)reflist.size()) ? i16(reflist[r]) : i16(-1);
     }
+    if (getenv("PIP_DBG_REF") && mb_is_inter(rec.mb_class))
+      fprintf(stderr,
+              "DBGREC addr=%d refcell=%d,%d,%d,%d reflist=%zu out=%d,%d,%d,%d\n",
+              n, sc.cur.ref_cell[0], sc.cur.ref_cell[1], sc.cur.ref_cell[2],
+              sc.cur.ref_cell[3], reflist.size(), out->ref_frame[n * 16 + 0],
+              out->ref_frame[n * 16 + 1], out->ref_frame[n * 16 + 2],
+              out->ref_frame[n * 16 + 3]);
     out->slice_id[n] = sc.slice_id;
     out->deblock_idc[n] = u8(sh.disable_deblocking_idc);
     out->alpha_off[n] = i8(sh.alpha_c0_offset);
@@ -688,6 +707,10 @@ bool SymbolDecoder::next_frame(FramePlanes* out) {
         else
           sc2.last_dqp = 0;
         if (mb_is_inter(rec.mb_class)) derive_mvs(sc2, rec);
+        if (getenv("PIP_DBG_REF") && mb_is_inter(rec.mb_class))
+          fprintf(stderr, "DBGREF addr=%d cls=%d nref=%d ref=%d,%d,%d,%d\n",
+                  addr, rec.mb_class, sh.num_ref_idx_l0_active,
+                  rec.ref_idx[0], rec.ref_idx[1], rec.ref_idx[2], rec.ref_idx[3]);
         // restore i4 modes into working state for plane export
         if (rec.mb_class == MB_I4x4) {
           for (int dd = 0; dd < 16; ++dd)
