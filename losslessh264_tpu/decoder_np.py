@@ -667,6 +667,42 @@ class NpDecoder:
                     ru, PAD // 2, y0 // 2 + cy * 2, x0 // 2 + cx * 2, mvx, mvy, 2, 2)
                 pred_v[cy * 2:cy * 2 + 2, cx * 2:cx * 2 + 2] = mc_chroma_block(
                     rv, PAD // 2, y0 // 2 + cy * 2, x0 // 2 + cx * 2, mvx, mvy, 2, 2)
+            # explicit weighted prediction (8.4.2.3 explicit mode), applied
+            # between MC and residual add. Luma covers each partition fully;
+            # chroma only the reference's quarter-size region (wp_cmask) —
+            # mirrors rec_mb.cpp WeightPrediction for output parity.
+            wl = f["wp_luma"][mbi]
+            if (wl[:, 2] >= 0).any():
+                for cell in range(16):
+                    w_, o_, d_ = (int(wl[cell, 0]), int(wl[cell, 1]),
+                                  int(wl[cell, 2]))
+                    if d_ < 0:
+                        continue
+                    cy, cx = divmod(cell, 4)
+                    blk = pred_y[cy * 4:cy * 4 + 4, cx * 4:cx * 4 + 4]
+                    if d_ >= 1:
+                        blk = ((blk * w_ + (1 << (d_ - 1))) >> d_) + o_
+                    else:
+                        blk = blk * w_ + o_
+                    pred_y[cy * 4:cy * 4 + 4, cx * 4:cx * 4 + 4] = np.clip(
+                        blk, 0, 255)
+                cm = f["wp_cmask"][mbi].astype(bool)
+                if cm.any():
+                    cell_of_px = ((np.arange(8)[:, None] >> 1) * 4 +
+                                  (np.arange(8)[None, :] >> 1))
+                    for plane, key in ((pred_u, "wp_cb"), (pred_v, "wp_cr")):
+                        wp = f[key][mbi].astype(np.int32)
+                        w_ = wp[cell_of_px, 0]
+                        o_ = wp[cell_of_px, 1]
+                        d_ = wp[cell_of_px, 2]
+                        d0 = np.maximum(d_, 0)
+                        dm1 = np.maximum(d_ - 1, 0)
+                        wtd = np.where(
+                            d_ >= 1,
+                            ((plane * w_ + (1 << dm1)) >> d0) + o_,
+                            plane * w_ + o_)
+                        sel = cm & (d_ >= 0)
+                        plane[...] = np.where(sel, np.clip(wtd, 0, 255), plane)
             ry_res, ru_res, rv_res = self._residuals(f, mbi, qp, w4, w8, nnz)
             Y[y0:y0 + 16, x0:x0 + 16] = np.clip(pred_y + ry_res, 0, 255)
             U[y0 // 2:y0 // 2 + 8, x0 // 2:x0 // 2 + 8] = np.clip(pred_u + ru_res, 0, 255)
@@ -941,8 +977,11 @@ class NpDecoder:
                     return 4 if mb_edge else 3
                 if nnz[mb_p, cell_p] > 0 or nnz[mb_q, cell_q] > 0:
                     return 2
-                rp = f["ref_frame"][mb_p, cell_p]
-                rq = f["ref_frame"][mb_q, cell_q]
+                # reference decoder compares raw ref INDICES, not resolved
+                # pictures (deblocking.cpp MB_BS_MV / SMB_EDGE_MV) — mirror
+                # that for output parity
+                rp = f["ref_idx"][mb_p, cell_p]
+                rq = f["ref_idx"][mb_q, cell_q]
                 if rp != rq:
                     return 1
                 mvp = f["mv"][mb_p, cell_p]

@@ -223,7 +223,7 @@ class SymbolDecoder:
                 ctypes.POINTER(ctypes.c_int), ctypes.c_char_p, ctypes.c_size_t,
             ]
             lib.pip_sym_planes.restype = ctypes.c_int
-            lib.pip_sym_planes.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 22
+            lib.pip_sym_planes.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 27
             lib.pip_sym_close.argtypes = [ctypes.c_void_p]
             lib.pip_sym_open._configured = True
         self._lib = lib
@@ -275,6 +275,16 @@ class SymbolDecoder:
             "deblock_idc": np.zeros(n, np.uint8),
             "alpha_off": np.zeros(n, np.int8),
             "beta_off": np.zeros(n, np.int8),
+            # weighted prediction: per luma cell (w, o, log2denom); denom
+            # -1 = unweighted. wp_cmask: per chroma pixel (8x8/MB), the
+            # reference's quarter-size weighting region.
+            "wp_luma": np.zeros((n, 16, 3), np.int16),
+            "wp_cb": np.zeros((n, 16, 3), np.int16),
+            "wp_cr": np.zeros((n, 16, 3), np.int16),
+            "wp_cmask": np.zeros((n, 8, 8), np.uint8),
+            # raw ref_idx per cell (-1 intra); deblock bS compares these
+            # (reference semantics), not resolved output frames
+            "ref_idx": np.zeros((n, 16), np.int8),
         }
         meta = np.zeros(8, np.int32)
         scaling = np.zeros(96 + 384, np.uint8)
@@ -287,6 +297,8 @@ class SymbolDecoder:
             ptr(f["chroma_dc"]), ptr(f["mv"]), ptr(f["ref_frame"]),
             ptr(f["pcm"]), ptr(f["slice_id"]), ptr(f["deblock_idc"]),
             ptr(f["alpha_off"]), ptr(f["beta_off"]), ptr(meta), ptr(scaling),
+            ptr(f["wp_luma"]), ptr(f["wp_cb"]), ptr(f["wp_cr"]),
+            ptr(f["wp_cmask"]), ptr(f["ref_idx"]),
         )
         if rc != 0:
             raise RuntimeError("pip_sym_planes failed")

@@ -55,7 +55,8 @@ int pip_sym_planes(void* hv, u8* mb_class, u8* qp, u8* cbp_l, u8* cbp_c,
                    i16* luma_dc, i16* luma8, i16* chroma_ac, i16* chroma_dc,
                    i16* mv, i16* ref_frame, u8* pcm, u8* slice_id,
                    u8* deblock_idc, i8* aoff, i8* boff, i32* meta,
-                   u8* scaling) {
+                   u8* scaling, i16* wp_luma, i16* wp_cb, i16* wp_cr,
+                   u8* wp_cmask, i8* ref_idx) {
   SymHandle* h = static_cast<SymHandle*>(hv);
   const FramePlanes& f = h->cur;
   size_t n = size_t(f.mb_w) * f.mb_h;
@@ -88,6 +89,11 @@ int pip_sym_planes(void* hv, u8* mb_class, u8* qp, u8* cbp_l, u8* cbp_c,
   meta[5] = f.intra_avail_mode;
   memcpy(scaling, f.scaling4, 6 * 16);
   memcpy(scaling + 96, f.scaling8, 6 * 64);
+  memcpy(wp_luma, f.wp_luma.data(), n * 48 * 2);
+  memcpy(wp_cb, f.wp_cb.data(), n * 48 * 2);
+  memcpy(wp_cr, f.wp_cr.data(), n * 48 * 2);
+  memcpy(wp_cmask, f.wp_cmask.data(), n * 64);
+  memcpy(ref_idx, f.ref_idx.data(), n * 16);
   return 0;
 }
 

@@ -337,68 +337,47 @@ static std::vector<int> build_ref_list(SymbolDecoderImpl& im, const Sps& sps,
   std::vector<DpbPic> list = st;
   list.insert(list.end(), lt.begin(), lt.end());
 
-  // ref_pic_list_modification (8.2.4.3.1)
+  // ref_pic_list_modification. NB: we mirror the reference decoder's
+  // behavior (manage_dec_ref.cpp WelsReorderRefList), which deviates from
+  // spec 8.2.4.3.1 in three observable ways that matter for parity:
+  //  - picNum prediction is frame_num arithmetic masked into [0, MaxFrameNum)
+  //    and compared against frame_num directly (no FrameNumWrap),
+  //  - the matched pic is ROTATED to the front of the unprocessed region
+  //    (list never gains or loses entries, so no duplicate head like the
+  //    spec's shift+prune produces on re-selecting ops),
+  //  - a miss ABORTS the remaining ops, keeping the partially reordered
+  //    list (streams like tibby*.264 carry (0,0)(0,15)(0,0) ops whose
+  //    second op misses; the reference decodes on with [n-1, n-2, ...]).
   if (!sh.rplr_l0.empty()) {
-    int pic_num_pred = sh.frame_num;
-    size_t refIdx = 0;
-    int num_active = sh.num_ref_idx_l0_active;
-    if ((int)list.size() < num_active) list.resize(num_active);
+    int pred = sh.frame_num;
+    int ridx = 0;
+    int ref_count = int(list.size());
     for (auto& op : sh.rplr_l0) {
+      int i = -1;
       if (op.first == 0 || op.first == 1) {
         int abs_diff = int(op.second) + 1;
-        int pred = pic_num_pred;
-        int pic_num = op.first == 0 ? pred - abs_diff : pred + abs_diff;
-        if (pic_num < 0) pic_num += max_fn;
-        if (pic_num >= max_fn) pic_num -= max_fn;
-        pic_num_pred = pic_num;
-        // find short-term pic with PicNum == pic_num
-        int pic_num_wrap = pic_num > sh.frame_num ? pic_num - max_fn : pic_num;
-        DpbPic found{};
-        bool ok = false;
-        for (auto& p : im.dpb) {
-          if (!p.long_term) {
-            int fnw = p.frame_num > sh.frame_num ? p.frame_num - max_fn
-                                                 : p.frame_num;
-            if (fnw == pic_num_wrap) {
-              found = p;
-              ok = true;
-            }
-          }
-        }
-        PIP_CHECK(ok, "RPLR: short-term pic not found");
-        // shift and insert
-        list.insert(list.begin() + refIdx, found);
-        for (size_t i = refIdx + 1; i < list.size(); ++i) {
-          if (!list[i].long_term && list[i].frame_num == found.frame_num) {
-            list.erase(list.begin() + i);
-            break;
-          }
-        }
-        ++refIdx;
+        pred = op.first == 0 ? pred - abs_diff : pred + abs_diff;
+        pred &= max_fn - 1;
+        for (i = ref_count - 1; i >= ridx; --i)
+          if (!list[i].long_term && list[i].frame_num == pred) break;
       } else if (op.first == 2) {
-        DpbPic found{};
-        bool ok = false;
-        for (auto& p : im.dpb) {
-          if (p.long_term && p.long_term_idx == (int)op.second) {
-            found = p;
-            ok = true;
-          }
-        }
-        PIP_CHECK(ok, "RPLR: long-term pic not found");
-        list.insert(list.begin() + refIdx, found);
-        for (size_t i = refIdx + 1; i < list.size(); ++i) {
-          if (list[i].long_term && list[i].long_term_idx == found.long_term_idx) {
-            list.erase(list.begin() + i);
+        for (i = ref_count - 1; i >= ridx; --i)
+          if (list[i].long_term && list[i].long_term_idx == (int)op.second)
             break;
-          }
-        }
-        ++refIdx;
       }
+      if (i < ridx) break;  // reference aborts the reorder here
+      DpbPic p = list[i];
+      list.erase(list.begin() + i);
+      list.insert(list.begin() + ridx, p);
+      ++ridx;
     }
   }
   std::vector<int> out;
   for (auto& p : list) out.push_back(p.output_idx);
-  out.resize(std::max<size_t>(sh.num_ref_idx_l0_active, 1), -1);
+  // ref_idx beyond the populated list hits the reference's NULL-entry
+  // fallback (rec_mb.cpp GetRefPic): it substitutes list[0].
+  out.resize(std::max<size_t>(sh.num_ref_idx_l0_active, 1),
+             out.empty() ? -1 : out[0]);
   if (getenv("PIP_DBG_REF")) {
     fprintf(stderr, "DBGLIST fn=%d nact=%d rplr=[", sh.frame_num,
             sh.num_ref_idx_l0_active);
@@ -566,11 +545,21 @@ bool SymbolDecoder::next_frame(FramePlanes* out) {
     out->chroma_dc.assign(n * 8, 0);
     out->mv.assign(n * 32, 0);
     out->ref_frame.assign(n * 16, -1);
+    out->ref_idx.assign(n * 16, -1);
     out->pcm.assign(n * 384, 0);
     out->slice_id.assign(n, 0xff);
     out->deblock_idc.assign(n, 1);
     out->alpha_off.assign(n, 0);
     out->beta_off.assign(n, 0);
+    out->wp_luma.assign(n * 48, 0);
+    out->wp_cb.assign(n * 48, 0);
+    out->wp_cr.assign(n * 48, 0);
+    out->wp_cmask.assign(n * 64, 0);
+    for (size_t k = 2; k < n * 48; k += 3) {
+      out->wp_luma[k] = -1;  // denom slot: -1 = unweighted
+      out->wp_cb[k] = -1;
+      out->wp_cr[k] = -1;
+    }
     out->is_idr = sh.is_idr;
     out->is_ref = sh.nal_ref_idc != 0;
     frame_open = true;
@@ -612,6 +601,72 @@ bool SymbolDecoder::next_frame(FramePlanes* out) {
       i8 r = sc.cur.ref_cell[c];
       out->ref_frame[n * 16 + c] =
           (r >= 0 && r < (int)reflist.size()) ? i16(reflist[r]) : i16(-1);
+      out->ref_idx[n * 16 + c] = r;
+    }
+    // explicit weighted prediction (8.4.2.3): resolve the slice's
+    // pred_weight_table per MC partition; chroma mask mirrors the
+    // reference's quarter-size region (rec_mb.cpp WeightPrediction)
+    if (pps->weighted_pred && sh.has_pred_weights &&
+        (sh.slice_type == SLICE_P || sh.slice_type == SLICE_SP) &&
+        mb_is_inter(rec.mb_class)) {
+      auto wp_fill = [&](int bx, int by, int w, int h, int ridx) {
+        if (ridx < 0 || ridx >= 32) ridx = 0;
+        for (int y = by; y < by + h; ++y)
+          for (int x = bx; x < bx + w; ++x) {
+            size_t base = (n * 16 + y * 4 + x) * 3;
+            out->wp_luma[base] = sh.luma_weight[ridx];
+            out->wp_luma[base + 1] = sh.luma_offset[ridx];
+            out->wp_luma[base + 2] = i16(sh.luma_log2_weight_denom);
+            out->wp_cb[base] = sh.chroma_weight[ridx][0];
+            out->wp_cb[base + 1] = sh.chroma_offset[ridx][0];
+            out->wp_cb[base + 2] = i16(sh.chroma_log2_weight_denom);
+            out->wp_cr[base] = sh.chroma_weight[ridx][1];
+            out->wp_cr[base + 1] = sh.chroma_offset[ridx][1];
+            out->wp_cr[base + 2] = i16(sh.chroma_log2_weight_denom);
+          }
+        // chroma mask: (w,h) chroma pixels at the partition chroma origin
+        for (int cy = 2 * by; cy < 2 * by + h; ++cy)
+          for (int cx = 2 * bx; cx < 2 * bx + w; ++cx)
+            out->wp_cmask[n * 64 + cy * 8 + cx] = 1;
+      };
+      switch (rec.mb_class) {
+        case MB_PSKIP:
+        case MB_P16x16:
+          wp_fill(0, 0, 4, 4, rec.mb_class == MB_PSKIP ? 0 : rec.ref_idx[0]);
+          break;
+        case MB_P16x8:
+          wp_fill(0, 0, 4, 2, rec.ref_idx[0]);
+          wp_fill(0, 2, 4, 2, rec.ref_idx[1]);
+          break;
+        case MB_P8x16:
+          wp_fill(0, 0, 2, 4, rec.ref_idx[0]);
+          wp_fill(2, 0, 2, 4, rec.ref_idx[1]);
+          break;
+        case MB_P8x8:
+        case MB_P8x8REF0:
+          for (int i = 0; i < 4; ++i) {
+            int bx0 = (i & 1) * 2, by0 = (i >> 1) * 2;
+            int ridx = rec.mb_class == MB_P8x8REF0 ? 0 : rec.ref_idx[i];
+            switch (rec.sub_types[i]) {
+              case SUB_8x8: wp_fill(bx0, by0, 2, 2, ridx); break;
+              case SUB_8x4:
+                wp_fill(bx0, by0, 2, 1, ridx);
+                wp_fill(bx0, by0 + 1, 2, 1, ridx);
+                break;
+              case SUB_4x8:
+                wp_fill(bx0, by0, 1, 2, ridx);
+                wp_fill(bx0 + 1, by0, 1, 2, ridx);
+                break;
+              default:
+                for (int j = 0; j < 4; ++j)
+                  wp_fill(bx0 + (j & 1), by0 + (j >> 1), 1, 1, ridx);
+                break;
+            }
+          }
+          break;
+        default:
+          break;
+      }
     }
     if (getenv("PIP_DBG_REF") && mb_is_inter(rec.mb_class))
       fprintf(stderr,

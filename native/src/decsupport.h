@@ -32,10 +32,26 @@ struct FramePlanes {
   std::vector<i16> chroma_dc;    // n*8 (2x2 u then v)
   std::vector<i16> mv;           // n*16*2 absolute quarter-pel
   std::vector<i16> ref_frame;    // n*16: output index of reference, -1 intra
+  // Raw per-cell ref_idx as stored by the parser (-1 intra). Deblock bS
+  // must compare THESE, not resolved pictures: the reference decoder's
+  // MB_BS_MV / SMB_EDGE_MV (deblocking.cpp:58,66) diff ref indices, which
+  // diverges from spec 8.7.2.1 when two indices resolve to one picture
+  // (e.g. out-of-range idx falling back through GetRefPic's NULL check).
+  std::vector<i8> ref_idx;       // n*16
   std::vector<u8> pcm;           // n*384
   std::vector<u8> slice_id;      // per MB
   std::vector<u8> deblock_idc;   // per MB (from its slice)
   std::vector<i8> alpha_off, beta_off;
+  // Explicit weighted prediction (spec 7.3.3.2 / 8.4.2.3), resolved per
+  // cell from the slice's pred_weight_table and the cell's ref_idx.
+  // Layout per luma cell: (weight, offset, log2denom); denom -1 = none.
+  // The chroma mask mirrors the reference decoder's quarter-size chroma
+  // weighting region (rec_mb.cpp WeightPrediction: iBlkWidth>>2 — a
+  // reference bug we reproduce for output parity): per chroma pixel, 8x8
+  // raster per MB, 1 = weighted.
+  std::vector<i16> wp_luma;      // n*16*3
+  std::vector<i16> wp_cb, wp_cr; // n*16*3 each
+  std::vector<u8> wp_cmask;      // n*64
   // per-frame:
   int chroma_qp_offset = 0, second_chroma_qp_offset = 0;
   u8 intra_avail_mode = 0;  // constrained_intra_pred flag

@@ -110,6 +110,13 @@ struct SliceHeader {
   std::vector<Mmco> mmco;
   bool adaptive_ref_pic_marking = false;
   bool no_output_of_prior_pics = false, long_term_reference_flag = false;
+  // pred_weight_table (explicit weighted prediction, spec 7.3.3.2). Only
+  // L0 is kept (no B slices in the supported profile set). Defaults when a
+  // per-ref flag is absent: weight = 1<<denom, offset = 0.
+  bool has_pred_weights = false;
+  int luma_log2_weight_denom = 0, chroma_log2_weight_denom = 0;
+  i16 luma_weight[32] = {}, luma_offset[32] = {};
+  i16 chroma_weight[32][2] = {}, chroma_offset[32][2] = {};
   int cabac_init_idc = 0;
   int slice_qp = 26;
   int sp_for_switch = 0;

@@ -229,21 +229,36 @@ static void parse_ref_pic_list_modification(BitReader& br, SliceHeader& sh) {
   }
 }
 
-static void parse_pred_weight_table(BitReader& br, const SliceHeader& sh,
+static void parse_pred_weight_table(BitReader& br, SliceHeader& sh,
                                     int chroma_format_idc) {
-  br.ue();  // luma_log2_weight_denom
-  if (chroma_format_idc != 0) br.ue();  // chroma_log2_weight_denom
+  sh.has_pred_weights = true;
+  sh.luma_log2_weight_denom = int(br.ue());
+  if (chroma_format_idc != 0) sh.chroma_log2_weight_denom = int(br.ue());
+  PIP_CHECK(sh.luma_log2_weight_denom < 8 && sh.chroma_log2_weight_denom < 8,
+            "weight denom out of range");
   for (int list = 0; list < (sh.slice_type == SLICE_B ? 2 : 1); ++list) {
     int n = list == 0 ? sh.num_ref_idx_l0_active : sh.num_ref_idx_l1_active;
     for (int i = 0; i < n; ++i) {
+      i16 lw = i16(1 << sh.luma_log2_weight_denom), lo = 0;
       if (br.bit()) {  // luma_weight_flag
-        br.se();
-        br.se();
+        lw = i16(br.se());
+        lo = i16(br.se());
       }
+      i16 cw[2] = {i16(1 << sh.chroma_log2_weight_denom),
+                   i16(1 << sh.chroma_log2_weight_denom)},
+          co[2] = {0, 0};
       if (chroma_format_idc != 0 && br.bit()) {
         for (int j = 0; j < 2; ++j) {
-          br.se();
-          br.se();
+          cw[j] = i16(br.se());
+          co[j] = i16(br.se());
+        }
+      }
+      if (list == 0 && i < 32) {
+        sh.luma_weight[i] = lw;
+        sh.luma_offset[i] = lo;
+        for (int j = 0; j < 2; ++j) {
+          sh.chroma_weight[i][j] = cw[j];
+          sh.chroma_offset[i][j] = co[j];
         }
       }
     }
