@@ -197,6 +197,23 @@ def recon_frame(mb_w: int, mb_h: int, planes, ref_y, ref_u, ref_v, diags):
                                   mvx, mvy)
     predc_v = jmc.mc_chroma_cells(ref_v, PAD // 2, refc, cy0 // 2, cx0 // 2,
                                   mvx, mvy)
+    # explicit weighted prediction (8.4.2.3), between MC and residual add.
+    # Luma: per cell (partitions are cell-uniform). Chroma: only the
+    # reference decoder's quarter-size region (wp_cmask) — parity with
+    # rec_mb.cpp WeightPrediction.
+    wpl = p["wp_luma"].reshape(-1, 3)
+    wl_w = wpl[:, 0][:, None, None]
+    wl_o = wpl[:, 1][:, None, None]
+    wl_d = wpl[:, 2][:, None, None]
+    wl_d0 = jnp.maximum(wl_d, 0)
+    wtd = jnp.where(
+        wl_d >= 1,
+        jnp.right_shift(pred_cells * wl_w +
+                        jnp.left_shift(1, jnp.maximum(wl_d - 1, 0)), wl_d0)
+        + wl_o,
+        pred_cells * wl_w + wl_o)
+    pred_cells = jnp.where(wl_d >= 0, jnp.clip(wtd, 0, 255), pred_cells)
+
     # assemble inter MB tiles
     pred_y_mb = pred_cells.reshape(n, 4, 4, 4, 4).transpose(0, 1, 3, 2, 4) \
         .reshape(n, 16, 16)
@@ -204,6 +221,25 @@ def recon_frame(mb_w: int, mb_h: int, planes, ref_y, ref_u, ref_v, diags):
         .reshape(n, 8, 8)
     pred_v_mb = predc_v.reshape(n, 4, 4, 2, 2).transpose(0, 1, 3, 2, 4) \
         .reshape(n, 8, 8)
+
+    cell_of_px = ((jnp.arange(8)[:, None] // 2) * 4 +
+                  jnp.arange(8)[None, :] // 2)
+    cmask = p["wp_cmask"].reshape(n, 8, 8) > 0
+
+    def _wp_chroma(pred, wp):
+        w = wp[:, cell_of_px, 0]
+        o = wp[:, cell_of_px, 1]
+        d = wp[:, cell_of_px, 2]
+        d0 = jnp.maximum(d, 0)
+        wv = jnp.where(
+            d >= 1,
+            jnp.right_shift(pred * w +
+                            jnp.left_shift(1, jnp.maximum(d - 1, 0)), d0) + o,
+            pred * w + o)
+        return jnp.where(cmask & (d >= 0), jnp.clip(wv, 0, 255), pred)
+
+    pred_u_mb = _wp_chroma(pred_u_mb, p["wp_cb"])
+    pred_v_mb = _wp_chroma(pred_v_mb, p["wp_cr"])
     inter_mb = valid.reshape(n, 16).all(axis=1)
     tile_y = jnp.where(inter_mb[:, None, None],
                        jnp.clip(pred_y_mb + res_y, 0, 255), 0)
@@ -288,8 +324,10 @@ def recon_frame(mb_w: int, mb_h: int, planes, ref_y, ref_u, ref_v, diags):
 
     # ---- deblocking wavefront ----
     nnz = p["nnz"]
+    # bS compares raw ref indices (reference MB_BS_MV semantics), not
+    # resolved pictures — see decsupport.h FramePlanes::ref_idx
     bs_v, bs_h = jdb.compute_bs(mb_w, mb_h, cls, nnz, p["mv"],
-                                p["ref_slot"], p["slice_id"],
+                                p["ref_idx"], p["slice_id"],
                                 p["deblock_idc"].astype(jnp.int32))
     qps = jnp.where(cls == 8, 0, qp)
     aoff = p["alpha_off"].astype(jnp.int32)
@@ -484,6 +522,11 @@ class JaxDecoder:
                 "chroma_dc": jnp.asarray(f["chroma_dc"]),
                 "mv": jnp.asarray(f["mv"]),
                 "ref_slot": jnp.asarray(ref_slot.astype(np.int32)),
+                "ref_idx": jnp.asarray(f["ref_idx"].astype(np.int32)),
+                "wp_luma": jnp.asarray(f["wp_luma"].astype(np.int32)),
+                "wp_cb": jnp.asarray(f["wp_cb"].astype(np.int32)),
+                "wp_cr": jnp.asarray(f["wp_cr"].astype(np.int32)),
+                "wp_cmask": jnp.asarray(f["wp_cmask"].astype(np.int32)),
                 "pcm": jnp.asarray(f["pcm"]),
                 "slice_id": jnp.asarray(f["slice_id"].astype(np.int32)),
                 "deblock_idc": jnp.asarray(f["deblock_idc"]),
