@@ -452,11 +452,23 @@ def _sixtap(a, b, c, d, e, f):
 
 
 def mc_luma_block(ref_pad, pad, y0, x0, mvx, mvy, h, w):
-    """Quarter-pel luma MC from an edge-padded reference (pad offset)."""
-    ix = x0 + (mvx >> 2)
-    iy = y0 + (mvy >> 2)
-    fx = mvx & 3
-    fy = mvy & 3
+    """Quarter-pel luma MC from an edge-padded reference (pad offset).
+
+    The combined position is clipped into the padded window exactly as
+    the reference decoder does (rec_mb.cpp BaseMC: CLIP3 of iFullMV to
+    [(-PADDING_LENGTH+2)<<2, (dim+PADDING_LENGTH-19)<<2]) — extreme MVs
+    in conformance streams land outside even the 32-pixel padding.
+    """
+    W = ref_pad.shape[1] - 2 * pad
+    H = ref_pad.shape[0] - 2 * pad
+    fullx = (x0 << 2) + mvx
+    fully = (y0 << 2) + mvy
+    fullx = min(max(fullx, (-pad + 2) << 2), (W + pad - 19) << 2)
+    fully = min(max(fully, (-pad + 2) << 2), (H + pad - 19) << 2)
+    ix = fullx >> 2
+    iy = fully >> 2
+    fx = fullx & 3
+    fy = fully & 3
     # window with margin for 6-tap: rows iy-2..iy+h+2, cols ix-2..ix+w+2
     win = ref_pad[pad + iy - 2: pad + iy + h + 3,
                   pad + ix - 2: pad + ix + w + 3].astype(np.int32)
@@ -505,11 +517,22 @@ def mc_luma_block(ref_pad, pad, y0, x0, mvx, mvy, h, w):
 
 
 def mc_chroma_block(ref_pad, pad, y0, x0, mvx, mvy, h, w):
-    """Eighth-pel bilinear chroma MC (chroma plane coords, mv in luma qpel)."""
-    ix = x0 + (mvx >> 3)
-    iy = y0 + (mvy >> 3)
-    fx = mvx & 7
-    fy = mvy & 7
+    """Eighth-pel bilinear chroma MC (chroma plane coords, mv in luma qpel).
+
+    Mirrors the reference's shared iFullMV clip (luma units) before the
+    >>3 chroma derivation (rec_mb.cpp BaseMC).
+    """
+    Wc = ref_pad.shape[1] - 2 * pad
+    Hc = ref_pad.shape[0] - 2 * pad
+    lpad = 2 * pad
+    fullx = ((2 * x0) << 2) + mvx
+    fully = ((2 * y0) << 2) + mvy
+    fullx = min(max(fullx, (-lpad + 2) << 2), (2 * Wc + lpad - 19) << 2)
+    fully = min(max(fully, (-lpad + 2) << 2), (2 * Hc + lpad - 19) << 2)
+    ix = fullx >> 3
+    iy = fully >> 3
+    fx = fullx & 7
+    fy = fully & 7
     win = ref_pad[pad + iy: pad + iy + h + 1,
                   pad + ix: pad + ix + w + 1].astype(np.int32)
     A = win[0:h, 0:w]

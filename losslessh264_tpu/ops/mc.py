@@ -25,11 +25,18 @@ def mc_luma_cells(ref_stack: jax.Array, pad: int, ref_idx: jax.Array,
     [B,4,4] int32 predicted samples."""
     h = w = 4
 
+    # reference BaseMC clips iFullMV into the padded window (rec_mb.cpp:
+    # CLIP3 to [(-PADDING_LENGTH+2)<<2, (dim+PADDING_LENGTH-19)<<2])
+    H = ref_stack.shape[1] - 2 * pad
+    W = ref_stack.shape[2] - 2 * pad
+
     def one(r, cy, cx, vx, vy):
-        ix = cx + (vx >> 2)
-        iy = cy + (vy >> 2)
-        fx = vx & 3
-        fy = vy & 3
+        fullx = jnp.clip((cx << 2) + vx, (-pad + 2) << 2, (W + pad - 19) << 2)
+        fully = jnp.clip((cy << 2) + vy, (-pad + 2) << 2, (H + pad - 19) << 2)
+        ix = fullx >> 2
+        iy = fully >> 2
+        fx = fullx & 3
+        fy = fully & 3
         win = jax.lax.dynamic_slice(
             ref_stack, (r, pad + iy - 2, pad + ix - 2), (1, h + 5, w + 5)
         )[0].astype(jnp.int32)
@@ -76,11 +83,20 @@ def mc_chroma_cells(ref_stack: jax.Array, pad: int, ref_idx: jax.Array,
     """Chroma 2x2 cells from [R, H/2+2p, W/2+2p]. Returns [B,2,2] int32."""
     h = w = 2
 
+    Hc = ref_stack.shape[1] - 2 * pad
+    Wc = ref_stack.shape[2] - 2 * pad
+    lpad = 2 * pad
+
     def one(r, cy, cx, vx, vy):
-        ix = cx + (vx >> 3)
-        iy = cy + (vy >> 3)
-        fx = vx & 7
-        fy = vy & 7
+        # shared luma-unit iFullMV clip, then >>3 (rec_mb.cpp BaseMC)
+        fullx = jnp.clip(((2 * cx) << 2) + vx, (-lpad + 2) << 2,
+                         (2 * Wc + lpad - 19) << 2)
+        fully = jnp.clip(((2 * cy) << 2) + vy, (-lpad + 2) << 2,
+                         (2 * Hc + lpad - 19) << 2)
+        ix = fullx >> 3
+        iy = fully >> 3
+        fx = fullx & 7
+        fy = fully & 7
         win = jax.lax.dynamic_slice(
             ref_stack, (r, pad + iy, pad + ix), (1, h + 1, w + 1)
         )[0].astype(jnp.int32)

@@ -241,6 +241,26 @@ static void derive_mvs(SliceCtx& sc, MbRecord& rec) {
   memcpy(sc.cur.mv, mv_cells, sizeof(mv_cells));
 }
 
+void predict_mv_p16x16(SliceCtx& sc, i8 ref, i16 out[2]) {
+  i16 mv_cells[16][2] = {};
+  i8 ref_cells[16];
+  bool filled[16] = {};
+  memset(ref_cells, -1, sizeof(ref_cells));
+  MvCtx mc{&sc, mv_cells, ref_cells, filled};
+  mc.predict(0, 0, 4, 4, ref, 0, out);
+}
+
+void predict_mv_skip(SliceCtx& sc, i16 out[2]) {
+  i16 mv_cells[16][2] = {};
+  i8 ref_cells[16];
+  bool filled[16] = {};
+  memset(ref_cells, -1, sizeof(ref_cells));
+  MvCtx mc{&sc, mv_cells, ref_cells, filled};
+  mc.skip_mv(out);
+}
+
+void derive_mvs_record(SliceCtx& sc, MbRecord& rec) { derive_mvs(sc, rec); }
+
 // ---------------------------------------------------------------------------
 // SymbolDecoder implementation
 // ---------------------------------------------------------------------------

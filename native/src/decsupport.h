@@ -9,6 +9,7 @@
 #pragma once
 
 #include "h264_syntax.h"
+#include "state.h"
 
 namespace h264pip {
 
@@ -59,6 +60,15 @@ struct FramePlanes {
   u8 scaling4[6][16] = {};
   u8 scaling8[6][64] = {};
 };
+
+// Encoder-side MV helpers (same 8.4.1 machinery the decode path uses):
+// predicted MV for a 16x16 partition / the P_Skip MV, given the current
+// SliceCtx state (neighbors committed). Used by encode_api.cc.
+void predict_mv_p16x16(SliceCtx& sc, i8 ref, i16 out[2]);
+void predict_mv_skip(SliceCtx& sc, i16 out[2]);
+// Fill absolute MV cells for a record whose mvd/ref_idx are set (pushes
+// into sc.cur so commit() stores them for neighbor prediction).
+void derive_mvs_record(SliceCtx& sc, MbRecord& rec);
 
 struct SymbolDecoderImpl;
 

@@ -1,14 +1,21 @@
-// Encoder entropy/NAL assembly: takes per-MB symbols (modes + quantized
-// coefficients in scan order) produced by the JAX/numpy analysis side and
-// packages a conformant Annex-B .264 stream through the same CAVLC writer
-// the recode path uses.
+// Encoder entropy/NAL assembly: takes per-MB symbols (modes, motion
+// vectors and quantized coefficients in scan order) produced by the
+// JAX/numpy analysis side and packages a conformant Annex-B .264 stream
+// through the same CAVLC writer the recode path uses.
 //
 // Reference parity: the entropy/NAL half of codec/encoder/core
-// (au_set.cpp SPS/PPS writing, svc_encode_slice.cpp slice framing,
-// svc_set_mb_syn_cavlc.cpp MB writing). Mode decision / transforms live
-// in losslessh264_tpu/encoder.py (TPU side).
+// (au_set.cpp SPS/PPS writing, svc_encode_slice.cpp slice framing +
+// skip-run emission, svc_set_mb_syn_cavlc.cpp MB writing). Mode decision,
+// motion estimation and transforms live in losslessh264_tpu/encoder.py +
+// ops/me.py (TPU side).
+//
+// Streams are written with deblocking disabled (PPS
+// deblocking_filter_control_present + per-slice disable_idc=1) so the
+// encoder's in-loop reconstruction equals any conformant decoder's
+// output bit-exactly without running the loop filter encoder-side.
 #include "bitio.h"
 #include "cavlc.h"
+#include "decsupport.h"
 #include "state.h"
 
 #include <cstring>
@@ -33,7 +40,7 @@ std::vector<u8> write_sps(int mb_w, int mb_h) {
   bw.put_ue(0);    // sps id
   bw.put_ue(4);    // log2_max_frame_num = 8
   bw.put_ue(2);    // pic_order_cnt_type 2 (decode order)
-  bw.put_ue(0);    // max_num_ref_frames
+  bw.put_ue(1);    // max_num_ref_frames
   bw.put_bit(0);   // gaps_in_frame_num
   bw.put_ue(u32(mb_w - 1));
   bw.put_ue(u32(mb_h - 1));
@@ -59,31 +66,52 @@ std::vector<u8> write_pps() {
   bw.put_se(0);  // pic_init_qp - 26
   bw.put_se(0);  // pic_init_qs - 26
   bw.put_se(0);  // chroma_qp_index_offset
-  bw.put_bit(0); // deblocking_filter_control_present
+  bw.put_bit(1); // deblocking_filter_control_present
   bw.put_bit(0); // constrained_intra
   bw.put_bit(0); // redundant_pic_cnt_present
   bw.rbsp_trailing_bits();
   return make_nal(3, 8, bw.bytes());
 }
 
+// CBP from derived nnz + chroma coeffs (rec.nnz must be filled).
+void derive_cbp(MbRecord& rec, const i16* chroma_dc, int addr) {
+  static const int kTL[4] = {0, 2, 8, 10};
+  u8 cbp = 0;
+  for (int b8 = 0; b8 < 4; ++b8) {
+    int tl = kTL[b8];
+    if (rec.nnz[tl] || rec.nnz[tl + 1] || rec.nnz[tl + 4] || rec.nnz[tl + 5])
+      cbp |= u8(1 << b8);
+  }
+  rec.cbp_luma = rec.mb_class == MB_I16x16 ? (cbp ? 15 : 0) : cbp;
+  bool cdc = false, cac = false;
+  for (int i = 0; i < 8; ++i)
+    if (chroma_dc[addr * 8 + i]) cdc = true;
+  for (int i = 16; i < 24; ++i)
+    if (rec.nnz[i]) cac = true;
+  rec.cbp_chroma = cac ? 2 : (cdc ? 1 : 0);
+}
+
 }  // namespace
 
 extern "C" {
 
-// Encode one all-intra IDR frame from per-MB symbol planes. Appends the
-// frame's NALs (plus SPS/PPS when first) to a growing buffer.
-// mb_class: 0 = I4x4, 1 = I16x16. Coefficients in scan order:
-// luma_dc [n,16], luma_ac [n,16,16] (pos 0 unused for I16),
-// chroma_dc [n,2,4], chroma_ac [n,8,16] (pos 0 unused).
-int pip_encode_frame(int mb_w, int mb_h, int qp, int frame_idx, int idr_id,
-                     const u8* mb_class, const u8* i16_mode,
-                     const u8* chroma_mode, const i8* i4_modes,
-                     const i16* luma_dc, const i16* luma_ac,
-                     const i16* chroma_dc, const i16* chroma_ac,
-                     int include_params, u8** out, size_t* out_size,
-                     char* err, size_t err_cap) {
+// Encode one frame from per-MB symbol planes. slice_type: 1 = IDR intra,
+// 0 = P. mb_class uses the MbClass codes (0 I4x4, 1 I16x16, 3 P16x16,
+// 11 P_Skip). mv: n*2 absolute quarter-pel (P16x16/P_Skip MBs; the skip
+// MV must equal the 8.4.1.1 predictor — the caller guarantees it).
+// Coefficients in scan order: luma_dc [n,16] (I16 only), luma_ac
+// [n,16,16] (pos 0 unused for I16), chroma_dc [n,2,4], chroma_ac
+// [n,8,16] (pos 0 unused).
+int pip_encode_frame(int mb_w, int mb_h, int qp, int frame_num, int idr_id,
+                     int slice_type, const u8* mb_class, const i16* mv,
+                     const u8* i16_mode, const u8* chroma_mode,
+                     const i8* i4_modes, const i16* luma_dc,
+                     const i16* luma_ac, const i16* chroma_dc,
+                     const i16* chroma_ac, int include_params, u8** out,
+                     size_t* out_size, char* err, size_t err_cap) {
   try {
     int n = mb_w * mb_h;
+    bool is_idr = slice_type != 0;
     std::vector<u8> stream;
     if (include_params) {
       auto sps = write_sps(mb_w, mb_h);
@@ -91,39 +119,67 @@ int pip_encode_frame(int mb_w, int mb_h, int qp, int frame_idx, int idr_id,
       stream.insert(stream.end(), sps.begin(), sps.end());
       stream.insert(stream.end(), pps.begin(), pps.end());
     }
-    // slice header (IDR, I slice, qp delta 26->qp)
+    // slice header
     BitWriter bw;
-    bw.put_ue(0);                 // first_mb_in_slice
-    bw.put_ue(7);                 // slice_type I (all slices in pic)
-    bw.put_ue(0);                 // pps id
-    bw.put(frame_idx & 0xff, 8);  // frame_num (log2_max_frame_num = 8)
-    bw.put_ue(u32(idr_id));       // idr_pic_id
-    bw.put_bit(0);                // no_output_of_prior_pics
-    bw.put_bit(0);                // long_term_reference_flag
-    bw.put_se(qp - 26);           // slice_qp_delta
+    bw.put_ue(0);                     // first_mb_in_slice
+    bw.put_ue(is_idr ? 7 : 5);        // slice_type (I / P, all slices)
+    bw.put_ue(0);                     // pps id
+    bw.put(frame_num & 0xff, 8);      // frame_num
+    if (is_idr) {
+      bw.put_ue(u32(idr_id));         // idr_pic_id
+      bw.put_bit(0);                  // no_output_of_prior_pics
+      bw.put_bit(0);                  // long_term_reference_flag
+    } else {
+      bw.put_bit(0);                  // num_ref_idx_active_override
+      bw.put_bit(0);                  // ref_pic_list_modification
+      bw.put_bit(0);                  // adaptive_ref_pic_marking
+    }
+    bw.put_se(qp - 26);               // slice_qp_delta
+    bw.put_ue(1);                     // disable_deblocking_filter_idc
     size_t header_bits = bw.pos_bits();
 
-    // slice data via the shared CAVLC writer
     Sps sps_s;
     sps_s.pic_width_in_mbs = mb_w;
     sps_s.pic_height_in_map_units = mb_h;
     sps_s.log2_max_frame_num = 8;
+    sps_s.max_num_ref_frames = 1;
     Pps pps_s;
     SliceHeader sh;
-    sh.slice_type = SLICE_I;
+    sh.slice_type = is_idr ? SLICE_I : SLICE_P;
     sh.slice_qp = qp;
-    sh.is_idr = true;
-    sh.nal_ref_idc = 3;
-    sh.nal_type = 5;
+    sh.is_idr = is_idr;
+    sh.nal_ref_idc = is_idr ? 3 : 2;
+    sh.nal_type = is_idr ? 5 : 1;
+    sh.frame_num = frame_num & 0xff;
+    sh.disable_deblocking_idc = 1;
     sh.header_bits = header_bits;
     PicState pic;
     pic.reset(mb_w, mb_h);
     SliceCtx sc;
     sc.begin_slice(&sps_s, &pps_s, &sh, &pic);
+
+    int skip_run = 0;
     for (int addr = 0; addr < n; ++addr) {
+      MbClass cl = MbClass(mb_class[addr]);
+      if (cl == MB_PSKIP) {
+        PIP_CHECK(!is_idr, "P_Skip in IDR frame");
+        sc.begin_mb(addr);
+        MbRecord skip;
+        skip.mb_class = MB_PSKIP;
+        derive_mvs_record(sc, skip);
+        skip.qp = u8(sc.cur_qp);
+        sc.last_dqp = 0;
+        sc.commit(skip);
+        ++skip_run;
+        continue;
+      }
+      if (!is_idr) {
+        bw.put_ue(u32(skip_run));
+        skip_run = 0;
+      }
       sc.begin_mb(addr);
       MbRecord rec;
-      rec.mb_class = mb_class[addr] == 1 ? MB_I16x16 : MB_I4x4;
+      rec.mb_class = cl;
       rec.i16_mode = i16_mode[addr];
       rec.chroma_mode = chroma_mode[addr];
       memcpy(rec.i4_modes, i4_modes + addr * 16, 16);
@@ -131,35 +187,15 @@ int pip_encode_frame(int mb_w, int mb_h, int qp, int frame_idx, int idr_id,
       memcpy(rec.luma_ac, luma_ac + addr * 256, 256 * 2);
       memcpy(rec.chroma_dc, chroma_dc + addr * 8, 8 * 2);
       memcpy(rec.chroma_ac, chroma_ac + addr * 128, 128 * 2);
-      derive_nnz(rec);
-      // CBP derivation from coefficients
-      if (rec.mb_class == MB_I16x16) {
-        u8 cbp = 0;
-        for (int b8 = 0; b8 < 4; ++b8) {
-          static const int kTL[4] = {0, 2, 8, 10};
-          int tl = kTL[b8];
-          if (rec.nnz[tl] || rec.nnz[tl + 1] || rec.nnz[tl + 4] ||
-              rec.nnz[tl + 5])
-            cbp = 15;
-        }
-        rec.cbp_luma = cbp;
-      } else {
-        u8 cbp = 0;
-        for (int b8 = 0; b8 < 4; ++b8) {
-          static const int kTL[4] = {0, 2, 8, 10};
-          int tl = kTL[b8];
-          if (rec.nnz[tl] || rec.nnz[tl + 1] || rec.nnz[tl + 4] ||
-              rec.nnz[tl + 5])
-            cbp |= u8(1 << b8);
-        }
-        rec.cbp_luma = cbp;
+      if (cl == MB_P16x16) {
+        rec.ref_idx[0] = 0;
+        i16 pred[2];
+        predict_mv_p16x16(sc, 0, pred);
+        rec.mvd[0][0] = i16(mv[addr * 2 + 0] - pred[0]);
+        rec.mvd[0][1] = i16(mv[addr * 2 + 1] - pred[1]);
       }
-      bool cdc = false, cac = false;
-      for (int i = 0; i < 8; ++i)
-        if (chroma_dc[addr * 8 + i]) cdc = true;
-      for (int i = 16; i < 24; ++i)
-        if (rec.nnz[i]) cac = true;
-      rec.cbp_chroma = cac ? 2 : (cdc ? 1 : 0);
+      derive_nnz(rec);
+      derive_cbp(rec, chroma_dc, addr);
       rec.dqp = 0;
       write_mb_cavlc(bw, sc, rec);
       if (rec.cbp_luma || rec.cbp_chroma || rec.mb_class == MB_I16x16)
@@ -167,15 +203,74 @@ int pip_encode_frame(int mb_w, int mb_h, int qp, int frame_idx, int idr_id,
       else
         sc.last_dqp = 0;
       rec.qp = u8(sc.cur_qp);
+      if (mb_is_inter(rec.mb_class)) derive_mvs_record(sc, rec);
       sc.commit(rec);
     }
+    if (!is_idr && skip_run > 0) bw.put_ue(u32(skip_run));
     bw.rbsp_trailing_bits();
-    auto nal = make_nal(3, 5, bw.bytes());
+    auto nal = make_nal(sh.nal_ref_idc, sh.nal_type, bw.bytes());
     stream.insert(stream.end(), nal.begin(), nal.end());
 
     *out = static_cast<u8*>(malloc(stream.size()));
     memcpy(*out, stream.data(), stream.size());
     *out_size = stream.size();
+    return 0;
+  } catch (const std::exception& e) {
+    if (err && err_cap) {
+      strncpy(err, e.what(), err_cap - 1);
+      err[err_cap - 1] = 0;
+    }
+    return 1;
+  }
+}
+
+// Query the P_Skip / P16x16 predicted MVs for every MB of a frame given
+// the per-MB decisions so far is not exposed; the Python side instead
+// mirrors prediction by calling pip_encode_mv_preds on the final class
+// plane before writing: for each MB in raster order it commits the
+// caller's decision and reports (skip_mv, p16_pred) BEFORE that MB's
+// decision is applied. This lets the encoder make skip decisions that
+// are consistent with 8.4.1.1 in one native pass.
+// classes: same codes as pip_encode_frame. mv: absolute qpel per MB
+// (used to update prediction state). Outputs: skip_pred[n*2],
+// p16_pred[n*2].
+int pip_encode_mv_preds(int mb_w, int mb_h, const u8* mb_class,
+                        const i16* mv, i16* skip_pred, i16* p16_pred,
+                        char* err, size_t err_cap) {
+  try {
+    int n = mb_w * mb_h;
+    Sps sps_s;
+    sps_s.pic_width_in_mbs = mb_w;
+    sps_s.pic_height_in_map_units = mb_h;
+    sps_s.max_num_ref_frames = 1;
+    Pps pps_s;
+    SliceHeader sh;
+    sh.slice_type = SLICE_P;
+    sh.nal_ref_idc = 2;
+    sh.nal_type = 1;
+    PicState pic;
+    pic.reset(mb_w, mb_h);
+    SliceCtx sc;
+    sc.begin_slice(&sps_s, &pps_s, &sh, &pic);
+    for (int addr = 0; addr < n; ++addr) {
+      sc.begin_mb(addr);
+      i16 sp[2], pp[2];
+      predict_mv_skip(sc, sp);
+      predict_mv_p16x16(sc, 0, pp);
+      skip_pred[addr * 2] = sp[0];
+      skip_pred[addr * 2 + 1] = sp[1];
+      p16_pred[addr * 2] = pp[0];
+      p16_pred[addr * 2 + 1] = pp[1];
+      MbRecord rec;
+      rec.mb_class = MbClass(mb_class[addr]);
+      if (rec.mb_class == MB_P16x16) {
+        rec.ref_idx[0] = 0;
+        rec.mvd[0][0] = i16(mv[addr * 2] - pp[0]);
+        rec.mvd[0][1] = i16(mv[addr * 2 + 1] - pp[1]);
+      }
+      if (mb_is_inter(rec.mb_class)) derive_mvs_record(sc, rec);
+      sc.commit(rec);
+    }
     return 0;
   } catch (const std::exception& e) {
     if (err && err_cap) {
