@@ -1,0 +1,584 @@
+"""TPU-batched encoder front-end (JAX): mode decision, ME, transforms.
+
+The analysis half of the encoder as whole-frame JAX programs:
+
+- Inter path: exhaustive integer-pel ME (ops/me.py) + batched half/quarter
+  -pel refinement, then residual fDCT/quant/recon for every P MB as one
+  batched kernel chain — there is no per-MB host loop at all.
+- Intra path: I16x16 + chroma mode decision scheduled as a slope-2 MB
+  wavefront (lax.scan over anti-diagonals, vmap across the diagonal),
+  since intra prediction consumes reconstructed LEFT/ABOVE pixels.
+
+Entropy/NAL assembly stays in the native layer (pip_encode_frame) — the
+same CAVLC writer the recompression recode path uses.
+
+Reference parity (behavior, not structure): codec/encoder/core —
+svc_motion_estimate.cpp (ME; reference walks diamond/cross per MB, we
+evaluate the whole window batched), md.cpp + svc_base_layer_md.cpp (mode
+decision), encode_mb_aux.cpp (forward transforms). The in-loop recon here
+is bit-exact with the decoder (streams carry
+disable_deblocking_filter_idc=1).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import decoder_np as dn
+from .ops import intra as jintra
+from .ops import mc as jmc
+from .ops import me as jme
+from .ops import transform as jt
+
+PAD = 32          # reference-plane padding (matches decoder_jax)
+WPAD = 8          # working-plane padding for wavefront gathers
+BIG = jnp.int32(1 << 30)
+
+CHROMA_QP = jnp.asarray(dn.CHROMA_QP)
+
+
+def _diagonals(mb_w, mb_h):
+    """Slope-2 wavefront MB schedule (same as decoder_jax)."""
+    diags = {}
+    for i in range(mb_w * mb_h):
+        y, x = divmod(i, mb_w)
+        diags.setdefault(2 * y + x, []).append(i)
+    nd = 2 * (mb_h - 1) + mb_w
+    K = max(len(v) for v in diags.values())
+    out = np.full((nd, K), -1, np.int32)
+    for d, v in diags.items():
+        out[d, :len(v)] = v
+    return out
+
+
+def _mb_tiles(plane, mb_h, mb_w, t):
+    """[H,W] -> [n,t,t] MB tiles."""
+    return plane.reshape(mb_h, t, mb_w, t).transpose(0, 2, 1, 3) \
+        .reshape(mb_h * mb_w, t, t)
+
+
+def _tiles_to_plane(tiles, mb_h, mb_w, t):
+    return tiles.reshape(mb_h, mb_w, t, t).transpose(0, 2, 1, 3) \
+        .reshape(mb_h * t, mb_w * t)
+
+
+def _blocks16(tile16):
+    """[..,16,16] -> [..,16,4,4] raster 4x4 blocks."""
+    s = tile16.shape[:-2]
+    return tile16.reshape(s + (4, 4, 4, 4)).swapaxes(-3, -2) \
+        .reshape(s + (16, 4, 4))
+
+
+def _blocks4(tile8):
+    """[..,8,8] -> [..,4,4,4] raster 4x4 blocks."""
+    s = tile8.shape[:-2]
+    return tile8.reshape(s + (2, 4, 2, 4)).swapaxes(-3, -2) \
+        .reshape(s + (4, 4, 4))
+
+
+def _assemble16(blocks):
+    """[..,16,4,4] -> [..,16,16]."""
+    s = blocks.shape[:-3]
+    return blocks.reshape(s + (4, 4, 4, 4)).swapaxes(-3, -2) \
+        .reshape(s + (16, 16))
+
+
+def _assemble8(blocks):
+    s = blocks.shape[:-3]
+    return blocks.reshape(s + (2, 2, 4, 4)).swapaxes(-3, -2) \
+        .reshape(s + (8, 8))
+
+
+FLAT4 = jnp.full((4, 4), 16, jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# per-MB intra encode (runs inside the wavefront, vmapped across a diagonal)
+# ---------------------------------------------------------------------------
+def _encode_i16_mb(loc, src, qp, aL, aT):
+    """loc [17,17] luma recon context; src [16,16]. Returns
+    (mode, qdc_zz[16], qac[16,4,4], tile[16,16])."""
+    left = loc[1:17, 0]
+    top = loc[0, 1:17]
+    preds = jintra.pred16_all(left, top, loc[0, 0], aL, aT)  # [4,16,16]
+    sads = jnp.abs(src[None] - preds).sum(axis=(1, 2))
+    legal = jnp.stack([aT, aL, jnp.array(True), aL & aT])
+    mode = jnp.argmin(jnp.where(legal, sads, BIG))
+    pred = preds[mode]
+
+    resid = src - pred
+    W = jt.fdct4x4(_blocks16(resid))                 # [16,4,4]
+    qac = jt.quant4(W, jnp.full((16,), qp), True, skip_dc=True)
+    Wdc = W[:, 0, 0].reshape(4, 4)
+    qdc = jt.quant_dc4(jt.fhadamard4x4(Wdc), qp)     # [4,4]
+
+    # decoder-exact recon
+    dcd = jt.luma_dc_dequant(jt.hadamard4x4(qdc), qp, jnp.int32(16))
+    deq = jt.dequant4(qac, jnp.full((16,), qp), FLAT4)
+    deq = deq.at[:, 0, 0].set(dcd.reshape(16))
+    rec = _assemble16(jt.idct4x4(deq))
+    tile = jnp.clip(pred + rec, 0, 255)
+    return mode.astype(jnp.int32), jt.zigzag4(qdc), qac, tile
+
+
+def _encode_chroma_mb(locu, locv, srcu, srcv, qpc, aL, aT):
+    """Intra chroma for one MB: shared U/V mode decision +
+    transform/quant/recon. Returns (cmode, qdc[2,4], qac[2,4,16] zz,
+    tileU, tileV)."""
+    predsu = jintra.pred_chroma_all(locu[1:9, 0], locu[0, 1:9], locu[0, 0],
+                                    aL, aT)
+    predsv = jintra.pred_chroma_all(locv[1:9, 0], locv[0, 1:9], locv[0, 0],
+                                    aL, aT)
+    sads = (jnp.abs(srcu[None] - predsu).sum(axis=(1, 2)) +
+            jnp.abs(srcv[None] - predsv).sum(axis=(1, 2)))
+    legal = jnp.stack([jnp.array(True), aL, aT, aL & aT])
+    cmode = jnp.argmin(jnp.where(legal, sads, BIG))
+    predu = predsu[cmode]
+    predv = predsv[cmode]
+
+    qdcs, qacs, tiles = [], [], []
+    for src, pred in ((srcu, predu), (srcv, predv)):
+        resid = src - pred
+        W = jt.fdct4x4(_blocks4(resid))              # [4,4,4]
+        qac = jt.quant4(W, jnp.full((4,), qpc), True, skip_dc=True)
+        Wd2 = W[:, 0, 0].reshape(2, 2)
+        qd2 = jt.quant_dc2(jt.fhadamard2x2(Wd2), qpc)
+        dcd = jt.chroma_dc_transform_dequant(qd2, qpc, jnp.int32(16))
+        deq = jt.dequant4(qac, jnp.full((4,), qpc), FLAT4)
+        deq = deq.at[:, 0, 0].set(dcd.reshape(4))
+        rec = _assemble8(jt.idct4x4(deq))
+        qdcs.append(qd2.reshape(4))
+        qacs.append(jt.zigzag4(qac))
+        tiles.append(jnp.clip(pred + rec, 0, 255))
+    return (cmode.astype(jnp.int32), jnp.stack(qdcs), jnp.stack(qacs),
+            tiles[0], tiles[1])
+
+
+# ---------------------------------------------------------------------------
+# intra wavefront over a frame (used by I frames and P intra-fallback MBs)
+# ---------------------------------------------------------------------------
+@functools.partial(jax.jit, static_argnames=("mb_w", "mb_h"))
+def intra_wavefront(mb_w: int, mb_h: int, srcY, srcU, srcV, inter_y, inter_u,
+                    inter_v, is_intra, qp, qpc, diags):
+    """Encode all intra MBs of a frame as a slope-2 wavefront.
+
+    inter_*: [n,16,16]/[n,8,8] already-reconstructed inter tiles (zeros
+    where intra); is_intra: [n]. Returns per-MB symbol planes + final
+    recon planes.
+    """
+    n = mb_w * mb_h
+    H, W = mb_h * 16, mb_w * 16
+    srcY_t = _mb_tiles(srcY.astype(jnp.int32), mb_h, mb_w, 16)
+    srcU_t = _mb_tiles(srcU.astype(jnp.int32), mb_h, mb_w, 8)
+    srcV_t = _mb_tiles(srcV.astype(jnp.int32), mb_h, mb_w, 8)
+
+    Yw = jnp.zeros((H + 2 * WPAD, W + 2 * WPAD), jnp.int32)
+    Uw = jnp.zeros((H // 2 + 2 * WPAD, W // 2 + 2 * WPAD), jnp.int32)
+    Vw = jnp.zeros_like(Uw)
+    Yw = Yw.at[WPAD:WPAD + H, WPAD:WPAD + W].set(
+        _tiles_to_plane(inter_y, mb_h, mb_w, 16))
+    Uw = Uw.at[WPAD:WPAD + H // 2, WPAD:WPAD + W // 2].set(
+        _tiles_to_plane(inter_u, mb_h, mb_w, 8))
+    Vw = Vw.at[WPAD:WPAD + H // 2, WPAD:WPAD + W // 2].set(
+        _tiles_to_plane(inter_v, mb_h, mb_w, 8))
+
+    i16_mode = jnp.zeros((n,), jnp.int32)
+    chroma_mode = jnp.zeros((n,), jnp.int32)
+    luma_dc = jnp.zeros((n, 16), jnp.int32)
+    luma_ac = jnp.zeros((n, 16, 4, 4), jnp.int32)
+    chroma_dc = jnp.zeros((n, 2, 4), jnp.int32)
+    chroma_ac = jnp.zeros((n, 2, 4, 16), jnp.int32)
+
+    def diag_step(carry, mb_list):
+        (Yw, Uw, Vw, i16_mode, chroma_mode, luma_dc, luma_ac, chroma_dc,
+         chroma_ac) = carry
+
+        def compute(mb):
+            mb_c = jnp.clip(mb, 0, n - 1)
+            my = mb_c // mb_w
+            mx = mb_c % mb_w
+            aL = mx > 0
+            aT = my > 0
+            y0 = my * 16 + WPAD
+            x0 = mx * 16 + WPAD
+            loc = jax.lax.dynamic_slice(Yw, (y0 - 1, x0 - 1), (17, 17))
+            mode, qdc, qac, tile = _encode_i16_mb(
+                loc, srcY_t[mb_c], qp, aL, aT)
+            cy = my * 8 + WPAD
+            cx = mx * 8 + WPAD
+            locu = jax.lax.dynamic_slice(Uw, (cy - 1, cx - 1), (9, 9))
+            locv = jax.lax.dynamic_slice(Vw, (cy - 1, cx - 1), (9, 9))
+            cmode, cdc, cac, tu, tv = _encode_chroma_mb(
+                locu, locv, srcU_t[mb_c], srcV_t[mb_c], qpc, aL, aT)
+            return mode, qdc, qac, cmode, cdc, cac, tile, tu, tv, y0, x0, cy, cx
+
+        (modes, qdcs, qacs, cmodes, cdcs, cacs, tiles, tus, tvs, y0s, x0s,
+         cys, cxs) = jax.vmap(compute)(mb_list)
+
+        do = (mb_list >= 0) & is_intra[jnp.clip(mb_list, 0, n - 1)]
+        # per-MB symbol scatter (out-of-bounds index drops masked lanes)
+        idx = jnp.where(do, jnp.clip(mb_list, 0, n - 1), n)
+        i16_mode = i16_mode.at[idx].set(modes, mode="drop")
+        chroma_mode = chroma_mode.at[idx].set(cmodes, mode="drop")
+        luma_dc = luma_dc.at[idx].set(qdcs, mode="drop")
+        luma_ac = luma_ac.at[idx].set(qacs, mode="drop")
+        chroma_dc = chroma_dc.at[idx].set(cdcs, mode="drop")
+        chroma_ac = chroma_ac.at[idx].set(cacs, mode="drop")
+
+        def scatter(k, bufs):
+            Yw, Uw, Vw = bufs
+            d = do[k]
+            cur = jax.lax.dynamic_slice(Yw, (y0s[k], x0s[k]), (16, 16))
+            Yw = jax.lax.dynamic_update_slice(
+                Yw, jnp.where(d, tiles[k], cur), (y0s[k], x0s[k]))
+            curu = jax.lax.dynamic_slice(Uw, (cys[k], cxs[k]), (8, 8))
+            Uw = jax.lax.dynamic_update_slice(
+                Uw, jnp.where(d, tus[k], curu), (cys[k], cxs[k]))
+            curv = jax.lax.dynamic_slice(Vw, (cys[k], cxs[k]), (8, 8))
+            Vw = jax.lax.dynamic_update_slice(
+                Vw, jnp.where(d, tvs[k], curv), (cys[k], cxs[k]))
+            return Yw, Uw, Vw
+
+        Yw, Uw, Vw = jax.lax.fori_loop(0, mb_list.shape[0], scatter,
+                                       (Yw, Uw, Vw))
+        return (Yw, Uw, Vw, i16_mode, chroma_mode, luma_dc, luma_ac,
+                chroma_dc, chroma_ac), 0
+
+    (Yw, Uw, Vw, i16_mode, chroma_mode, luma_dc, luma_ac, chroma_dc,
+     chroma_ac), _ = jax.lax.scan(
+        diag_step,
+        (Yw, Uw, Vw, i16_mode, chroma_mode, luma_dc, luma_ac, chroma_dc,
+         chroma_ac), diags)
+
+    recY = Yw[WPAD:WPAD + H, WPAD:WPAD + W].astype(jnp.uint8)
+    recU = Uw[WPAD:WPAD + H // 2, WPAD:WPAD + W // 2].astype(jnp.uint8)
+    recV = Vw[WPAD:WPAD + H // 2, WPAD:WPAD + W // 2].astype(jnp.uint8)
+    return (i16_mode, chroma_mode, luma_dc, jt.zigzag4(luma_ac), chroma_dc,
+            chroma_ac, recY, recU, recV)
+
+
+# ---------------------------------------------------------------------------
+# inter path: ME refinement + batched P-MB encode
+# ---------------------------------------------------------------------------
+@functools.partial(jax.jit, static_argnames=("mb_w", "mb_h", "radius"))
+def encode_inter_mbs(mb_w: int, mb_h: int, radius: int, Y, U, V, refY_s,
+                     refU_s, refV_s, qp, qpc):
+    """Whole-frame P-MB analysis, fully batched.
+
+    refY_s/refU_s/refV_s: [1,H+2P,W+2P] edge-padded reference stacks
+    (PAD=32 luma / 16 chroma, same as the decoder's DPB planes).
+    Returns mv (quarter-pel), use_intra, symbol planes, recon tiles and a
+    per-MB all-zero-residual flag for P_Skip detection.
+    """
+    n = mb_w * mb_h
+    srcY_t = _mb_tiles(Y.astype(jnp.int32), mb_h, mb_w, 16)
+    srcU_t = _mb_tiles(U.astype(jnp.int32), mb_h, mb_w, 8)
+    srcV_t = _mb_tiles(V.astype(jnp.int32), mb_h, mb_w, 8)
+    mbi = jnp.arange(n)
+    mby0 = (mbi // mb_w) * 16
+    mbx0 = (mbi % mb_w) * 16
+
+    # integer-pel exhaustive search on the radius-padded window
+    ref_r = jax.lax.slice(
+        refY_s[0], (PAD - radius, PAD - radius),
+        (refY_s.shape[1] - (PAD - radius), refY_s.shape[2] - (PAD - radius)))
+    dy, dx, best_sad, zero_sad = jme.full_search_sad(
+        srcY_t, ref_r, mby0, mbx0, radius)
+    mvx = dx.astype(jnp.int32) * 4
+    mvy = dy.astype(jnp.int32) * 4
+
+    # subpel refinement on the precomputed half-pel planes: half (±2)
+    # then quarter (±1)
+    planes = jmc.halfpel_planes(refY_s[0])
+    mvx, mvy, best_sad = jme.subpel_refine(
+        planes, PAD, mby0, mbx0, mvx, mvy, srcY_t, step=2)
+    mvx, mvy, best_sad = jme.subpel_refine(
+        planes, PAD, mby0, mbx0, mvx, mvy, srcY_t, step=1)
+
+    intra_cost = jme.intra_sad_proxy(srcY_t)
+    use_intra = best_sad > intra_cost + 2048
+
+    pred_y = jmc.mc_luma_mbs(planes, PAD, mby0, mbx0, mvx, mvy)
+    pred_u = jmc.mc_chroma_mbs(refU_s[0], PAD // 2, mby0 // 2, mbx0 // 2,
+                               mvx, mvy)
+    pred_v = jmc.mc_chroma_mbs(refV_s[0], PAD // 2, mby0 // 2, mbx0 // 2,
+                               mvx, mvy)
+
+    resid = srcY_t - pred_y
+    W = jt.fdct4x4(_blocks16(resid))                       # [n,16,4,4]
+    qac = jt.quant4(W, jnp.full((n, 16), qp), False)
+    deq = jt.dequant4(qac, jnp.full((n, 16), qp), FLAT4)
+    rec = _assemble16(jt.idct4x4(deq))
+    tile_y = jnp.clip(pred_y + rec, 0, 255)
+
+    cdc = jnp.zeros((n, 2, 4), jnp.int32)
+    cac = jnp.zeros((n, 2, 4, 16), jnp.int32)
+    tiles_c = []
+    for ci, (src_t, pred_c) in enumerate(((srcU_t, pred_u),
+                                          (srcV_t, pred_v))):
+        residc = src_t - pred_c
+        Wc = jt.fdct4x4(_blocks4(residc))                  # [n,4,4,4]
+        qc = jt.quant4(Wc, jnp.full((n, 4), qpc), False, skip_dc=True)
+        Wd2 = Wc[:, :, 0, 0].reshape(n, 2, 2)
+        qd2 = jt.quant_dc2(jt.fhadamard2x2(Wd2), jnp.full((n,), qpc))
+        dcd = jt.chroma_dc_transform_dequant(qd2, jnp.full((n,), qpc),
+                                             jnp.int32(16))
+        deqc = jt.dequant4(qc, jnp.full((n, 4), qpc), FLAT4)
+        deqc = deqc.at[:, :, 0, 0].set(dcd.reshape(n, 4))
+        recc = _assemble8(jt.idct4x4(deqc))
+        cdc = cdc.at[:, ci].set(qd2.reshape(n, 4))
+        cac = cac.at[:, ci].set(jt.zigzag4(qc))
+        tiles_c.append(jnp.clip(pred_c + recc, 0, 255))
+
+    no_res = ((qac == 0).all(axis=(1, 2, 3)) &
+              (cdc == 0).all(axis=(1, 2)) & (cac == 0).all(axis=(1, 2, 3)))
+    return (mvx, mvy, use_intra, jt.zigzag4(qac), cdc, cac, tile_y,
+            tiles_c[0], tiles_c[1], no_res)
+
+
+# ---------------------------------------------------------------------------
+# device-side packing: ONE device->host transfer per frame
+# (the axon TPU tunnel has ~10-50 ms latency per transfer, so symbol
+# planes are merged and packed to a single int16 array on device)
+# ---------------------------------------------------------------------------
+PACK_W = 410  # 16 dc + 256 ac + 8 cdc + 128 cac + mode + cmode
+
+
+@jax.jit
+def _pack_intra(luma_dc, luma_ac, chroma_dc, chroma_ac, i16_mode,
+                chroma_mode):
+    n = luma_dc.shape[0]
+    return jnp.concatenate(
+        [luma_dc.reshape(n, 16), luma_ac.reshape(n, 256),
+         chroma_dc.reshape(n, 8), chroma_ac.reshape(n, 128),
+         i16_mode.reshape(n, 1), chroma_mode.reshape(n, 1)],
+        axis=1).astype(jnp.int16)
+
+
+@jax.jit
+def _pack_merge(use_intra, luma_dc_i, luma_ac_i, chroma_dc_i, chroma_ac_i,
+                i16_mode, chroma_mode, qac_zz, cdc, cac):
+    n = use_intra.shape[0]
+    sel = use_intra[:, None]
+    return jnp.concatenate(
+        [jnp.where(sel, luma_dc_i.reshape(n, 16), 0),
+         jnp.where(sel, luma_ac_i.reshape(n, 256), qac_zz.reshape(n, 256)),
+         jnp.where(sel, chroma_dc_i.reshape(n, 8), cdc.reshape(n, 8)),
+         jnp.where(sel, chroma_ac_i.reshape(n, 128), cac.reshape(n, 128)),
+         i16_mode.reshape(n, 1), chroma_mode.reshape(n, 1)],
+        axis=1).astype(jnp.int16)
+
+
+@jax.jit
+def _pack_inter_only(qac_zz, cdc, cac):
+    n = qac_zz.shape[0]
+    z1 = jnp.zeros((n, 16), jnp.int16)
+    z2 = jnp.zeros((n, 2), jnp.int16)
+    return jnp.concatenate(
+        [z1, qac_zz.reshape(n, 256).astype(jnp.int16),
+         cdc.reshape(n, 8).astype(jnp.int16),
+         cac.reshape(n, 128).astype(jnp.int16), z2], axis=1)
+
+
+@jax.jit
+def _pack_meta(mvx, mvy, use_intra, no_res):
+    return jnp.stack([mvx, mvy, use_intra.astype(jnp.int32),
+                      no_res.astype(jnp.int32)], axis=1).astype(jnp.int16)
+
+
+def _unpack(packed):
+    """host-side views into the packed [n,410] int16 symbol array."""
+    luma_dc = packed[:, 0:16]
+    luma_ac = packed[:, 16:272].reshape(-1, 16, 16)
+    chroma_dc = packed[:, 272:280].reshape(-1, 2, 4)
+    chroma_ac = packed[:, 280:408].reshape(-1, 8, 16)
+    i16_mode = packed[:, 408]
+    chroma_mode = packed[:, 409]
+    return luma_dc, luma_ac, chroma_dc, chroma_ac, i16_mode, chroma_mode
+
+
+@functools.partial(jax.jit, static_argnames=("mb_h", "mb_w"))
+def _split_src(mb_h: int, mb_w: int, buf):
+    """Split the single uploaded [(H+H/2), W] uint8 buffer into Y,U,V."""
+    H, W = mb_h * 16, mb_w * 16
+    Y = buf[:H]
+    U = buf[H:H + H // 2, :W // 2]
+    V = buf[H:H + H // 2, W // 2:]
+    return Y, U, V
+
+
+@functools.partial(jax.jit, static_argnames=("mb_w", "mb_h"))
+def _finalize_inter(mb_w: int, mb_h: int, tile_y, tile_u, tile_v):
+    """Assemble recon planes when a P frame has no intra MBs."""
+    return (_tiles_to_plane(tile_y, mb_h, mb_w, 16).astype(jnp.uint8),
+            _tiles_to_plane(tile_u, mb_h, mb_w, 8).astype(jnp.uint8),
+            _tiles_to_plane(tile_v, mb_h, mb_w, 8).astype(jnp.uint8))
+
+
+@jax.jit
+def _pad_refs(recY, recU, recV):
+    return (jnp.pad(recY, PAD, mode="edge")[None],
+            jnp.pad(recU, PAD // 2, mode="edge")[None],
+            jnp.pad(recV, PAD // 2, mode="edge")[None])
+
+
+# ---------------------------------------------------------------------------
+# host-side frame drivers
+# ---------------------------------------------------------------------------
+class JaxEncoder:
+    """IPPP fixed-QP encoder with the analysis half on TPU.
+
+    Drop-in equivalent of encoder.Encoder (same native entropy writer,
+    same stream constraints: single slice, disable_deblock=1), but every
+    per-MB loop is replaced by batched/wavefront JAX kernels.
+    """
+
+    ME_RADIUS = 16
+
+    def __init__(self, width, height, qp=28, gop=0, intra_only=False):
+        assert width % 16 == 0 and height % 16 == 0, "pad input to MB size"
+        self.width, self.height = width, height
+        self.mb_w = width // 16
+        self.mb_h = height // 16
+        self.qp = int(qp)
+        self.qpc = int(dn.CHROMA_QP[self.qp])
+        self.gop = gop
+        self.intra_only = intra_only
+        self.frame_idx = 0
+        self.ref = None   # (Y,U,V) uint8 recon planes
+        self._diags = jnp.asarray(_diagonals(self.mb_w, self.mb_h))
+        from . import encoder as _enc
+        self._lib = _enc._cfg_lib()
+
+    # -- helpers ----------------------------------------------------------
+    def _write(self, slice_type, mb_class, mv, i16_mode, chroma_mode,
+               luma_dc, luma_ac, chroma_dc, chroma_ac):
+        from . import encoder as _enc
+        n = self.mb_w * self.mb_h
+        data = _enc._write_frame(
+            self._lib, self.mb_w, self.mb_h, self.qp, self.frame_idx,
+            slice_type=slice_type, mb_class=np.asarray(mb_class, np.uint8),
+            mv=np.asarray(mv, np.int16),
+            i16_mode=np.asarray(i16_mode, np.uint8),
+            chroma_mode=np.asarray(chroma_mode, np.uint8),
+            i4_modes=np.full((n, 16), 2, np.int8),
+            luma_dc=np.asarray(luma_dc, np.int16),
+            luma_ac=np.asarray(luma_ac, np.int16),
+            chroma_dc=np.asarray(chroma_dc, np.int16),
+            chroma_ac=np.asarray(chroma_ac, np.int16),
+            include_params=self.frame_idx == 0)
+        return data
+
+    def _mv_preds(self, mb_class, mv):
+        import ctypes
+        n = self.mb_w * self.mb_h
+        skip_pred = np.zeros((n, 2), np.int16)
+        p16_pred = np.zeros((n, 2), np.int16)
+        err = ctypes.create_string_buffer(512)
+        ptr = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+        mv16 = np.ascontiguousarray(mv, np.int16)
+        mbc = np.ascontiguousarray(mb_class, np.uint8)
+        rc = self._lib.pip_encode_mv_preds(
+            self.mb_w, self.mb_h, ptr(mbc), ptr(mv16),
+            ptr(skip_pred), ptr(p16_pred), err, len(err))
+        if rc != 0:
+            raise RuntimeError(f"pip_encode_mv_preds: {err.value.decode()}")
+        return skip_pred, p16_pred
+
+    # -- frame paths ------------------------------------------------------
+    def _upload(self, Y, U, V):
+        """Single H2D transfer: Y on top, U|V side by side below."""
+        H, W = self.height, self.width
+        buf = np.empty((H + H // 2, W), np.uint8)
+        buf[:H] = Y
+        buf[H:, :W // 2] = U
+        buf[H:, W // 2:] = V
+        return _split_src(self.mb_h, self.mb_w, jnp.asarray(buf))
+
+    def _encode_i(self, Y, U, V):
+        n = self.mb_w * self.mb_h
+        Yd, Ud, Vd = self._upload(Y, U, V)
+        zt16 = jnp.zeros((n, 16, 16), jnp.int32)
+        zt8 = jnp.zeros((n, 8, 8), jnp.int32)
+        (i16_mode, chroma_mode, luma_dc, luma_ac, chroma_dc, chroma_ac,
+         recY, recU, recV) = intra_wavefront(
+            self.mb_w, self.mb_h, Yd, Ud, Vd, zt16, zt8, zt8,
+            jnp.ones((n,), bool), jnp.int32(self.qp), jnp.int32(self.qpc),
+            self._diags)
+        self.ref = (recY, recU, recV)  # device arrays
+        packed = np.asarray(_pack_intra(luma_dc, luma_ac, chroma_dc,
+                                        chroma_ac, i16_mode, chroma_mode))
+        ldc, lac, cdc, cac, i16m, cm = _unpack(packed)
+        mb_class = np.ones(n, np.uint8)
+        mv = np.zeros((n, 2), np.int16)
+        return self._write(1, mb_class, mv, i16m, cm, ldc, lac, cdc, cac)
+
+    def _encode_p(self, Y, U, V):
+        n = self.mb_w * self.mb_h
+        Yd, Ud, Vd = self._upload(Y, U, V)
+        refY_s, refU_s, refV_s = _pad_refs(*self.ref)
+
+        (mvx, mvy, use_intra_d, qac_zz, cdc_d, cac_d, tile_y, tile_u,
+         tile_v, no_res_d) = encode_inter_mbs(
+            self.mb_w, self.mb_h, self.ME_RADIUS, Yd, Ud, Vd, refY_s,
+            refU_s, refV_s, jnp.int32(self.qp), jnp.int32(self.qpc))
+
+        meta = np.asarray(_pack_meta(mvx, mvy, use_intra_d, no_res_d))
+        use_intra = meta[:, 2] != 0
+        no_res = meta[:, 3] != 0
+        mv = np.zeros((n, 2), np.int16)
+        mv[:, 0] = meta[:, 0]
+        mv[:, 1] = meta[:, 1]
+        mv[use_intra] = 0
+        mb_class = np.where(use_intra, 1, 3).astype(np.uint8)
+
+        if use_intra.any():
+            # intra-fallback wavefront on top of the inter recon tiles
+            m = jnp.asarray(~use_intra)[:, None, None]
+            (i16_mode, chroma_mode, luma_dc_i, luma_ac_i, chroma_dc_i,
+             chroma_ac_i, recY, recU, recV) = intra_wavefront(
+                self.mb_w, self.mb_h, Yd, Ud, Vd, jnp.where(m, tile_y, 0),
+                jnp.where(m, tile_u, 0), jnp.where(m, tile_v, 0),
+                use_intra_d, jnp.int32(self.qp), jnp.int32(self.qpc),
+                self._diags)
+            packed = np.asarray(_pack_merge(
+                use_intra_d, luma_dc_i, luma_ac_i, chroma_dc_i, chroma_ac_i,
+                i16_mode, chroma_mode, qac_zz, cdc_d, cac_d))
+        else:
+            recY, recU, recV = _finalize_inter(self.mb_w, self.mb_h, tile_y,
+                                               tile_u, tile_v)
+            packed = np.asarray(_pack_inter_only(qac_zz, cdc_d, cac_d))
+
+        ldc, lac, cdc, cac, i16m, cm = _unpack(packed)
+
+        # P_Skip: zero residual + MV equals the skip predictor
+        skip_pred, _ = self._mv_preds(mb_class, mv)
+        is_skip = (no_res & ~use_intra & (mv[:, 0] == skip_pred[:, 0])
+                   & (mv[:, 1] == skip_pred[:, 1]))
+        mb_class[is_skip] = 11
+
+        self.ref = (recY, recU, recV)  # device arrays
+        return self._write(0, mb_class, mv, i16m, cm, ldc, lac, cdc, cac)
+
+    def encode_frame(self, Y, U, V):
+        is_idr = (self.ref is None or self.intra_only
+                  or (self.gop and self.frame_idx % self.gop == 0))
+        data = self._encode_i(Y, U, V) if is_idr else self._encode_p(Y, U, V)
+        self.frame_idx += 1
+        return data
+
+    @property
+    def recon(self):
+        """Host copies of the reconstruction planes (testing/inspection)."""
+        return tuple(np.asarray(p) for p in self.ref)
+
+
+def encode_yuv(frames, width, height, qp=28, gop=0, intra_only=False):
+    enc = JaxEncoder(width, height, qp=qp, gop=gop, intra_only=intra_only)
+    out = b""
+    for (Y, U, V) in frames:
+        out += enc.encode_frame(Y, U, V)
+    return out

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _sixtap(a, b, c, d, e, f):
@@ -75,6 +76,103 @@ def mc_luma_cells(ref_stack: jax.Array, pad: int, ref_idx: jax.Array,
     return jax.vmap(one)(ref_idx.astype(jnp.int32), y0.astype(jnp.int32),
                          x0.astype(jnp.int32), mvx.astype(jnp.int32),
                          mvy.astype(jnp.int32))
+
+
+def halfpel_planes(ref_pad: jax.Array) -> jax.Array:
+    """Precompute the four H.264 half-pel planes of a padded reference.
+
+    ref_pad: [Hp, Wp] (uint8/int32) edge-padded reference plane.
+    Returns [4, Hp-5, Wp-5] int32 stacked planes (G, b, h, j) aligned so
+    reference position (y, x) maps to planes[:, y-2, x-2]:
+      G = integer samples, b = (y, x+1/2), h = (y+1/2, x), j = both.
+
+    This is the TPU-native replacement for per-block 6-tap interpolation
+    during motion search: three full-plane FIR filters once per frame,
+    then every candidate prediction is a slice + average (mc.cpp
+    McHorVer* per-block dispatch in the reference).
+    """
+    r = ref_pad.astype(jnp.int32)
+    bf = _sixtap(r[:, 0:-5], r[:, 1:-4], r[:, 2:-3], r[:, 3:-2], r[:, 4:-1],
+                 r[:, 5:])                              # [Hp, Wp-5]
+    b = jnp.clip((bf + 16) >> 5, 0, 255)
+    hf = _sixtap(r[0:-5, :], r[1:-4, :], r[2:-3, :], r[3:-2, :], r[4:-1, :],
+                 r[5:, :])                              # [Hp-5, Wp]
+    h = jnp.clip((hf + 16) >> 5, 0, 255)
+    jf = _sixtap(bf[0:-5], bf[1:-4], bf[2:-3], bf[3:-2], bf[4:-1], bf[5:])
+    j = jnp.clip((jf + 512) >> 10, 0, 255)              # [Hp-5, Wp-5]
+    return jnp.stack([r[2:-3, 2:-3], b[2:-3, :], h[:, 2:-3], j])
+
+
+# quarter-pel case tables: k = (mvy&3)*4 + (mvx&3) selects two plane
+# samples whose rounded average is the predicted value (planes G=0, b=1,
+# h=2, j=3; identical-pair entries are the pure G/b/h/j cases since
+# (2a+1)>>1 == a). Derived from the spec 8.4.2.2.1 quarter-sample rules
+# (same math as mc_luma_cells above).
+QTAB = np.array(
+    #  p1 dy1 dx1  p2 dy2 dx2        k = fy*4+fx
+    [[0, 0, 0, 0, 0, 0],   # 0  (0,0) G
+     [0, 0, 0, 1, 0, 0],   # 1  (0,1) (G+b)/2
+     [1, 0, 0, 1, 0, 0],   # 2  (0,2) b
+     [0, 0, 1, 1, 0, 0],   # 3  (0,3) (G(x+1)+b)/2
+     [0, 0, 0, 2, 0, 0],   # 4  (1,0) (G+h)/2
+     [1, 0, 0, 2, 0, 0],   # 5  (1,1) (b+h)/2
+     [1, 0, 0, 3, 0, 0],   # 6  (1,2) (b+j)/2
+     [1, 0, 0, 2, 0, 1],   # 7  (1,3) (b+h(x+1))/2
+     [2, 0, 0, 2, 0, 0],   # 8  (2,0) h
+     [2, 0, 0, 3, 0, 0],   # 9  (2,1) (h+j)/2
+     [3, 0, 0, 3, 0, 0],   # 10 (2,2) j
+     [2, 0, 1, 3, 0, 0],   # 11 (2,3) (h(x+1)+j)/2
+     [0, 1, 0, 2, 0, 0],   # 12 (3,0) (G(y+1)+h)/2
+     [1, 1, 0, 2, 0, 0],   # 13 (3,1) (b(y+1)+h)/2
+     [1, 1, 0, 3, 0, 0],   # 14 (3,2) (b(y+1)+j)/2
+     [1, 1, 0, 2, 0, 1]],  # 15 (3,3) (b(y+1)+h(x+1))/2
+    np.int32)
+
+
+def mc_luma_mbs(planes: jax.Array, pad: int, y0: jax.Array, x0: jax.Array,
+                mvx: jax.Array, mvy: jax.Array) -> jax.Array:
+    """Whole-MB quarter-pel luma prediction from precomputed half-pel
+    planes. planes: halfpel_planes() output for a pad-padded reference.
+    Returns [n,16,16] int32, element-exact vs mc_luma_cells for MVs that
+    stay inside the padded window (i.e. any ME-produced MV)."""
+    tab = jnp.asarray(QTAB)
+
+    def one(cy, cx, vx, vy):
+        k = (vy & 3) * 4 + (vx & 3)
+        e = tab[k]
+        by = pad - 2 + cy + (vy >> 2)
+        bx = pad - 2 + cx + (vx >> 2)
+        t1 = jax.lax.dynamic_slice(planes, (e[0], by + e[1], bx + e[2]),
+                                   (1, 16, 16))[0]
+        t2 = jax.lax.dynamic_slice(planes, (e[3], by + e[4], bx + e[5]),
+                                   (1, 16, 16))[0]
+        return (t1 + t2 + 1) >> 1
+
+    return jax.vmap(one)(y0.astype(jnp.int32), x0.astype(jnp.int32),
+                         mvx.astype(jnp.int32), mvy.astype(jnp.int32))
+
+
+def mc_chroma_mbs(ref_pad_c: jax.Array, pad: int, cy0: jax.Array,
+                  cx0: jax.Array, mvx: jax.Array, mvy: jax.Array):
+    """Whole-8x8-block chroma prediction (one gather per MB instead of 16
+    cell gathers; MV uniform across the MB). Element-exact vs
+    mc_chroma_cells for in-window MVs."""
+
+    def one(cy, cx, vx, vy):
+        win = jax.lax.dynamic_slice(
+            ref_pad_c, (pad + cy + (vy >> 3), pad + cx + (vx >> 3)),
+            (9, 9)).astype(jnp.int32)
+        fx = vx & 7
+        fy = vy & 7
+        A = win[0:8, 0:8]
+        B = win[0:8, 1:9]
+        C = win[1:9, 0:8]
+        D = win[1:9, 1:9]
+        return ((8 - fx) * (8 - fy) * A + fx * (8 - fy) * B +
+                (8 - fx) * fy * C + fx * fy * D + 32) >> 6
+
+    return jax.vmap(one)(cy0.astype(jnp.int32), cx0.astype(jnp.int32),
+                         mvx.astype(jnp.int32), mvy.astype(jnp.int32))
 
 
 def mc_chroma_cells(ref_stack: jax.Array, pad: int, ref_idx: jax.Array,

@@ -14,6 +14,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 @partial(jax.jit, static_argnames=("radius",))
@@ -45,6 +46,62 @@ def full_search_sad(cur_mbs: jax.Array, ref_pad: jax.Array, mb_y: jax.Array,
                 sads[radius, radius])
 
     return jax.vmap(one_mb)(cur_mbs, mb_y, mb_x)
+
+
+@partial(jax.jit, static_argnames=("step", "pad"))
+def subpel_refine(planes: jax.Array, pad: int, mb_y: jax.Array,
+                  mb_x: jax.Array, mvx: jax.Array, mvy: jax.Array,
+                  cur_mbs: jax.Array, step: int):
+    """One sub-pel refinement round (step=2: half-pel, step=1: quarter).
+
+    planes: mc.halfpel_planes() output. Per MB, gathers ONE [4,18,18]
+    window around the current integer position; every candidate
+    prediction is then a STATIC slice + average of that window (no
+    per-candidate interpolation or dynamic indexing — the reference
+    recomputes 6-tap blocks per candidate,
+    svc_motion_estimate.cpp half-pel iterations). Entering a round the
+    fractional MV parts are restricted (step=2: integer MVs from full
+    search; step=1: {0,2} halves), so the slice set per candidate is
+    enumerable at trace time; step=1 computes all four base cases and
+    selects per MB.
+    Returns (mvx, mvy, best_sad) per MB.
+    """
+    from .mc import QTAB
+    offs = [(oy, ox) for oy in (-step, 0, step) for ox in (-step, 0, step)]
+    bases = [(0, 0)] if step == 2 else [(0, 0), (0, 2), (2, 0), (2, 2)]
+    oy_arr = jnp.asarray(np.array([o[0] for o in offs], np.int32))
+    ox_arr = jnp.asarray(np.array([o[1] for o in offs], np.int32))
+
+    def one(cy, cx, vx, vy, cur):
+        iy0 = vy >> 2
+        ix0 = vx >> 2
+        win = jax.lax.dynamic_slice(
+            planes, (0, pad - 3 + cy + iy0, pad - 3 + cx + ix0), (4, 18, 18))
+
+        sads_b = []
+        for bfy, bfx in bases:
+            sads = []
+            for oy, ox in offs:
+                k = ((bfy + oy) & 3) * 4 + ((bfx + ox) & 3)
+                p1, dy1, dx1, p2, dy2, dx2 = (int(v) for v in QTAB[k])
+                ry = 1 + ((bfy + oy) >> 2)
+                rx = 1 + ((bfx + ox) >> 2)
+                t1 = win[p1, ry + dy1:ry + dy1 + 16, rx + dx1:rx + dx1 + 16]
+                t2 = win[p2, ry + dy2:ry + dy2 + 16, rx + dx2:rx + dx2 + 16]
+                pred = (t1 + t2 + 1) >> 1
+                sads.append(jnp.abs(pred - cur).sum())
+            sads_b.append(jnp.stack(sads))
+        if step == 2:
+            sads = sads_b[0]
+        else:
+            bidx = ((vy & 2) >> 1) * 2 + ((vx & 2) >> 1)
+            sads = jnp.stack(sads_b)[bidx]
+        best = jnp.argmin(sads)
+        return vx + ox_arr[best], vy + oy_arr[best], sads[best]
+
+    return jax.vmap(one)(mb_y.astype(jnp.int32), mb_x.astype(jnp.int32),
+                         mvx.astype(jnp.int32), mvy.astype(jnp.int32),
+                         cur_mbs)
 
 
 @partial(jax.jit, static_argnames=())

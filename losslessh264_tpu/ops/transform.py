@@ -222,3 +222,103 @@ def recon_residual_frame(coeff_blocks: jax.Array, qp: jax.Array) -> jax.Array:
     """Dequant + IDCT over 4x4 blocks (flat weights) — used by bench/entry."""
     w = jnp.full((4, 4), 16, jnp.int32)
     return idct4x4(dequant4(coeff_blocks, qp, w))
+
+
+# ---------------------------------------------------------------------------
+# Forward path (encoder): batched DCT / Hadamard / quantization.
+# Element-exact vs the numpy oracle in losslessh264_tpu/encoder.py
+# (reference behavior: encoder/core encode_mb_aux.cpp WelsDctMb /
+# WelsQuant4x4 / WelsHadamardT4Dc and the MF quant multiplier tables).
+# ---------------------------------------------------------------------------
+# quant multipliers MF[qp%6] expanded per coefficient position (same
+# positional-class layout as the dequant _POS4 table)
+MF4_V = jnp.asarray(
+    np.array([[13107, 5243, 8066],
+              [11916, 4660, 7490],
+              [10082, 4194, 6554],
+              [9362, 3647, 5825],
+              [8192, 3355, 5243],
+              [7282, 2893, 4559]], np.int64)[:, _np_ref._POS4])  # [6,4,4]
+ZZ4 = jnp.asarray(_np_ref._ZZ4)  # [16] raster index per zigzag position
+
+
+def fdct4x4(blocks: jax.Array) -> jax.Array:
+    """Forward 4x4 core transform, batched. [..,4,4] int -> [..,4,4] int32."""
+    b = blocks.astype(jnp.int32)
+
+    def core_last(a):
+        s0 = a[..., 0] + a[..., 3]
+        s1 = a[..., 1] + a[..., 2]
+        d0 = a[..., 0] - a[..., 3]
+        d1 = a[..., 1] - a[..., 2]
+        return jnp.stack([s0 + s1, 2 * d0 + d1, s0 - s1, d0 - 2 * d1], axis=-1)
+
+    h = core_last(b)
+    v = core_last(jnp.swapaxes(h, -1, -2))
+    return jnp.swapaxes(v, -1, -2)
+
+
+def quant4(W: jax.Array, qp: jax.Array, intra, skip_dc: bool = False):
+    """Quantize transformed 4x4 blocks. W [..,4,4], qp [..] (broadcast),
+    intra [..] bool or python bool. Returns int32 levels."""
+    qp = jnp.asarray(qp, jnp.int32)
+    qbits = 15 + qp // 6
+    base = jnp.left_shift(1, qbits)
+    f = jnp.where(jnp.asarray(intra), base // 3, base // 6)
+    mf = MF4_V[qp % 6]  # [..,4,4]
+    Wl = W.astype(jnp.int64)
+    Z = jnp.right_shift(jnp.abs(Wl) * mf + f[..., None, None].astype(jnp.int64),
+                        qbits[..., None, None]).astype(jnp.int32)
+    Z = jnp.sign(W).astype(jnp.int32) * Z
+    if skip_dc:
+        Z = Z.at[..., 0, 0].set(0)
+    return Z
+
+
+def fhadamard4x4(X: jax.Array) -> jax.Array:
+    """Forward 4x4 Hadamard of I16 luma DC terms (with //2), batched."""
+    b = X.astype(jnp.int64)
+
+    def h_last(a):
+        s0 = a[..., 0] + a[..., 3]
+        s1 = a[..., 1] + a[..., 2]
+        d0 = a[..., 0] - a[..., 3]
+        d1 = a[..., 1] - a[..., 2]
+        return jnp.stack([s0 + s1, d0 + d1, s0 - s1, d0 - d1], axis=-1)
+
+    h = h_last(b)
+    v = h_last(jnp.swapaxes(h, -1, -2))
+    return jnp.swapaxes(v, -1, -2) // 2
+
+
+def quant_dc4(Yd: jax.Array, qp: jax.Array) -> jax.Array:
+    """Quantize Hadamard-transformed I16 luma DC [..,4,4]; qp [..]."""
+    qp = jnp.asarray(qp, jnp.int32)
+    qbits = 15 + qp // 6
+    f = jnp.left_shift(1, qbits) // 3
+    mf = MF4_V[qp % 6][..., 0, 0]  # [..] scalar class-0 multiplier
+    num = (jnp.abs(Yd.astype(jnp.int64)) * mf[..., None, None].astype(jnp.int64)
+           + 2 * f[..., None, None].astype(jnp.int64))
+    Z = jnp.right_shift(num, (qbits + 1)[..., None, None]).astype(jnp.int32)
+    return jnp.sign(Yd).astype(jnp.int32) * Z
+
+
+def fhadamard2x2(X: jax.Array) -> jax.Array:
+    """Forward 2x2 Hadamard of chroma DC terms [..,2,2] (no scaling)."""
+    a = X[..., 0, 0].astype(jnp.int64)
+    b = X[..., 0, 1].astype(jnp.int64)
+    c = X[..., 1, 0].astype(jnp.int64)
+    d = X[..., 1, 1].astype(jnp.int64)
+    return jnp.stack([jnp.stack([a + b + c + d, a - b + c - d], -1),
+                      jnp.stack([a + b - c - d, a - b - c + d], -1)], -2)
+
+
+def quant_dc2(Yd: jax.Array, qpc: jax.Array) -> jax.Array:
+    """Quantize 2x2 chroma DC [..,2,2]; qpc [..]."""
+    return quant_dc4(Yd, qpc)
+
+
+def zigzag4(blocks: jax.Array) -> jax.Array:
+    """[..,4,4] -> [..,16] in zigzag scan order."""
+    flat = blocks.reshape(blocks.shape[:-2] + (16,))
+    return flat[..., ZZ4]

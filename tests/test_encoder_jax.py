@@ -1,0 +1,112 @@
+"""TPU-batched encoder (encoder_jax): decode roundtrip, bit-exact in-loop
+recon vs the decoder, subpel ME/MC parity, recompression of own streams.
+(Reference test model: EncUT_* encoder units + decode_encode_test.cpp.)"""
+import numpy as np
+
+from losslessh264_tpu import decoder_np, encoder_jax, native
+from losslessh264_tpu.ops import mc as jmc
+
+
+def _moving_frames(n=4, W=64, H=48, seed=7):
+    rng = np.random.RandomState(seed)
+    bg = rng.randint(0, 255, (H + 32, W + 32)).astype(np.uint8)
+    frames = []
+    for i in range(n):
+        Y = np.ascontiguousarray(bg[i * 2:i * 2 + H, i * 3:i * 3 + W])
+        U = np.full((H // 2, W // 2), 100 + i, np.uint8)
+        V = np.full((H // 2, W // 2), 200, np.uint8)
+        frames.append((Y, U, V))
+    return frames
+
+
+def test_mc_luma_mbs_matches_decoder():
+    rng = np.random.default_rng(3)
+    H, W, PAD = 64, 96, 32
+    ref = rng.integers(0, 256, (H, W)).astype(np.uint8)
+    ref_pad = np.pad(ref, PAD, mode="edge")
+    planes = jmc.halfpel_planes(ref_pad)
+    n = 80
+    y0 = rng.integers(0, H // 16, n) * 16
+    x0 = rng.integers(0, W // 16, n) * 16
+    mvx = rng.integers(-68, 69, n)
+    mvy = rng.integers(-68, 69, n)
+    got = np.asarray(jmc.mc_luma_mbs(planes, PAD, y0, x0, mvx, mvy))
+    for i in range(n):
+        want = decoder_np.mc_luma_block(ref_pad, PAD, int(y0[i]), int(x0[i]),
+                                        int(mvx[i]), int(mvy[i]), 16, 16)
+        np.testing.assert_array_equal(got[i], want,
+                                      err_msg=f"mv=({mvx[i]},{mvy[i]})")
+
+
+def test_mc_chroma_mbs_matches_decoder():
+    rng = np.random.default_rng(4)
+    H, W, PAD = 32, 48, 16
+    ref = rng.integers(0, 256, (H, W)).astype(np.uint8)
+    ref_pad = np.pad(ref, PAD, mode="edge")
+    n = 80
+    y0 = rng.integers(0, H // 8, n) * 8
+    x0 = rng.integers(0, W // 8, n) * 8
+    mvx = rng.integers(-60, 61, n)
+    mvy = rng.integers(-60, 61, n)
+    got = np.asarray(jmc.mc_chroma_mbs(ref_pad, PAD, y0, x0, mvx, mvy))
+    for i in range(n):
+        want = decoder_np.mc_chroma_block(ref_pad, PAD, int(y0[i]),
+                                          int(x0[i]), int(mvx[i]),
+                                          int(mvy[i]), 8, 8)
+        np.testing.assert_array_equal(got[i], want)
+
+
+def test_jax_encode_recon_matches_decoder():
+    """In-loop recon (I and P frames, incl. subpel MVs) must equal the
+    decoder's pre-deblock reconstruction bit-exactly."""
+    frames = _moving_frames(4)
+    enc = encoder_jax.JaxEncoder(64, 48, qp=26)
+    data = b""
+    for f in frames:
+        data += enc.encode_frame(*f)
+    dec = decoder_np.NpDecoder(data)
+    dec._deblock = lambda *a, **k: None
+    last = None
+    for fr in dec.frames():
+        last = fr
+    recY, recU, recV = enc.recon
+    np.testing.assert_array_equal(last[0], recY)
+    np.testing.assert_array_equal(last[1], recU)
+    np.testing.assert_array_equal(last[2], recV)
+
+
+def test_jax_encode_decode_psnr_and_recompress():
+    frames = _moving_frames(4)
+    data = encoder_jax.encode_yuv(frames, 64, 48, qp=24)
+    outs = decoder_np.decode_to_yuv(data)
+    assert len(outs) == len(frames)
+    for (Y, U, V), (sy, su, sv) in zip(outs, frames):
+        mse = np.mean((Y.astype(float) - sy) ** 2)
+        assert 10 * np.log10(255 ** 2 / max(mse, 1e-9)) > 30.0
+    pip, st = native.compress(data, verify=False)
+    out, _ = native.decompress(pip)
+    assert out == data
+    assert st.n_fallback_slices == 0
+
+
+def test_jax_encode_static_scene_skips():
+    rng = np.random.RandomState(3)
+    H, W = 48, 64
+    Y = rng.randint(0, 255, (H, W)).astype(np.uint8)
+    U = np.full((H // 2, W // 2), 90, np.uint8)
+    V = np.full((H // 2, W // 2), 160, np.uint8)
+    enc = encoder_jax.JaxEncoder(W, H, qp=26)
+    first = enc.encode_frame(Y, U, V)
+    second = enc.encode_frame(Y, U, V)
+    assert len(second) < len(first) // 10
+
+
+def test_jax_encoder_gop_structure():
+    frames = _moving_frames(5)
+    enc = encoder_jax.JaxEncoder(64, 48, qp=28, gop=2)
+    sizes = [len(enc.encode_frame(*f)) for f in frames]
+    data = encoder_jax.encode_yuv(frames, 64, 48, qp=28, gop=2)
+    outs = decoder_np.decode_to_yuv(data)
+    assert len(outs) == 5
+    # frames 0,2,4 are IDR (larger), 1,3 are P
+    assert sizes[1] < sizes[0] and sizes[3] < sizes[2]

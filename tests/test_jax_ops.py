@@ -85,6 +85,52 @@ def test_mc_luma():
         np.testing.assert_array_equal(got[i], want, err_msg=f"cell {i} mv=({mvx[i]},{mvy[i]})")
 
 
+def test_forward_dct_quant():
+    from losslessh264_tpu import encoder as enc
+    blocks = rng.integers(-255, 256, (96, 4, 4)).astype(np.int32)
+    qps = rng.integers(0, 52, (96,))
+    intra = rng.integers(0, 2, (96,)).astype(bool)
+    W = np.asarray(jt.fdct4x4(blocks))
+    Z = np.asarray(jt.quant4(W, qps, intra))
+    Zs = np.asarray(jt.quant4(W, qps, intra, skip_dc=True))
+    for i in range(96):
+        w_want = enc.fdct4x4(blocks[i])
+        np.testing.assert_array_equal(W[i], w_want)
+        np.testing.assert_array_equal(
+            Z[i], enc.quant4x4(w_want, int(qps[i]), intra=bool(intra[i])))
+        np.testing.assert_array_equal(
+            Zs[i], enc.quant4x4(w_want, int(qps[i]), intra=bool(intra[i]),
+                                skip_dc=True))
+
+
+def test_forward_hadamard_dc():
+    from losslessh264_tpu import encoder as enc
+    dc = rng.integers(-30000, 30000, (64, 4, 4)).astype(np.int64)
+    qps = rng.integers(0, 52, (64,))
+    Yd = np.asarray(jt.fhadamard4x4(dc))
+    Q = np.asarray(jt.quant_dc4(jt.fhadamard4x4(dc), qps))
+    dc2 = rng.integers(-30000, 30000, (64, 2, 2)).astype(np.int64)
+    Yd2 = np.asarray(jt.fhadamard2x2(dc2))
+    Q2 = np.asarray(jt.quant_dc2(jt.fhadamard2x2(dc2), qps))
+    for i in range(64):
+        want = enc.fhadamard4(dc[i])
+        np.testing.assert_array_equal(Yd[i], want)
+        np.testing.assert_array_equal(Q[i], enc.quant_dc4(want, int(qps[i])))
+        a, b_, c, d_ = (int(dc2[i, 0, 0]), int(dc2[i, 0, 1]),
+                        int(dc2[i, 1, 0]), int(dc2[i, 1, 1]))
+        want2 = np.array([[a + b_ + c + d_, a - b_ + c - d_],
+                          [a + b_ - c - d_, a - b_ - c + d_]], np.int64)
+        np.testing.assert_array_equal(Yd2[i], want2)
+        np.testing.assert_array_equal(Q2[i], enc.quant_dc2(want2, int(qps[i])))
+
+
+def test_zigzag4():
+    blocks = rng.integers(-99, 99, (8, 4, 4))
+    got = np.asarray(jt.zigzag4(blocks))
+    for i in range(8):
+        np.testing.assert_array_equal(got[i], blocks[i].reshape(16)[dn._ZZ4])
+
+
 def test_mc_chroma():
     H, W, PAD = 32, 32, 16
     ref = rng.integers(0, 256, (H, W)).astype(np.uint8)
