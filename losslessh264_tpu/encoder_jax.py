@@ -438,7 +438,8 @@ class JaxEncoder:
 
     ME_RADIUS = 16
 
-    def __init__(self, width, height, qp=28, gop=0, intra_only=False):
+    def __init__(self, width, height, qp=28, gop=0, intra_only=False,
+                 rc=None, scene_cut=False):
         assert width % 16 == 0 and height % 16 == 0, "pad input to MB size"
         self.width, self.height = width, height
         self.mb_w = width // 16
@@ -447,8 +448,11 @@ class JaxEncoder:
         self.qpc = int(dn.CHROMA_QP[self.qp])
         self.gop = gop
         self.intra_only = intra_only
+        self.rc = rc                 # optional ratectl.RateControl
+        self.scene_cut = scene_cut   # IDR on detected scene changes
         self.frame_idx = 0
-        self.ref = None   # (Y,U,V) uint8 recon planes
+        self.ref = None   # (Y,U,V) uint8 recon planes (device arrays)
+        self._prev_src = None  # device luma of the previous source frame
         self._diags = jnp.asarray(_diagonals(self.mb_w, self.mb_h))
         from . import encoder as _enc
         self._lib = _enc._cfg_lib()
@@ -564,9 +568,23 @@ class JaxEncoder:
         return self._write(0, mb_class, mv, i16m, cm, ldc, lac, cdc, cac)
 
     def encode_frame(self, Y, U, V):
+        from . import processing as proc
         is_idr = (self.ref is None or self.intra_only
                   or (self.gop and self.frame_idx % self.gop == 0))
+        cur_src = jnp.asarray(Y) if (self.scene_cut or self.rc) else None
+        if (self.scene_cut and not is_idr and self._prev_src is not None
+                and proc.is_scene_change(cur_src, self._prev_src)):
+            is_idr = True
+        if self.rc is not None:
+            cx = (float(proc.frame_complexity(cur_src, self._prev_src))
+                  if self._prev_src is not None else
+                  float(jnp.abs(cur_src.astype(jnp.int32) - 128).sum()))
+            self.qp = self.rc.frame_qp(cx, is_idr)
+            self.qpc = int(dn.CHROMA_QP[self.qp])
         data = self._encode_i(Y, U, V) if is_idr else self._encode_p(Y, U, V)
+        if self.rc is not None:
+            self.rc.update(8 * len(data))
+        self._prev_src = cur_src
         self.frame_idx += 1
         return data
 
