@@ -55,9 +55,39 @@ def main():
             "savings": round(savings, 4),
             "savings_vs_ref": round(savings / REF_SAVINGS, 3),
             "bytes": {"in": len(data), "pip": len(pip)},
+            "encode_720p_fps": _bench_encode_720p(),
         },
     }
     print(json.dumps(result))
+
+
+def _bench_encode_720p():
+    """TPU encode throughput at 720p IPPP (the BASELINE config-5 analog;
+    the reference's Cisco_Absolute_Power YUV is a stripped blob, so the
+    content is synthetic 720p with global motion + texture)."""
+    import numpy as np
+
+    from losslessh264_tpu import encoder_jax
+
+    rng = np.random.RandomState(1)
+    W, H = 1280, 720
+    base = (np.indices((H + 64, W + 64)).sum(0) % 256).astype(np.uint8)
+    tex = rng.randint(0, 40, (H + 64, W + 64)).astype(np.uint8)
+    scene = ((base.astype(int) + tex) % 256).astype(np.uint8)
+    frames = []
+    for i in range(10):
+        Y = np.ascontiguousarray(scene[i * 3:i * 3 + H, i * 5:i * 5 + W])
+        U = np.ascontiguousarray(scene[:H // 2, :W // 2])
+        V = np.ascontiguousarray(scene[1:H // 2 + 1, 1:W // 2 + 1])
+        frames.append((Y, U, V))
+    enc = encoder_jax.JaxEncoder(W, H, qp=28)
+    enc.encode_frame(*frames[0])   # compile I
+    enc.encode_frame(*frames[1])   # compile P
+    t0 = time.perf_counter()
+    for f in frames[2:]:
+        enc.encode_frame(*f)
+    t1 = time.perf_counter()
+    return round(8 / (t1 - t0), 2)
 
 
 if __name__ == "__main__":

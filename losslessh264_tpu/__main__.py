@@ -4,6 +4,9 @@
   python -m losslessh264_tpu in.264 out.pip    # compress
   python -m losslessh264_tpu in.pip out.264    # decompress
   python -m losslessh264_tpu roundtrip in.264  # compress+decompress+diff
+  python -m losslessh264_tpu encode in.yuv WxH out.264 [--qp N]
+                                               # TPU encode (I420 input;
+                                               # the h264enc equivalent)
 
 Like the reference, direction is inferred: .pip input (magic "PIPT")
 decompresses, anything else compresses.
@@ -22,15 +25,58 @@ def main(argv=None):
         prog="losslessh264_tpu",
         description="Lossless H.264 recompression (Pied-Piper class), TPU-native rebuild",
     )
-    ap.add_argument("input", help="input file (.264 or .pip) or 'roundtrip'")
+    ap.add_argument("input",
+                    help="input file (.264 or .pip), 'roundtrip' or 'encode'")
     ap.add_argument("output", nargs="?", help="output file")
+    ap.add_argument("extra", nargs="*",
+                    help="encode mode: WxH out.264")
     ap.add_argument("--no-verify", action="store_true",
                     help="skip compress-time roundtrip verification")
     ap.add_argument("--stats", action="store_true", help="print stats to stderr")
     ap.add_argument("--billing", action="store_true",
                     help="print per-feature compressed-size billing "
                          "(reference parity: analyze_billing.py)")
+    ap.add_argument("--qp", type=int, default=28, help="encode QP")
+    ap.add_argument("--gop", type=int, default=0,
+                    help="encode GOP length (0 = single IDR)")
+    ap.add_argument("--bitrate", type=float, default=0,
+                    help="encode target bitrate (bps; enables rate control)")
+    ap.add_argument("--fps", type=float, default=25.0, help="encode fps (RC)")
     args = ap.parse_args(argv)
+
+    if args.input == "encode":
+        if not args.output or len(args.extra) != 2:
+            ap.error("encode mode: encode in.yuv WxH out.264")
+        yuv_path, dims, out_path = args.output, args.extra[0], args.extra[1]
+        W, H = (int(v) for v in dims.lower().split("x"))
+        import numpy as np
+
+        from . import encoder_jax, ratectl
+        fsz = W * H * 3 // 2
+        raw = open(yuv_path, "rb").read()
+        n_frames = len(raw) // fsz
+        if n_frames == 0:
+            ap.error(f"input smaller than one {dims} I420 frame")
+        rc = (ratectl.RateControl(args.bitrate, args.fps, qp_init=args.qp)
+              if args.bitrate else None)
+        enc = encoder_jax.JaxEncoder(W, H, qp=args.qp, gop=args.gop, rc=rc,
+                                     scene_cut=args.gop == 0)
+        t0 = time.perf_counter()
+        out = b""
+        for i in range(n_frames):
+            o = i * fsz
+            Y = np.frombuffer(raw, np.uint8, W * H, o).reshape(H, W)
+            U = np.frombuffer(raw, np.uint8, W * H // 4,
+                              o + W * H).reshape(H // 2, W // 2)
+            V = np.frombuffer(raw, np.uint8, W * H // 4,
+                              o + W * H * 5 // 4).reshape(H // 2, W // 2)
+            out += enc.encode_frame(Y, U, V)
+        t1 = time.perf_counter()
+        open(out_path, "wb").write(out)
+        if args.stats:
+            print(f"encoded {n_frames} frames {dims} -> {len(out)} bytes, "
+                  f"{n_frames/(t1-t0):.1f} fps", file=sys.stderr)
+        return 0
 
     if args.input == "roundtrip":
         path = args.output
