@@ -626,15 +626,42 @@ def _filter_edge_chroma(p, q, bs, alpha, beta, tc0):
 # ---------------------------------------------------------------------------
 class NpDecoder:
     """Decodes a .264 byte stream to YUV frames via the native symbol layer
-    plus numpy pixel reconstruction."""
+    plus numpy pixel reconstruction.
 
-    def __init__(self, data: bytes):
+    error_concealment: on undecodable frame data, emit a copy of the last
+    decoded frame instead of raising (the reference decoder's
+    ERROR_CON_FRAME_COPY mode, error_concealment.cpp; enabled by default
+    like h264dec.cpp:156-157 sets ERROR_CON_SLICE_COPY)."""
+
+    def __init__(self, data: bytes, error_concealment: bool = True):
         self.sym = native.SymbolDecoder(data)
         self.outputs = []  # decoded frames (Y, U, V) in decode order
+        self.concealed = 0
+        self._conceal = error_concealment
 
     def frames(self):
-        for f in self.sym:
-            yuv = self._recon_frame(f)
+        it = iter(self.sym)
+        while True:
+            try:
+                f = next(it)
+            except StopIteration:
+                return
+            except Exception:
+                if not self._conceal or not self.outputs:
+                    raise
+                # symbol layer is unrecoverable mid-stream: conceal one
+                # frame (frame copy) and end the sequence
+                self.concealed += 1
+                self.outputs.append(self.outputs[-1])
+                yield self.outputs[-1]
+                return
+            try:
+                yuv = self._recon_frame(f)
+            except Exception:
+                if not self._conceal or not self.outputs:
+                    raise
+                self.concealed += 1
+                yuv = self.outputs[-1]
             self.outputs.append(yuv)
             yield yuv
 

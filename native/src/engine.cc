@@ -149,19 +149,25 @@ struct WalkState {
 static bool nal_is_vcl(int type) { return type >= 1 && type <= 5; }
 
 // Parse SPS/PPS out of a non-VCL NAL payload (used by both directions).
+// Corrupt parameter sets are skipped, identically on compress and
+// decompress, so both walks stay state-mirrored; slices referencing a
+// skipped set then fail their support pre-check and pass through raw.
 static void absorb_nal(WalkState& ws, const u8* payload, size_t len) {
   if (len == 0) return;
   int type = payload[0] & 0x1f;
-  if (type == 7) {
-    std::vector<u8> rbsp = ebsp_to_rbsp(payload + 1, len - 1);
-    BitReader br(rbsp.data(), rbsp.size());
-    Sps sps = parse_sps(br);
-    ws.sps_map[sps.sps_id] = sps;
-  } else if (type == 8) {
-    std::vector<u8> rbsp = ebsp_to_rbsp(payload + 1, len - 1);
-    BitReader br(rbsp.data(), rbsp.size());
-    Pps pps = parse_pps(br, ws.sps_map);
-    ws.pps_map[pps.pps_id] = pps;
+  try {
+    if (type == 7) {
+      std::vector<u8> rbsp = ebsp_to_rbsp(payload + 1, len - 1);
+      BitReader br(rbsp.data(), rbsp.size());
+      Sps sps = parse_sps(br);
+      ws.sps_map[sps.sps_id] = sps;
+    } else if (type == 8) {
+      std::vector<u8> rbsp = ebsp_to_rbsp(payload + 1, len - 1);
+      BitReader br(rbsp.data(), rbsp.size());
+      Pps pps = parse_pps(br, ws.sps_map);
+      ws.pps_map[pps.pps_id] = pps;
+    }
+  } catch (const PipError&) {
   }
 }
 
@@ -177,12 +183,66 @@ struct SliceResult {
   int n_mbs = 0;
 };
 
-// Compress direction: walk the original slice-data bits, emit model symbols.
-static void compress_slice_cavlc(StreamWriter& io, WalkState& ws,
-                                 const Sps& sps, const Pps& pps,
-                                 const SliceHeader& sh,
-                                 const std::vector<u8>& rbsp,
-                                 EngineStats* stats) {
+// CAVLC compress, pass 1: decode every MB of the slice into records
+// WITHOUT touching the model, the output streams, or the FreqImage
+// (PicState mutations are rolled back by the caller's snapshot). This
+// makes corrupt/undecodable slice data recoverable: the caller falls
+// back to raw passthrough of the NAL, the in-domain analog of the
+// reference decoder's error-resilience paths (error_concealment.cpp,
+// dsBitstreamError handling in decode_slice.cpp:2984-2992).
+static std::vector<MbRecord> cavlc_parse_slice(WalkState& ws, const Sps& sps,
+                                               const Pps& pps,
+                                               const SliceHeader& sh,
+                                               const std::vector<u8>& rbsp) {
+  SliceCtx sc;
+  sc.begin_slice(&sps, &pps, &sh, &ws.pic);
+  compute_slice_group_map(sps, pps, sh, ws.pic);
+  BitReader br(rbsp.data(), rbsp.size());
+  br.seek_bits(sh.header_bits);
+  std::vector<MbRecord> recs;
+  int addr = sh.first_mb_in_slice;
+  bool isP = (sh.slice_type == SLICE_P || sh.slice_type == SLICE_SP);
+  while (true) {
+    PIP_CHECK(addr < ws.pic.num_mbs(), "slice overruns picture");
+    if (isP) {
+      int run = int(br.ue());
+      for (int k = 0; k < run; ++k) {
+        PIP_CHECK(addr < ws.pic.num_mbs(), "skip run overruns picture");
+        sc.begin_mb(addr);
+        MbRecord skip;
+        skip.mb_class = MB_PSKIP;
+        skip.qp = u8(sc.cur_qp);
+        sc.commit(skip);
+        recs.push_back(skip);
+        addr = next_mb_address(ws.pic, addr);
+      }
+      if (run > 0 && !br.more_rbsp_data()) break;
+    }
+    sc.begin_mb(addr);
+    MbRecord rec;
+    parse_mb_cavlc(br, sc, rec);
+    if (rec.cbp_luma != 0 || rec.cbp_chroma != 0 || rec.mb_class == MB_I16x16)
+      sc.apply_dqp(rec.dqp);
+    else
+      sc.last_dqp = 0;
+    rec.qp = u8(sc.cur_qp);
+    sc.commit(rec);
+    recs.push_back(rec);
+    addr = next_mb_address(ws.pic, addr);
+    if (!br.more_rbsp_data()) break;
+  }
+  return recs;
+}
+
+// CAVLC compress, pass 2: emit model symbols from the parsed records.
+// Emission order is identical to the original single-pass walk (skip
+// run, end bit after nonzero runs, MB symbols, end bit); maximal
+// consecutive-PSKIP runs reconstruct the coded skip runs exactly.
+static void cavlc_model_slice(StreamWriter& io, WalkState& ws,
+                              const Sps& sps, const Pps& pps,
+                              const SliceHeader& sh,
+                              const std::vector<MbRecord>& recs,
+                              EngineStats* stats) {
   SliceCtx sc;
   sc.begin_slice(&sps, &pps, &sh, &ws.pic);
   compute_slice_group_map(sps, pps, sh, ws.pic);
@@ -192,51 +252,45 @@ static void compress_slice_cavlc(StreamWriter& io, WalkState& ws,
   mc.sc = &sc;
   mc.slice_is_p = (sh.slice_type == SLICE_P || sh.slice_type == SLICE_SP) ? 1 : 0;
 
-  BitReader br(rbsp.data(), rbsp.size());
-  br.seek_bits(sh.header_bits);
-
   int addr = sh.first_mb_in_slice;
   int w = ws.pic.mb_width;
   int mb_index = 0;
   bool isP = mc.slice_is_p != 0;
+  size_t k = 0;
   while (true) {
-    PIP_CHECK(addr < ws.pic.num_mbs(), "slice overruns picture");
     if (isP) {
-      int run = int(br.ue());
+      int run = 0;
+      while (k + run < recs.size() && recs[k + run].mb_class == MB_PSKIP)
+        ++run;
       code_skip_run(io, *ws.model, ws.fi, addr % w, addr / w, run);
-      for (int k = 0; k < run; ++k) {
-        PIP_CHECK(addr < ws.pic.num_mbs(), "skip run overruns picture");
+      for (int i = 0; i < run; ++i) {
         sc.begin_mb(addr);
-        MbRecord skip;
-        skip.mb_class = MB_PSKIP;
-        skip.qp = u8(sc.cur_qp);
+        MbRecord skip = recs[k++];
         sc.commit(skip);
         ws.fi.store(addr % w, addr / w, skip);
         addr = next_mb_address(ws.pic, addr);
         ++mb_index;
       }
       if (run > 0) {
-        bool end = !br.more_rbsp_data();
+        bool end = (k == recs.size());
         code_end_bit(io, *ws.model, mb_index, /*after_skip=*/true, end);
         if (end) break;
       }
     }
     // coded MB
     sc.begin_mb(addr);
-    MbRecord rec;
-    parse_mb_cavlc(br, sc, rec);
+    MbRecord rec = recs[k++];
     mc.at(addr % w, addr / w, mb_index, &rec);
     code_mb_symbols(io, mc);
     if (rec.cbp_luma != 0 || rec.cbp_chroma != 0 || rec.mb_class == MB_I16x16)
       sc.apply_dqp(rec.dqp);
     else
       sc.last_dqp = 0;
-    rec.qp = u8(sc.cur_qp);
     sc.commit(rec);
     ws.fi.store(addr % w, addr / w, rec);
     ++mb_index;
     if (stats) ++stats->n_mbs;
-    bool end = !br.more_rbsp_data();
+    bool end = (k == recs.size());
     code_end_bit(io, *ws.model, mb_index, /*after_skip=*/false, end);
     addr = next_mb_address(ws.pic, addr);
     if (end) break;
@@ -445,8 +499,21 @@ std::vector<u8> pip_compress(const u8* data, size_t size, bool verify,
         std::vector<u8> trailing;
         size_t drop = 0;  // synth bytes replaced by verbatim trailing
         if (!pps.entropy_coding_mode) {
-          compress_slice_cavlc(io, ws, sps, pps, sh, rbsp, stats);
-          modeled = true;
+          // 2-pass: parse on a PicState snapshot (rollback + raw
+          // fallback on corrupt slice data), then model-emit.
+          PicState snapshot = ws.pic;
+          std::vector<MbRecord> recs;
+          bool ok = true;
+          try {
+            recs = cavlc_parse_slice(ws, sps, pps, sh, rbsp);
+          } catch (const PipError&) {
+            ok = false;
+          }
+          ws.pic = snapshot;
+          if (ok) {
+            cavlc_model_slice(io, ws, sps, pps, sh, recs, stats);
+            modeled = true;
+          }
         } else {
           // CABAC: 3-pass — parse, write-verify (per-slice fallback),
           // then model emission. State replays run on a snapshot.

@@ -1,0 +1,70 @@
+"""Error resilience: corrupt/truncated inputs must never break the
+lossless contract (raw-fallback slices) and the pixel decoder must
+conceal rather than crash (reference: error_concealment.cpp,
+dsBitstreamError handling)."""
+import numpy as np
+import pytest
+
+from losslessh264_tpu import decoder_np, native
+
+
+@pytest.fixture(scope="module")
+def tibby_bytes():
+    return open("/root/reference/roundtriptest/tibby.264", "rb").read()
+
+
+def _roundtrip(data):
+    pip, st = native.compress(data, verify=False)
+    out, _ = native.decompress(pip)
+    return out, st
+
+
+def test_corrupt_slice_data_roundtrips(tibby_bytes):
+    bad = bytearray(tibby_bytes)
+    bad[50000] ^= 0x55
+    bad = bytes(bad)
+    out, st = _roundtrip(bad)
+    assert out == bad
+    assert st.n_fallback_slices >= 1
+
+
+def test_corrupt_sps_roundtrips(tibby_bytes):
+    bad = bytearray(tibby_bytes)
+    bad[6] ^= 0xFF
+    bad = bytes(bad)
+    out, _ = _roundtrip(bad)
+    assert out == bad
+
+
+def test_truncated_stream_roundtrips(tibby_bytes):
+    tr = tibby_bytes[:60000]
+    out, st = _roundtrip(tr)
+    assert out == tr
+
+
+def test_garbage_nal_roundtrips():
+    rng = np.random.RandomState(0)
+    g = b"\x00\x00\x01\x41" + rng.randint(0, 255, 5000).astype(np.uint8).tobytes()
+    out, st = _roundtrip(g)
+    assert out == g
+    assert st.n_fallback_slices == 1
+
+
+def test_decoder_conceals_corrupt_frame(tibby_bytes):
+    bad = bytearray(tibby_bytes)
+    bad[50000] ^= 0x55
+    bad = bytes(bad)
+    dec = decoder_np.NpDecoder(bad)
+    outs = list(dec.frames())
+    assert len(outs) > 1
+    assert dec.concealed >= 1
+    # concealment = frame copy: last two frames identical
+    np.testing.assert_array_equal(outs[-1][0], outs[-2][0])
+
+
+def test_decoder_strict_mode_raises(tibby_bytes):
+    bad = bytearray(tibby_bytes)
+    bad[50000] ^= 0x55
+    dec = decoder_np.NpDecoder(bytes(bad), error_concealment=False)
+    with pytest.raises(Exception):
+        list(dec.frames())
