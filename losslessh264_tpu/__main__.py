@@ -99,10 +99,14 @@ def main(argv=None):
         if args.billing and st.bill:
             total = sum(st.bill.values())
             other = len(pip) - total
-            print(f"  {'feature':<12} {'bytes':>10} {'share':>7}")
+            prior = st.prior or {}
+            print(f"  {'feature':<12} {'bytes':>10} {'share':>7} {'hit%':>6}")
             for k, v in sorted(st.bill.items(), key=lambda kv: -kv[1]):
-                print(f"  {k:<12} {v:>10.0f} {100*v/len(pip):>6.1f}%")
-            print(f"  {'headers/etc':<12} {other:>10.0f} {100*other/len(pip):>6.1f}%")
+                tot, hits = prior.get(k, (0, 0))
+                hit = f"{100*hits/tot:>5.1f}%" if tot else "     -"
+                print(f"  {k:<12} {v:>10.0f} {100*v/len(pip):>6.1f}% {hit}")
+            print(f"  {'headers/etc':<12} {other:>10.0f} "
+                  f"{100*other/len(pip):>6.1f}%")
         return 0 if ok else 1
 
     if not args.output:

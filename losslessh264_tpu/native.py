@@ -29,6 +29,8 @@ class PipStats(ctypes.Structure):
         ("n_frames", ctypes.c_uint64),
         ("n_mbs", ctypes.c_uint64),
         ("bill", ctypes.c_double * 32),
+        ("prior_total", ctypes.c_double * 32),
+        ("prior_hits", ctypes.c_double * 32),
     ]
 
 
@@ -49,6 +51,9 @@ class Stats:
     n_frames: int = 0
     n_mbs: int = 0
     bill: dict | None = None
+    # per-feature adaptive-coder hit rates (PIP_PRIOR_STATS=1; reference
+    # PRIOR_STATS analog): tag -> (decisions, predicted-symbol hits)
+    prior: dict | None = None
 
 
 def _build():
@@ -121,6 +126,8 @@ def load():
 def _stats_from(c: PipStats) -> Stats:
     bill = {BILL_NAMES[i]: c.bill[i] for i in range(len(BILL_NAMES))
             if c.bill[i] > 0}
+    prior = {BILL_NAMES[i]: (c.prior_total[i], c.prior_hits[i])
+             for i in range(len(BILL_NAMES)) if c.prior_total[i] > 0}
     return Stats(
         in_bytes=c.in_bytes,
         out_bytes=c.out_bytes,
@@ -130,6 +137,7 @@ def _stats_from(c: PipStats) -> Stats:
         n_frames=c.n_frames,
         n_mbs=c.n_mbs,
         bill=bill,
+        prior=prior or None,
     )
 
 

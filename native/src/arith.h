@@ -235,11 +235,19 @@ class StreamWriter {
   // billed to the feature of the bit that produced it — reference:
   // ArithmeticCodedOutput::emitBit billing, compression_stream.h:407-435).
   double* bill = nullptr;  // array indexed by tag
+  // prior-hit stats (reference PRIOR_STATS): decisions + predicted-symbol
+  // hits per tag, counted when enabled
+  double* prior_total = nullptr;
+  double* prior_hits = nullptr;
   int tag = 0;
 
   inline void set_tag(int t) { tag = t; }
   inline bool bit(bool b, DynProb* p) {
     size_t before = w.size();
+    if (prior_total) {
+      prior_total[tag] += 1.0;
+      prior_hits[tag] += double((p->prob >= 128) == !b);
+    }
     w.put_adaptive(b, p);
     if (bill) bill[tag] += double(w.size() - before);
     return b;

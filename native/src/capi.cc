@@ -27,6 +27,8 @@ extern "C" {
 struct PipStats {
   u64 in_bytes, out_bytes, n_nals, n_slices, n_fallback_slices, n_frames, n_mbs;
   double bill[32];
+  double prior_total[32];
+  double prior_hits[32];
 };
 
 int pip_compress_c(const u8* data, size_t size, int verify, u8** out,
@@ -46,6 +48,10 @@ int pip_compress_c(const u8* data, size_t size, int verify, u8** out,
       stats_out->n_frames = st.n_frames;
       stats_out->n_mbs = st.n_mbs;
       memcpy(stats_out->bill, st.bill_bits, sizeof(stats_out->bill));
+      memcpy(stats_out->prior_total, st.prior_total,
+             sizeof(stats_out->prior_total));
+      memcpy(stats_out->prior_hits, st.prior_hits,
+             sizeof(stats_out->prior_hits));
     }
     return 0;
   } catch (const std::exception& e) {

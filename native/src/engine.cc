@@ -424,7 +424,13 @@ std::vector<u8> pip_compress(const u8* data, size_t size, bool verify,
 
   std::vector<u8> def;  // default stream
   StreamWriter io;
-  if (stats) io.bill = stats->bill_bits;
+  if (stats) {
+    io.bill = stats->bill_bits;
+    if (getenv("PIP_PRIOR_STATS")) {
+      io.prior_total = stats->prior_total;
+      io.prior_hits = stats->prior_hits;
+    }
+  }
   WalkState ws;
   if (context && context_size) {
     size_t cts = context_size;
@@ -808,7 +814,11 @@ std::vector<u8> pip_compress_sharded(const u8* data, size_t size,
       stats->n_fallback_slices += ss.n_fallback_slices;
       stats->n_frames += ss.n_frames;
       stats->n_mbs += ss.n_mbs;
-      for (int i = 0; i < 32; ++i) stats->bill_bits[i] += ss.bill_bits[i];
+      for (int i = 0; i < 32; ++i) {
+        stats->bill_bits[i] += ss.bill_bits[i];
+        stats->prior_total[i] += ss.prior_total[i];
+        stats->prior_hits[i] += ss.prior_hits[i];
+      }
     }
   }
   return out;

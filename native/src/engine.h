@@ -26,6 +26,10 @@ struct EngineStats {
   u64 n_mbs = 0;
   // billing: arithmetic-stream bits per feature (indexes: see BillTag)
   double bill_bits[32] = {};
+  // prior-hit stats (reference PRIOR_STATS, compression_stream.h:358-361):
+  // per-tag adaptive decisions and how many matched the predicted symbol
+  double prior_total[32] = {};
+  double prior_hits[32] = {};
 };
 
 enum BillTag {
