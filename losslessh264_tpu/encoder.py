@@ -213,7 +213,7 @@ def _cfg_lib():
     if not hasattr(lib.pip_encode_frame, "_cfg"):
         lib.pip_encode_frame.restype = ctypes.c_int
         lib.pip_encode_frame.argtypes = [ctypes.c_int] * 6 + \
-            [ctypes.c_void_p] * 9 + [ctypes.c_int] + \
+            [ctypes.c_void_p] * 10 + [ctypes.c_int] + \
             [ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
              ctypes.POINTER(ctypes.c_size_t), ctypes.c_char_p,
              ctypes.c_size_t]
@@ -274,7 +274,7 @@ class IntraEncoder:
 
 def _write_frame(lib, mw, mh, qp, frame_idx, slice_type, mb_class, mv,
                  i16_mode, chroma_mode, i4_modes, luma_dc, luma_ac,
-                 chroma_dc, chroma_ac, include_params):
+                 chroma_dc, chroma_ac, include_params, mb_qp=None):
     out = ctypes.POINTER(ctypes.c_uint8)()
     out_size = ctypes.c_size_t()
     err = ctypes.create_string_buffer(512)
@@ -284,11 +284,14 @@ def _write_frame(lib, mw, mh, qp, frame_idx, slice_type, mb_class, mv,
     chroma_ac16 = np.ascontiguousarray(chroma_ac, np.int16)
     luma_dc16 = np.ascontiguousarray(luma_dc, np.int16)
     chroma_dc16 = np.ascontiguousarray(chroma_dc, np.int16)
+    if mb_qp is not None:
+        mb_qp = np.ascontiguousarray(mb_qp, np.uint8)
     rc = lib.pip_encode_frame(
         mw, mh, qp, frame_idx, frame_idx & 1, slice_type,
         ptr(mb_class), ptr(mv16), ptr(i16_mode), ptr(chroma_mode),
         ptr(i4_modes), ptr(luma_dc16), ptr(luma_ac16), ptr(chroma_dc16),
-        ptr(chroma_ac16), 1 if include_params else 0,
+        ptr(chroma_ac16), None if mb_qp is None else ptr(mb_qp),
+        1 if include_params else 0,
         ctypes.byref(out), ctypes.byref(out_size), err, len(err))
     if rc != 0:
         raise RuntimeError(f"pip_encode_frame: {err.value.decode()}")

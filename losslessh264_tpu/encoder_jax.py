@@ -166,8 +166,8 @@ def intra_wavefront(mb_w: int, mb_h: int, srcY, srcU, srcV, inter_y, inter_u,
     """Encode all intra MBs of a frame as a slope-2 wavefront.
 
     inter_*: [n,16,16]/[n,8,8] already-reconstructed inter tiles (zeros
-    where intra); is_intra: [n]. Returns per-MB symbol planes + final
-    recon planes.
+    where intra); is_intra: [n]; qp/qpc: per-MB [n] (adaptive
+    quantization). Returns per-MB symbol planes + final recon planes.
     """
     n = mb_w * mb_h
     H, W = mb_h * 16, mb_w * 16
@@ -206,13 +206,13 @@ def intra_wavefront(mb_w: int, mb_h: int, srcY, srcU, srcV, inter_y, inter_u,
             x0 = mx * 16 + WPAD
             loc = jax.lax.dynamic_slice(Yw, (y0 - 1, x0 - 1), (17, 17))
             mode, qdc, qac, tile = _encode_i16_mb(
-                loc, srcY_t[mb_c], qp, aL, aT)
+                loc, srcY_t[mb_c], qp[mb_c], aL, aT)
             cy = my * 8 + WPAD
             cx = mx * 8 + WPAD
             locu = jax.lax.dynamic_slice(Uw, (cy - 1, cx - 1), (9, 9))
             locv = jax.lax.dynamic_slice(Vw, (cy - 1, cx - 1), (9, 9))
             cmode, cdc, cac, tu, tv = _encode_chroma_mb(
-                locu, locv, srcU_t[mb_c], srcV_t[mb_c], qpc, aL, aT)
+                locu, locv, srcU_t[mb_c], srcV_t[mb_c], qpc[mb_c], aL, aT)
             return mode, qdc, qac, cmode, cdc, cac, tile, tu, tv, y0, x0, cy, cx
 
         (modes, qdcs, qacs, cmodes, cdcs, cacs, tiles, tus, tvs, y0s, x0s,
@@ -308,9 +308,10 @@ def encode_inter_mbs(mb_w: int, mb_h: int, radius: int, Y, U, V, refY_s,
                                mvx, mvy)
 
     resid = srcY_t - pred_y
+    qp16 = jnp.broadcast_to(qp[:, None], (n, 16))
     W = jt.fdct4x4(_blocks16(resid))                       # [n,16,4,4]
-    qac = jt.quant4(W, jnp.full((n, 16), qp), False)
-    deq = jt.dequant4(qac, jnp.full((n, 16), qp), FLAT4)
+    qac = jt.quant4(W, qp16, False)
+    deq = jt.dequant4(qac, qp16, FLAT4)
     rec = _assemble16(jt.idct4x4(deq))
     tile_y = jnp.clip(pred_y + rec, 0, 255)
 
@@ -320,13 +321,13 @@ def encode_inter_mbs(mb_w: int, mb_h: int, radius: int, Y, U, V, refY_s,
     for ci, (src_t, pred_c) in enumerate(((srcU_t, pred_u),
                                           (srcV_t, pred_v))):
         residc = src_t - pred_c
+        qpc4 = jnp.broadcast_to(qpc[:, None], (n, 4))
         Wc = jt.fdct4x4(_blocks4(residc))                  # [n,4,4,4]
-        qc = jt.quant4(Wc, jnp.full((n, 4), qpc), False, skip_dc=True)
+        qc = jt.quant4(Wc, qpc4, False, skip_dc=True)
         Wd2 = Wc[:, :, 0, 0].reshape(n, 2, 2)
-        qd2 = jt.quant_dc2(jt.fhadamard2x2(Wd2), jnp.full((n,), qpc))
-        dcd = jt.chroma_dc_transform_dequant(qd2, jnp.full((n,), qpc),
-                                             jnp.int32(16))
-        deqc = jt.dequant4(qc, jnp.full((n, 4), qpc), FLAT4)
+        qd2 = jt.quant_dc2(jt.fhadamard2x2(Wd2), qpc)
+        dcd = jt.chroma_dc_transform_dequant(qd2, qpc, jnp.int32(16))
+        deqc = jt.dequant4(qc, qpc4, FLAT4)
         deqc = deqc.at[:, :, 0, 0].set(dcd.reshape(n, 4))
         recc = _assemble8(jt.idct4x4(deqc))
         cdc = cdc.at[:, ci].set(qd2.reshape(n, 4))
@@ -439,7 +440,7 @@ class JaxEncoder:
     ME_RADIUS = 16
 
     def __init__(self, width, height, qp=28, gop=0, intra_only=False,
-                 rc=None, scene_cut=False):
+                 rc=None, scene_cut=False, aq=False):
         assert width % 16 == 0 and height % 16 == 0, "pad input to MB size"
         self.width, self.height = width, height
         self.mb_w = width // 16
@@ -450,6 +451,7 @@ class JaxEncoder:
         self.intra_only = intra_only
         self.rc = rc                 # optional ratectl.RateControl
         self.scene_cut = scene_cut   # IDR on detected scene changes
+        self.aq = aq                 # per-MB adaptive quantization
         self.frame_idx = 0
         self.ref = None   # (Y,U,V) uint8 recon planes (device arrays)
         self._prev_src = None  # device luma of the previous source frame
@@ -459,7 +461,7 @@ class JaxEncoder:
 
     # -- helpers ----------------------------------------------------------
     def _write(self, slice_type, mb_class, mv, i16_mode, chroma_mode,
-               luma_dc, luma_ac, chroma_dc, chroma_ac):
+               luma_dc, luma_ac, chroma_dc, chroma_ac, mb_qp=None):
         from . import encoder as _enc
         n = self.mb_w * self.mb_h
         data = _enc._write_frame(
@@ -473,8 +475,25 @@ class JaxEncoder:
             luma_ac=np.asarray(luma_ac, np.int16),
             chroma_dc=np.asarray(chroma_dc, np.int16),
             chroma_ac=np.asarray(chroma_ac, np.int16),
-            include_params=self.frame_idx == 0)
+            include_params=self.frame_idx == 0, mb_qp=mb_qp)
         return data
+
+    def _qp_maps(self, Yd):
+        """Per-MB (qp, qpc) planes; AQ offsets when enabled (the
+        reference applies the AdaptiveQuantization dqp map the same
+        way, wels_preprocess.cpp -> sMbInfo QP adjustment)."""
+        n = self.mb_w * self.mb_h
+        if self.aq:
+            from . import processing as proc
+            ref = self._prev_src if self._prev_src is not None else Yd
+            dqp, _ = proc.adaptive_quant_map(Yd, ref)
+            qp_map = np.clip(self.qp + np.asarray(dqp).reshape(n), 10, 51)
+        else:
+            qp_map = np.full(n, self.qp)
+        qpc_map = dn.CHROMA_QP[qp_map]
+        self._qp_plane = qp_map.astype(np.uint8)
+        return (jnp.asarray(qp_map, jnp.int32),
+                jnp.asarray(qpc_map, jnp.int32))
 
     def _mv_preds(self, mb_class, mv):
         import ctypes
@@ -507,28 +526,30 @@ class JaxEncoder:
         Yd, Ud, Vd = self._upload(Y, U, V)
         zt16 = jnp.zeros((n, 16, 16), jnp.int32)
         zt8 = jnp.zeros((n, 8, 8), jnp.int32)
+        qp_d, qpc_d = self._qp_maps(Yd)
         (i16_mode, chroma_mode, luma_dc, luma_ac, chroma_dc, chroma_ac,
          recY, recU, recV) = intra_wavefront(
             self.mb_w, self.mb_h, Yd, Ud, Vd, zt16, zt8, zt8,
-            jnp.ones((n,), bool), jnp.int32(self.qp), jnp.int32(self.qpc),
-            self._diags)
+            jnp.ones((n,), bool), qp_d, qpc_d, self._diags)
         self.ref = (recY, recU, recV)  # device arrays
         packed = np.asarray(_pack_intra(luma_dc, luma_ac, chroma_dc,
                                         chroma_ac, i16_mode, chroma_mode))
         ldc, lac, cdc, cac, i16m, cm = _unpack(packed)
         mb_class = np.ones(n, np.uint8)
         mv = np.zeros((n, 2), np.int16)
-        return self._write(1, mb_class, mv, i16m, cm, ldc, lac, cdc, cac)
+        return self._write(1, mb_class, mv, i16m, cm, ldc, lac, cdc, cac,
+                           mb_qp=self._qp_plane if self.aq else None)
 
     def _encode_p(self, Y, U, V):
         n = self.mb_w * self.mb_h
         Yd, Ud, Vd = self._upload(Y, U, V)
         refY_s, refU_s, refV_s = _pad_refs(*self.ref)
+        qp_d, qpc_d = self._qp_maps(Yd)
 
         (mvx, mvy, use_intra_d, qac_zz, cdc_d, cac_d, tile_y, tile_u,
          tile_v, no_res_d) = encode_inter_mbs(
             self.mb_w, self.mb_h, self.ME_RADIUS, Yd, Ud, Vd, refY_s,
-            refU_s, refV_s, jnp.int32(self.qp), jnp.int32(self.qpc))
+            refU_s, refV_s, qp_d, qpc_d)
 
         meta = np.asarray(_pack_meta(mvx, mvy, use_intra_d, no_res_d))
         use_intra = meta[:, 2] != 0
@@ -546,8 +567,7 @@ class JaxEncoder:
              chroma_ac_i, recY, recU, recV) = intra_wavefront(
                 self.mb_w, self.mb_h, Yd, Ud, Vd, jnp.where(m, tile_y, 0),
                 jnp.where(m, tile_u, 0), jnp.where(m, tile_v, 0),
-                use_intra_d, jnp.int32(self.qp), jnp.int32(self.qpc),
-                self._diags)
+                use_intra_d, qp_d, qpc_d, self._diags)
             packed = np.asarray(_pack_merge(
                 use_intra_d, luma_dc_i, luma_ac_i, chroma_dc_i, chroma_ac_i,
                 i16_mode, chroma_mode, qac_zz, cdc_d, cac_d))
@@ -565,13 +585,15 @@ class JaxEncoder:
         mb_class[is_skip] = 11
 
         self.ref = (recY, recU, recV)  # device arrays
-        return self._write(0, mb_class, mv, i16m, cm, ldc, lac, cdc, cac)
+        return self._write(0, mb_class, mv, i16m, cm, ldc, lac, cdc, cac,
+                           mb_qp=self._qp_plane if self.aq else None)
 
     def encode_frame(self, Y, U, V):
         from . import processing as proc
         is_idr = (self.ref is None or self.intra_only
                   or (self.gop and self.frame_idx % self.gop == 0))
-        cur_src = jnp.asarray(Y) if (self.scene_cut or self.rc) else None
+        cur_src = (jnp.asarray(Y)
+                   if (self.scene_cut or self.rc or self.aq) else None)
         if (self.scene_cut and not is_idr and self._prev_src is not None
                 and proc.is_scene_change(cur_src, self._prev_src)):
             is_idr = True

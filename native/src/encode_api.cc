@@ -102,12 +102,18 @@ extern "C" {
 // Coefficients in scan order: luma_dc [n,16] (I16 only), luma_ac
 // [n,16,16] (pos 0 unused for I16), chroma_dc [n,2,4], chroma_ac
 // [n,8,16] (pos 0 unused).
+// mb_qp: optional per-MB absolute luma QP (adaptive quantization); NULL
+// means flat slice QP. mb_qp_delta is only codable on MBs with coded
+// residual (cbp != 0 or I16x16) — on other MBs the caller's value is
+// ignored (they carry no coefficients, so no quant mismatch arises; the
+// QP_prev chain simply continues, 7.4.5).
 int pip_encode_frame(int mb_w, int mb_h, int qp, int frame_num, int idr_id,
                      int slice_type, const u8* mb_class, const i16* mv,
                      const u8* i16_mode, const u8* chroma_mode,
                      const i8* i4_modes, const i16* luma_dc,
                      const i16* luma_ac, const i16* chroma_dc,
-                     const i16* chroma_ac, int include_params, u8** out,
+                     const i16* chroma_ac, const u8* mb_qp,
+                     int include_params, u8** out,
                      size_t* out_size, char* err, size_t err_cap) {
   try {
     int n = mb_w * mb_h;
@@ -197,6 +203,13 @@ int pip_encode_frame(int mb_w, int mb_h, int qp, int frame_num, int idr_id,
       derive_nnz(rec);
       derive_cbp(rec, chroma_dc, addr);
       rec.dqp = 0;
+      if (mb_qp && (rec.cbp_luma || rec.cbp_chroma ||
+                    rec.mb_class == MB_I16x16)) {
+        int want = mb_qp[addr];
+        PIP_CHECK(want >= 0 && want <= 51, "mb_qp out of range");
+        int d = (want - sc.cur_qp + 78) % 52 - 26;  // wrap to [-26, 25]
+        rec.dqp = i8(d);
+      }
       write_mb_cavlc(bw, sc, rec);
       if (rec.cbp_luma || rec.cbp_chroma || rec.mb_class == MB_I16x16)
         sc.apply_dqp(rec.dqp);

@@ -110,3 +110,35 @@ def test_jax_encoder_gop_structure():
     assert len(outs) == 5
     # frames 0,2,4 are IDR (larger), 1,3 are P
     assert sizes[1] < sizes[0] and sizes[3] < sizes[2]
+
+
+def test_adaptive_quantization_end_to_end():
+    """aq=True codes a per-MB QP plane (mb_qp_delta); recon must stay
+    bit-exact vs the decoder and the stream must recompress losslessly."""
+    rng = np.random.RandomState(7)
+    H, W = 48, 64
+    bg = rng.randint(0, 255, (H + 32, W + 32)).astype(np.uint8)
+    bg[:, :W // 2 + 16] //= 8  # flat half + textured half
+    frames = []
+    for i in range(3):
+        Y = np.ascontiguousarray(bg[i * 2:i * 2 + H, i * 3:i * 3 + W])
+        U = np.full((H // 2, W // 2), 100, np.uint8)
+        V = np.full((H // 2, W // 2), 200, np.uint8)
+        frames.append((Y, U, V))
+    enc = encoder_jax.JaxEncoder(W, H, qp=30, aq=True)
+    data = b""
+    for f in frames:
+        data += enc.encode_frame(*f)
+    assert len(np.unique(enc._qp_plane)) > 1  # AQ actually varied QP
+    dec = decoder_np.NpDecoder(data)
+    dec._deblock = lambda *a, **k: None
+    last = None
+    for fr in dec.frames():
+        last = fr
+    recY, recU, recV = enc.recon
+    np.testing.assert_array_equal(last[0], recY)
+    np.testing.assert_array_equal(last[1], recU)
+    np.testing.assert_array_equal(last[2], recV)
+    pip, st = native.compress(data, verify=False)
+    out, _ = native.decompress(pip)
+    assert out == data and st.n_fallback_slices == 0
