@@ -94,19 +94,41 @@ def _assemble8(blocks):
 
 FLAT4 = jnp.full((4, 4), 16, jnp.int32)
 
+# SAD-domain Lagrange multiplier per QP (JM-style sqrt(lambda_mode) =
+# 0.92 * 2^((qp-12)/6); reference md.cpp uses the same exponential family)
+LAMBDA = jnp.asarray(
+    [max(1, round(0.92 * 2.0 ** ((q - 12) / 6.0))) for q in range(52)],
+    jnp.int32)
+
+# 4x4 block coding order within an MB and the top-right availability kind
+# per raster block (0 never, 1 always, 2 = MB aT, 3 = MB aTR) — same
+# derivation as the decoder wavefront (decoder_jax).
+BLK = jintra.BLK_ORDER
+_I4_TR_KIND = np.zeros(16, np.int64)
+for _d, _r in enumerate(BLK):
+    _by, _bx = divmod(int(_r), 4)
+    if _by == 0:
+        _I4_TR_KIND[_r] = 2 if _bx < 3 else 3
+    elif _bx == 3:
+        _I4_TR_KIND[_r] = 0
+    else:
+        _nb = (_by - 1) * 4 + _bx + 1
+        _I4_TR_KIND[_r] = 1 if list(BLK).index(_nb) < _d else 0
+
 
 # ---------------------------------------------------------------------------
 # per-MB intra encode (runs inside the wavefront, vmapped across a diagonal)
 # ---------------------------------------------------------------------------
 def _encode_i16_mb(loc, src, qp, aL, aT):
-    """loc [17,17] luma recon context; src [16,16]. Returns
-    (mode, qdc_zz[16], qac[16,4,4], tile[16,16])."""
+    """loc [17,25] luma recon context; src [16,16]. Returns
+    (mode, qdc_zz[16], qac[16,4,4], tile[16,16], best_sad)."""
     left = loc[1:17, 0]
     top = loc[0, 1:17]
     preds = jintra.pred16_all(left, top, loc[0, 0], aL, aT)  # [4,16,16]
     sads = jnp.abs(src[None] - preds).sum(axis=(1, 2))
     legal = jnp.stack([aT, aL, jnp.array(True), aL & aT])
-    mode = jnp.argmin(jnp.where(legal, sads, BIG))
+    sads = jnp.where(legal, sads, BIG)
+    mode = jnp.argmin(sads)
     pred = preds[mode]
 
     resid = src - pred
@@ -121,7 +143,80 @@ def _encode_i16_mb(loc, src, qp, aL, aT):
     deq = deq.at[:, 0, 0].set(dcd.reshape(16))
     rec = _assemble16(jt.idct4x4(deq))
     tile = jnp.clip(pred + rec, 0, 255)
-    return mode.astype(jnp.int32), jt.zigzag4(qdc), qac, tile
+    return mode.astype(jnp.int32), jt.zigzag4(qdc), qac, tile, sads[mode]
+
+
+def _encode_i4_mb(loc, src, qp, aL, aT, aTR):
+    """I4x4 mode decision + encode: 16 blocks in coding order over the
+    local buffer (sequential — each block predicts from the previous
+    blocks' reconstruction, 8.3.1). loc [17,25]; src [16,16].
+    Returns (modes[16] raster, qac[16,4,4], rd_cost, tile[16,16]).
+
+    The mode-bit cost uses the 8.3.1.1 most-probable-mode rule with
+    cross-MB neighbors approximated as DC (affects only the RD estimate,
+    never conformance — the writer computes the true predictor)."""
+    lam = LAMBDA[qp]
+    loc_buf = loc
+    grid = jnp.full((5, 5), 2, jnp.int32)   # chosen modes, border = DC
+    modes = jnp.zeros(16, jnp.int32)
+    qac = jnp.zeros((16, 4, 4), jnp.int32)
+    total = jnp.int32(0)
+    mode_idx = jnp.arange(9)
+    for d in range(16):
+        r = int(BLK[d])
+        by, bx = divmod(r, 4)
+        ly, lx = 1 + by * 4, 1 + bx * 4
+        leftv = jax.lax.dynamic_slice(loc_buf, (ly, lx - 1), (4, 1))[:, 0]
+        topv = jax.lax.dynamic_slice(loc_buf, (ly - 1, lx), (1, 8))[0]
+        tl = loc_buf[ly - 1, lx - 1]
+        kind = int(_I4_TR_KIND[r])
+        if kind == 0:
+            trv = jnp.array(False)
+        elif kind == 1:
+            trv = jnp.array(True)
+        elif kind == 2:
+            trv = aT
+        else:
+            trv = aTR
+        topv = jnp.where(jnp.arange(8) < 4, topv,
+                         jnp.where(trv, topv, topv[3]))
+        blk_aL = aL if bx == 0 else jnp.array(True)
+        blk_aT = aT if by == 0 else jnp.array(True)
+        preds = jintra.pred4_all(leftv, topv, tl, blk_aL, blk_aT)  # [9,4,4]
+        srcb = src[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4]
+        sads = jnp.abs(preds - srcb[None]).sum(axis=(1, 2))
+        legal = jnp.stack([blk_aT, blk_aL, jnp.array(True), blk_aT,
+                           blk_aL & blk_aT, blk_aL & blk_aT,
+                           blk_aL & blk_aT, blk_aT, blk_aL])
+        pm = jnp.where(blk_aL & blk_aT,
+                       jnp.minimum(grid[1 + by, bx], grid[by, 1 + bx]), 2)
+        cost = sads + lam * jnp.where(mode_idx == pm, 1, 4)
+        cost = jnp.where(legal, cost, BIG)
+        m = jnp.argmin(cost)
+        total = total + cost[m]
+        grid = grid.at[1 + by, 1 + bx].set(m.astype(jnp.int32))
+        modes = modes.at[r].set(m.astype(jnp.int32))
+        resid = srcb - preds[m]
+        q = jt.quant4(jt.fdct4x4(resid), qp, True)
+        deq = jt.dequant4(q, qp, FLAT4)
+        rec = jnp.clip(preds[m] + jt.idct4x4(deq), 0, 255)
+        loc_buf = jax.lax.dynamic_update_slice(loc_buf, rec, (ly, lx))
+        qac = qac.at[r].set(q)
+    return modes, qac, total, loc_buf[1:17, 1:17]
+
+
+def _encode_luma_mb(loc, src, qp, aL, aT, aTR):
+    """I16x16-vs-I4x4 luma mode decision for one intra MB. Returns
+    (cls 0/1, i16_mode, i4_modes[16], qdc_zz[16], qac[16,4,4], tile)."""
+    mode16, qdc, qac16, tile16, sad16 = _encode_i16_mb(loc, src, qp, aL, aT)
+    modes4, qac4, cost4, tile4 = _encode_i4_mb(loc, src, qp, aL, aT, aTR)
+    lam = LAMBDA[qp]
+    use4 = cost4 < sad16 + lam * 6   # I16 header/mode-bit allowance
+    cls = jnp.where(use4, 0, 1).astype(jnp.int32)
+    return (cls, mode16, modes4,
+            jnp.where(use4, 0, qdc),
+            jnp.where(use4, qac4, qac16),
+            jnp.where(use4, tile4, tile16))
 
 
 def _encode_chroma_mb(locu, locv, srcu, srcv, qpc, aL, aT):
@@ -186,6 +281,8 @@ def intra_wavefront(mb_w: int, mb_h: int, srcY, srcU, srcV, inter_y, inter_u,
         _tiles_to_plane(inter_v, mb_h, mb_w, 8))
 
     i16_mode = jnp.zeros((n,), jnp.int32)
+    intra_cls = jnp.ones((n,), jnp.int32)     # 0 = I4x4, 1 = I16x16
+    i4_modes = jnp.full((n, 16), 2, jnp.int32)
     chroma_mode = jnp.zeros((n,), jnp.int32)
     luma_dc = jnp.zeros((n, 16), jnp.int32)
     luma_ac = jnp.zeros((n, 16, 4, 4), jnp.int32)
@@ -193,8 +290,8 @@ def intra_wavefront(mb_w: int, mb_h: int, srcY, srcU, srcV, inter_y, inter_u,
     chroma_ac = jnp.zeros((n, 2, 4, 16), jnp.int32)
 
     def diag_step(carry, mb_list):
-        (Yw, Uw, Vw, i16_mode, chroma_mode, luma_dc, luma_ac, chroma_dc,
-         chroma_ac) = carry
+        (Yw, Uw, Vw, i16_mode, intra_cls, i4_modes, chroma_mode, luma_dc,
+         luma_ac, chroma_dc, chroma_ac) = carry
 
         def compute(mb):
             mb_c = jnp.clip(mb, 0, n - 1)
@@ -202,26 +299,30 @@ def intra_wavefront(mb_w: int, mb_h: int, srcY, srcU, srcV, inter_y, inter_u,
             mx = mb_c % mb_w
             aL = mx > 0
             aT = my > 0
+            aTR = (my > 0) & (mx < mb_w - 1)
             y0 = my * 16 + WPAD
             x0 = mx * 16 + WPAD
-            loc = jax.lax.dynamic_slice(Yw, (y0 - 1, x0 - 1), (17, 17))
-            mode, qdc, qac, tile = _encode_i16_mb(
-                loc, srcY_t[mb_c], qp[mb_c], aL, aT)
+            loc = jax.lax.dynamic_slice(Yw, (y0 - 1, x0 - 1), (17, 25))
+            cls, mode, m4, qdc, qac, tile = _encode_luma_mb(
+                loc, srcY_t[mb_c], qp[mb_c], aL, aT, aTR)
             cy = my * 8 + WPAD
             cx = mx * 8 + WPAD
             locu = jax.lax.dynamic_slice(Uw, (cy - 1, cx - 1), (9, 9))
             locv = jax.lax.dynamic_slice(Vw, (cy - 1, cx - 1), (9, 9))
             cmode, cdc, cac, tu, tv = _encode_chroma_mb(
                 locu, locv, srcU_t[mb_c], srcV_t[mb_c], qpc[mb_c], aL, aT)
-            return mode, qdc, qac, cmode, cdc, cac, tile, tu, tv, y0, x0, cy, cx
+            return (cls, mode, m4, qdc, qac, cmode, cdc, cac, tile, tu, tv,
+                    y0, x0, cy, cx)
 
-        (modes, qdcs, qacs, cmodes, cdcs, cacs, tiles, tus, tvs, y0s, x0s,
-         cys, cxs) = jax.vmap(compute)(mb_list)
+        (clss, modes, m4s, qdcs, qacs, cmodes, cdcs, cacs, tiles, tus, tvs,
+         y0s, x0s, cys, cxs) = jax.vmap(compute)(mb_list)
 
         do = (mb_list >= 0) & is_intra[jnp.clip(mb_list, 0, n - 1)]
         # per-MB symbol scatter (out-of-bounds index drops masked lanes)
         idx = jnp.where(do, jnp.clip(mb_list, 0, n - 1), n)
         i16_mode = i16_mode.at[idx].set(modes, mode="drop")
+        intra_cls = intra_cls.at[idx].set(clss, mode="drop")
+        i4_modes = i4_modes.at[idx].set(m4s, mode="drop")
         chroma_mode = chroma_mode.at[idx].set(cmodes, mode="drop")
         luma_dc = luma_dc.at[idx].set(qdcs, mode="drop")
         luma_ac = luma_ac.at[idx].set(qacs, mode="drop")
@@ -244,20 +345,20 @@ def intra_wavefront(mb_w: int, mb_h: int, srcY, srcU, srcV, inter_y, inter_u,
 
         Yw, Uw, Vw = jax.lax.fori_loop(0, mb_list.shape[0], scatter,
                                        (Yw, Uw, Vw))
-        return (Yw, Uw, Vw, i16_mode, chroma_mode, luma_dc, luma_ac,
-                chroma_dc, chroma_ac), 0
+        return (Yw, Uw, Vw, i16_mode, intra_cls, i4_modes, chroma_mode,
+                luma_dc, luma_ac, chroma_dc, chroma_ac), 0
 
-    (Yw, Uw, Vw, i16_mode, chroma_mode, luma_dc, luma_ac, chroma_dc,
-     chroma_ac), _ = jax.lax.scan(
+    (Yw, Uw, Vw, i16_mode, intra_cls, i4_modes, chroma_mode, luma_dc,
+     luma_ac, chroma_dc, chroma_ac), _ = jax.lax.scan(
         diag_step,
-        (Yw, Uw, Vw, i16_mode, chroma_mode, luma_dc, luma_ac, chroma_dc,
-         chroma_ac), diags)
+        (Yw, Uw, Vw, i16_mode, intra_cls, i4_modes, chroma_mode, luma_dc,
+         luma_ac, chroma_dc, chroma_ac), diags)
 
     recY = Yw[WPAD:WPAD + H, WPAD:WPAD + W].astype(jnp.uint8)
     recU = Uw[WPAD:WPAD + H // 2, WPAD:WPAD + W // 2].astype(jnp.uint8)
     recV = Vw[WPAD:WPAD + H // 2, WPAD:WPAD + W // 2].astype(jnp.uint8)
-    return (i16_mode, chroma_mode, luma_dc, jt.zigzag4(luma_ac), chroma_dc,
-            chroma_ac, recY, recU, recV)
+    return (i16_mode, intra_cls, i4_modes, chroma_mode, luma_dc,
+            jt.zigzag4(luma_ac), chroma_dc, chroma_ac, recY, recU, recV)
 
 
 # ---------------------------------------------------------------------------
@@ -345,23 +446,25 @@ def encode_inter_mbs(mb_w: int, mb_h: int, radius: int, Y, U, V, refY_s,
 # (the axon TPU tunnel has ~10-50 ms latency per transfer, so symbol
 # planes are merged and packed to a single int16 array on device)
 # ---------------------------------------------------------------------------
-PACK_W = 410  # 16 dc + 256 ac + 8 cdc + 128 cac + mode + cmode
+PACK_W = 427  # 16 dc + 256 ac + 8 cdc + 128 cac + mode + cmode + cls + 16 i4
 
 
 @jax.jit
 def _pack_intra(luma_dc, luma_ac, chroma_dc, chroma_ac, i16_mode,
-                chroma_mode):
+                chroma_mode, intra_cls, i4_modes):
     n = luma_dc.shape[0]
     return jnp.concatenate(
         [luma_dc.reshape(n, 16), luma_ac.reshape(n, 256),
          chroma_dc.reshape(n, 8), chroma_ac.reshape(n, 128),
-         i16_mode.reshape(n, 1), chroma_mode.reshape(n, 1)],
+         i16_mode.reshape(n, 1), chroma_mode.reshape(n, 1),
+         intra_cls.reshape(n, 1), i4_modes.reshape(n, 16)],
         axis=1).astype(jnp.int16)
 
 
 @jax.jit
 def _pack_merge(use_intra, luma_dc_i, luma_ac_i, chroma_dc_i, chroma_ac_i,
-                i16_mode, chroma_mode, qac_zz, cdc, cac):
+                i16_mode, chroma_mode, intra_cls, i4_modes, qac_zz, cdc,
+                cac):
     n = use_intra.shape[0]
     sel = use_intra[:, None]
     return jnp.concatenate(
@@ -369,7 +472,8 @@ def _pack_merge(use_intra, luma_dc_i, luma_ac_i, chroma_dc_i, chroma_ac_i,
          jnp.where(sel, luma_ac_i.reshape(n, 256), qac_zz.reshape(n, 256)),
          jnp.where(sel, chroma_dc_i.reshape(n, 8), cdc.reshape(n, 8)),
          jnp.where(sel, chroma_ac_i.reshape(n, 128), cac.reshape(n, 128)),
-         i16_mode.reshape(n, 1), chroma_mode.reshape(n, 1)],
+         i16_mode.reshape(n, 1), chroma_mode.reshape(n, 1),
+         intra_cls.reshape(n, 1), i4_modes.reshape(n, 16)],
         axis=1).astype(jnp.int16)
 
 
@@ -378,10 +482,12 @@ def _pack_inter_only(qac_zz, cdc, cac):
     n = qac_zz.shape[0]
     z1 = jnp.zeros((n, 16), jnp.int16)
     z2 = jnp.zeros((n, 2), jnp.int16)
+    cls1 = jnp.ones((n, 1), jnp.int16)
+    m4 = jnp.full((n, 16), 2, jnp.int16)
     return jnp.concatenate(
         [z1, qac_zz.reshape(n, 256).astype(jnp.int16),
          cdc.reshape(n, 8).astype(jnp.int16),
-         cac.reshape(n, 128).astype(jnp.int16), z2], axis=1)
+         cac.reshape(n, 128).astype(jnp.int16), z2, cls1, m4], axis=1)
 
 
 @jax.jit
@@ -391,14 +497,17 @@ def _pack_meta(mvx, mvy, use_intra, no_res):
 
 
 def _unpack(packed):
-    """host-side views into the packed [n,410] int16 symbol array."""
+    """host-side views into the packed [n,427] int16 symbol array."""
     luma_dc = packed[:, 0:16]
     luma_ac = packed[:, 16:272].reshape(-1, 16, 16)
     chroma_dc = packed[:, 272:280].reshape(-1, 2, 4)
     chroma_ac = packed[:, 280:408].reshape(-1, 8, 16)
     i16_mode = packed[:, 408]
     chroma_mode = packed[:, 409]
-    return luma_dc, luma_ac, chroma_dc, chroma_ac, i16_mode, chroma_mode
+    intra_cls = packed[:, 410]
+    i4_modes = packed[:, 411:427]
+    return (luma_dc, luma_ac, chroma_dc, chroma_ac, i16_mode, chroma_mode,
+            intra_cls, i4_modes)
 
 
 @functools.partial(jax.jit, static_argnames=("mb_h", "mb_w"))
@@ -461,16 +570,22 @@ class JaxEncoder:
 
     # -- helpers ----------------------------------------------------------
     def _write(self, slice_type, mb_class, mv, i16_mode, chroma_mode,
-               luma_dc, luma_ac, chroma_dc, chroma_ac, mb_qp=None):
+               luma_dc, luma_ac, chroma_dc, chroma_ac, mb_qp=None,
+               i4_modes=None):
         from . import encoder as _enc
         n = self.mb_w * self.mb_h
+        if i4_modes is None:
+            i4_modes = np.full((n, 16), 2, np.int8)
+        else:
+            # wavefront emits raster-in-MB; MbRecord wants decode order
+            i4_modes = np.asarray(i4_modes)[:, np.asarray(BLK)]
         data = _enc._write_frame(
             self._lib, self.mb_w, self.mb_h, self.qp, self.frame_idx,
             slice_type=slice_type, mb_class=np.asarray(mb_class, np.uint8),
             mv=np.asarray(mv, np.int16),
             i16_mode=np.asarray(i16_mode, np.uint8),
             chroma_mode=np.asarray(chroma_mode, np.uint8),
-            i4_modes=np.full((n, 16), 2, np.int8),
+            i4_modes=np.ascontiguousarray(i4_modes, np.int8),
             luma_dc=np.asarray(luma_dc, np.int16),
             luma_ac=np.asarray(luma_ac, np.int16),
             chroma_dc=np.asarray(chroma_dc, np.int16),
@@ -527,18 +642,20 @@ class JaxEncoder:
         zt16 = jnp.zeros((n, 16, 16), jnp.int32)
         zt8 = jnp.zeros((n, 8, 8), jnp.int32)
         qp_d, qpc_d = self._qp_maps(Yd)
-        (i16_mode, chroma_mode, luma_dc, luma_ac, chroma_dc, chroma_ac,
-         recY, recU, recV) = intra_wavefront(
+        (i16_mode, intra_cls, i4_modes, chroma_mode, luma_dc, luma_ac,
+         chroma_dc, chroma_ac, recY, recU, recV) = intra_wavefront(
             self.mb_w, self.mb_h, Yd, Ud, Vd, zt16, zt8, zt8,
             jnp.ones((n,), bool), qp_d, qpc_d, self._diags)
         self.ref = (recY, recU, recV)  # device arrays
         packed = np.asarray(_pack_intra(luma_dc, luma_ac, chroma_dc,
-                                        chroma_ac, i16_mode, chroma_mode))
-        ldc, lac, cdc, cac, i16m, cm = _unpack(packed)
-        mb_class = np.ones(n, np.uint8)
+                                        chroma_ac, i16_mode, chroma_mode,
+                                        intra_cls, i4_modes))
+        (ldc, lac, cdc, cac, i16m, cm, cls, m4) = _unpack(packed)
+        mb_class = np.where(cls == 0, 0, 1).astype(np.uint8)
         mv = np.zeros((n, 2), np.int16)
         return self._write(1, mb_class, mv, i16m, cm, ldc, lac, cdc, cac,
-                           mb_qp=self._qp_plane if self.aq else None)
+                           mb_qp=self._qp_plane if self.aq else None,
+                           i4_modes=m4)
 
     def _encode_p(self, Y, U, V):
         n = self.mb_w * self.mb_h
@@ -563,20 +680,22 @@ class JaxEncoder:
         if use_intra.any():
             # intra-fallback wavefront on top of the inter recon tiles
             m = jnp.asarray(~use_intra)[:, None, None]
-            (i16_mode, chroma_mode, luma_dc_i, luma_ac_i, chroma_dc_i,
-             chroma_ac_i, recY, recU, recV) = intra_wavefront(
+            (i16_mode, intra_cls, i4_modes, chroma_mode, luma_dc_i,
+             luma_ac_i, chroma_dc_i, chroma_ac_i, recY, recU,
+             recV) = intra_wavefront(
                 self.mb_w, self.mb_h, Yd, Ud, Vd, jnp.where(m, tile_y, 0),
                 jnp.where(m, tile_u, 0), jnp.where(m, tile_v, 0),
                 use_intra_d, qp_d, qpc_d, self._diags)
             packed = np.asarray(_pack_merge(
                 use_intra_d, luma_dc_i, luma_ac_i, chroma_dc_i, chroma_ac_i,
-                i16_mode, chroma_mode, qac_zz, cdc_d, cac_d))
+                i16_mode, chroma_mode, intra_cls, i4_modes, qac_zz, cdc_d,
+                cac_d))
         else:
             recY, recU, recV = _finalize_inter(self.mb_w, self.mb_h, tile_y,
                                                tile_u, tile_v)
             packed = np.asarray(_pack_inter_only(qac_zz, cdc_d, cac_d))
 
-        ldc, lac, cdc, cac, i16m, cm = _unpack(packed)
+        (ldc, lac, cdc, cac, i16m, cm, cls, m4) = _unpack(packed)
 
         # P_Skip: zero residual + MV equals the skip predictor
         skip_pred, _ = self._mv_preds(mb_class, mv)
@@ -584,9 +703,11 @@ class JaxEncoder:
                    & (mv[:, 1] == skip_pred[:, 1]))
         mb_class[is_skip] = 11
 
+        mb_class[use_intra & (cls == 0)] = 0  # I4x4 fallback MBs
         self.ref = (recY, recU, recV)  # device arrays
         return self._write(0, mb_class, mv, i16m, cm, ldc, lac, cdc, cac,
-                           mb_qp=self._qp_plane if self.aq else None)
+                           mb_qp=self._qp_plane if self.aq else None,
+                           i4_modes=m4)
 
     def encode_frame(self, Y, U, V):
         from . import processing as proc
