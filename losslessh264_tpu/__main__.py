@@ -42,6 +42,10 @@ def main(argv=None):
     ap.add_argument("--bitrate", type=float, default=0,
                     help="encode target bitrate (bps; enables rate control)")
     ap.add_argument("--fps", type=float, default=25.0, help="encode fps (RC)")
+    ap.add_argument("--cabac", action="store_true",
+                    help="encode with CABAC entropy coding")
+    ap.add_argument("--aq", action="store_true",
+                    help="encode with per-MB adaptive quantization")
     args = ap.parse_args(argv)
 
     if args.input == "encode":
@@ -60,7 +64,8 @@ def main(argv=None):
         rc = (ratectl.RateControl(args.bitrate, args.fps, qp_init=args.qp)
               if args.bitrate else None)
         enc = encoder_jax.JaxEncoder(W, H, qp=args.qp, gop=args.gop, rc=rc,
-                                     scene_cut=args.gop == 0)
+                                     scene_cut=args.gop == 0,
+                                     cabac=args.cabac, aq=args.aq)
         t0 = time.perf_counter()
         out = b""
         for i in range(n_frames):

@@ -213,7 +213,7 @@ def _cfg_lib():
     if not hasattr(lib.pip_encode_frame, "_cfg"):
         lib.pip_encode_frame.restype = ctypes.c_int
         lib.pip_encode_frame.argtypes = [ctypes.c_int] * 6 + \
-            [ctypes.c_void_p] * 10 + [ctypes.c_int] + \
+            [ctypes.c_void_p] * 10 + [ctypes.c_int] * 2 + \
             [ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
              ctypes.POINTER(ctypes.c_size_t), ctypes.c_char_p,
              ctypes.c_size_t]
@@ -274,7 +274,8 @@ class IntraEncoder:
 
 def _write_frame(lib, mw, mh, qp, frame_idx, slice_type, mb_class, mv,
                  i16_mode, chroma_mode, i4_modes, luma_dc, luma_ac,
-                 chroma_dc, chroma_ac, include_params, mb_qp=None):
+                 chroma_dc, chroma_ac, include_params, mb_qp=None,
+                 cabac=False):
     out = ctypes.POINTER(ctypes.c_uint8)()
     out_size = ctypes.c_size_t()
     err = ctypes.create_string_buffer(512)
@@ -291,7 +292,7 @@ def _write_frame(lib, mw, mh, qp, frame_idx, slice_type, mb_class, mv,
         ptr(mb_class), ptr(mv16), ptr(i16_mode), ptr(chroma_mode),
         ptr(i4_modes), ptr(luma_dc16), ptr(luma_ac16), ptr(chroma_dc16),
         ptr(chroma_ac16), None if mb_qp is None else ptr(mb_qp),
-        1 if include_params else 0,
+        1 if include_params else 0, 1 if cabac else 0,
         ctypes.byref(out), ctypes.byref(out_size), err, len(err))
     if rc != 0:
         raise RuntimeError(f"pip_encode_frame: {err.value.decode()}")

@@ -549,7 +549,7 @@ class JaxEncoder:
     ME_RADIUS = 16
 
     def __init__(self, width, height, qp=28, gop=0, intra_only=False,
-                 rc=None, scene_cut=False, aq=False):
+                 rc=None, scene_cut=False, aq=False, cabac=False):
         assert width % 16 == 0 and height % 16 == 0, "pad input to MB size"
         self.width, self.height = width, height
         self.mb_w = width // 16
@@ -561,6 +561,7 @@ class JaxEncoder:
         self.rc = rc                 # optional ratectl.RateControl
         self.scene_cut = scene_cut   # IDR on detected scene changes
         self.aq = aq                 # per-MB adaptive quantization
+        self.cabac = cabac           # CABAC entropy coding
         self.frame_idx = 0
         self.ref = None   # (Y,U,V) uint8 recon planes (device arrays)
         self._prev_src = None  # device luma of the previous source frame
@@ -590,7 +591,8 @@ class JaxEncoder:
             luma_ac=np.asarray(luma_ac, np.int16),
             chroma_dc=np.asarray(chroma_dc, np.int16),
             chroma_ac=np.asarray(chroma_ac, np.int16),
-            include_params=self.frame_idx == 0, mb_qp=mb_qp)
+            include_params=self.frame_idx == 0, mb_qp=mb_qp,
+            cabac=self.cabac)
         return data
 
     def _qp_maps(self, Yd):

@@ -14,6 +14,7 @@
 // encoder's in-loop reconstruction equals any conformant decoder's
 // output bit-exactly without running the loop filter encoder-side.
 #include "bitio.h"
+#include "cabac_mb.h"
 #include "cavlc.h"
 #include "decsupport.h"
 #include "state.h"
@@ -52,11 +53,11 @@ std::vector<u8> write_sps(int mb_w, int mb_h) {
   return make_nal(3, 7, bw.bytes());
 }
 
-std::vector<u8> write_pps() {
+std::vector<u8> write_pps(bool cabac) {
   BitWriter bw;
   bw.put_ue(0);  // pps id
   bw.put_ue(0);  // sps id
-  bw.put_bit(0); // CAVLC
+  bw.put_bit(cabac ? 1 : 0);  // entropy_coding_mode_flag
   bw.put_bit(0); // bottom_field_pic_order
   bw.put_ue(0);  // num_slice_groups - 1
   bw.put_ue(0);  // num_ref_idx_l0_default - 1
@@ -113,7 +114,7 @@ int pip_encode_frame(int mb_w, int mb_h, int qp, int frame_num, int idr_id,
                      const i8* i4_modes, const i16* luma_dc,
                      const i16* luma_ac, const i16* chroma_dc,
                      const i16* chroma_ac, const u8* mb_qp,
-                     int include_params, u8** out,
+                     int include_params, int cabac, u8** out,
                      size_t* out_size, char* err, size_t err_cap) {
   try {
     int n = mb_w * mb_h;
@@ -121,7 +122,7 @@ int pip_encode_frame(int mb_w, int mb_h, int qp, int frame_num, int idr_id,
     std::vector<u8> stream;
     if (include_params) {
       auto sps = write_sps(mb_w, mb_h);
-      auto pps = write_pps();
+      auto pps = write_pps(cabac != 0);
       stream.insert(stream.end(), sps.begin(), sps.end());
       stream.insert(stream.end(), pps.begin(), pps.end());
     }
@@ -140,6 +141,7 @@ int pip_encode_frame(int mb_w, int mb_h, int qp, int frame_num, int idr_id,
       bw.put_bit(0);                  // ref_pic_list_modification
       bw.put_bit(0);                  // adaptive_ref_pic_marking
     }
+    if (cabac && !is_idr) bw.put_ue(0);  // cabac_init_idc
     bw.put_se(qp - 26);               // slice_qp_delta
     bw.put_ue(1);                     // disable_deblocking_filter_idc
     size_t header_bits = bw.pos_bits();
@@ -159,11 +161,21 @@ int pip_encode_frame(int mb_w, int mb_h, int qp, int frame_num, int idr_id,
     sh.frame_num = frame_num & 0xff;
     sh.disable_deblocking_idc = 1;
     sh.header_bits = header_bits;
+    sh.cabac_init_idc = 0;
+    if (cabac) pps_s.entropy_coding_mode = 1;
     PicState pic;
     pic.reset(mb_w, mb_h);
     SliceCtx sc;
     sc.begin_slice(&sps_s, &pps_s, &sh, &pic);
 
+    std::vector<u8> header_bytes;
+    {
+      BitWriter hw;
+      hw.append(bw);
+      while (!hw.byte_aligned()) hw.put_bit(0);
+      header_bytes = hw.take();
+    }
+    std::vector<MbRecord> recs;  // CABAC: records for cabac_write_slice
     int skip_run = 0;
     for (int addr = 0; addr < n; ++addr) {
       MbClass cl = MbClass(mb_class[addr]);
@@ -176,10 +188,11 @@ int pip_encode_frame(int mb_w, int mb_h, int qp, int frame_num, int idr_id,
         skip.qp = u8(sc.cur_qp);
         sc.last_dqp = 0;
         sc.commit(skip);
+        if (cabac) recs.push_back(skip);
         ++skip_run;
         continue;
       }
-      if (!is_idr) {
+      if (!is_idr && !cabac) {
         bw.put_ue(u32(skip_run));
         skip_run = 0;
       }
@@ -210,7 +223,7 @@ int pip_encode_frame(int mb_w, int mb_h, int qp, int frame_num, int idr_id,
         int d = (want - sc.cur_qp + 78) % 52 - 26;  // wrap to [-26, 25]
         rec.dqp = i8(d);
       }
-      write_mb_cavlc(bw, sc, rec);
+      if (!cabac) write_mb_cavlc(bw, sc, rec);
       if (rec.cbp_luma || rec.cbp_chroma || rec.mb_class == MB_I16x16)
         sc.apply_dqp(rec.dqp);
       else
@@ -218,10 +231,24 @@ int pip_encode_frame(int mb_w, int mb_h, int qp, int frame_num, int idr_id,
       rec.qp = u8(sc.cur_qp);
       if (mb_is_inter(rec.mb_class)) derive_mvs_record(sc, rec);
       sc.commit(rec);
+      if (cabac) recs.push_back(rec);
     }
-    if (!is_idr && skip_run > 0) bw.put_ue(u32(skip_run));
-    bw.rbsp_trailing_bits();
-    auto nal = make_nal(sh.nal_ref_idc, sh.nal_type, bw.bytes());
+    std::vector<u8> rbsp;
+    if (cabac) {
+      // re-run the shared state walk inside the CABAC writer on a fresh
+      // picture (same two-pass structure as the recode path)
+      PicState pic2;
+      pic2.reset(mb_w, mb_h);
+      SliceCtx sc2;
+      sc2.begin_slice(&sps_s, &pps_s, &sh, &pic2);
+      rbsp = cabac_write_slice(recs, sc2, sh, header_bytes.data(),
+                               header_bits);
+    } else {
+      if (!is_idr && skip_run > 0) bw.put_ue(u32(skip_run));
+      bw.rbsp_trailing_bits();
+      rbsp = bw.bytes();
+    }
+    auto nal = make_nal(sh.nal_ref_idc, sh.nal_type, rbsp);
     stream.insert(stream.end(), nal.begin(), nal.end());
 
     *out = static_cast<u8*>(malloc(stream.size()));

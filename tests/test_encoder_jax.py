@@ -142,3 +142,28 @@ def test_adaptive_quantization_end_to_end():
     pip, st = native.compress(data, verify=False)
     out, _ = native.decompress(pip)
     assert out == data and st.n_fallback_slices == 0
+
+
+def test_cabac_encode_end_to_end():
+    """cabac=True emits CABAC slices through the same writer the recode
+    path uses; recon stays bit-exact and the stream recompresses."""
+    frames = _moving_frames(4)
+    enc = encoder_jax.JaxEncoder(64, 48, qp=26, cabac=True)
+    data = b""
+    for f in frames:
+        data += enc.encode_frame(*f)
+    dec = decoder_np.NpDecoder(data, error_concealment=False)
+    dec._deblock = lambda *a, **k: None
+    last = None
+    for fr in dec.frames():
+        last = fr
+    recY, recU, recV = enc.recon
+    np.testing.assert_array_equal(last[0], recY)
+    np.testing.assert_array_equal(last[1], recU)
+    np.testing.assert_array_equal(last[2], recV)
+    pip, st = native.compress(data, verify=False)
+    out, _ = native.decompress(pip)
+    assert out == data and st.n_fallback_slices == 0
+    # CABAC should not be larger than CAVLC on the same content
+    cavlc = encoder_jax.encode_yuv(frames, 64, 48, qp=26)
+    assert len(data) <= len(cavlc) * 1.02
