@@ -257,7 +257,7 @@ def _encode_chroma_mb(locu, locv, srcu, srcv, qpc, aL, aT):
 # ---------------------------------------------------------------------------
 @functools.partial(jax.jit, static_argnames=("mb_w", "mb_h"))
 def intra_wavefront(mb_w: int, mb_h: int, srcY, srcU, srcV, inter_y, inter_u,
-                    inter_v, is_intra, qp, qpc, diags):
+                    inter_v, is_intra, qp, qpc, diags, row_slice):
     """Encode all intra MBs of a frame as a slope-2 wavefront.
 
     inter_*: [n,16,16]/[n,8,8] already-reconstructed inter tiles (zeros
@@ -298,8 +298,9 @@ def intra_wavefront(mb_w: int, mb_h: int, srcY, srcU, srcV, inter_y, inter_u,
             my = mb_c // mb_w
             mx = mb_c % mb_w
             aL = mx > 0
-            aT = my > 0
-            aTR = (my > 0) & (mx < mb_w - 1)
+            same_slice_up = row_slice[my] == row_slice[jnp.maximum(my - 1, 0)]
+            aT = (my > 0) & same_slice_up
+            aTR = aT & (mx < mb_w - 1)
             y0 = my * 16 + WPAD
             x0 = mx * 16 + WPAD
             loc = jax.lax.dynamic_slice(Yw, (y0 - 1, x0 - 1), (17, 25))
@@ -549,7 +550,8 @@ class JaxEncoder:
     ME_RADIUS = 16
 
     def __init__(self, width, height, qp=28, gop=0, intra_only=False,
-                 rc=None, scene_cut=False, aq=False, cabac=False):
+                 rc=None, scene_cut=False, aq=False, cabac=False,
+                 slices=1):
         assert width % 16 == 0 and height % 16 == 0, "pad input to MB size"
         self.width, self.height = width, height
         self.mb_w = width // 16
@@ -562,10 +564,14 @@ class JaxEncoder:
         self.scene_cut = scene_cut   # IDR on detected scene changes
         self.aq = aq                 # per-MB adaptive quantization
         self.cabac = cabac           # CABAC entropy coding
+        self.slices = max(1, min(int(slices), self.mb_h))
         self.frame_idx = 0
         self.ref = None   # (Y,U,V) uint8 recon planes (device arrays)
         self._prev_src = None  # device luma of the previous source frame
         self._diags = jnp.asarray(_diagonals(self.mb_w, self.mb_h))
+        rows_per = -(-self.mb_h // self.slices)
+        self._row_slice = jnp.asarray(
+            np.arange(self.mb_h) // rows_per, jnp.int32)
         from . import encoder as _enc
         self._lib = _enc._cfg_lib()
 
@@ -592,7 +598,7 @@ class JaxEncoder:
             chroma_dc=np.asarray(chroma_dc, np.int16),
             chroma_ac=np.asarray(chroma_ac, np.int16),
             include_params=self.frame_idx == 0, mb_qp=mb_qp,
-            cabac=self.cabac)
+            cabac=self.cabac, n_slices=self.slices)
         return data
 
     def _qp_maps(self, Yd):
@@ -622,7 +628,7 @@ class JaxEncoder:
         mv16 = np.ascontiguousarray(mv, np.int16)
         mbc = np.ascontiguousarray(mb_class, np.uint8)
         rc = self._lib.pip_encode_mv_preds(
-            self.mb_w, self.mb_h, ptr(mbc), ptr(mv16),
+            self.mb_w, self.mb_h, self.slices, ptr(mbc), ptr(mv16),
             ptr(skip_pred), ptr(p16_pred), err, len(err))
         if rc != 0:
             raise RuntimeError(f"pip_encode_mv_preds: {err.value.decode()}")
@@ -647,7 +653,8 @@ class JaxEncoder:
         (i16_mode, intra_cls, i4_modes, chroma_mode, luma_dc, luma_ac,
          chroma_dc, chroma_ac, recY, recU, recV) = intra_wavefront(
             self.mb_w, self.mb_h, Yd, Ud, Vd, zt16, zt8, zt8,
-            jnp.ones((n,), bool), qp_d, qpc_d, self._diags)
+            jnp.ones((n,), bool), qp_d, qpc_d, self._diags,
+            self._row_slice)
         self.ref = (recY, recU, recV)  # device arrays
         packed = np.asarray(_pack_intra(luma_dc, luma_ac, chroma_dc,
                                         chroma_ac, i16_mode, chroma_mode,
@@ -687,7 +694,7 @@ class JaxEncoder:
              recV) = intra_wavefront(
                 self.mb_w, self.mb_h, Yd, Ud, Vd, jnp.where(m, tile_y, 0),
                 jnp.where(m, tile_u, 0), jnp.where(m, tile_v, 0),
-                use_intra_d, qp_d, qpc_d, self._diags)
+                use_intra_d, qp_d, qpc_d, self._diags, self._row_slice)
             packed = np.asarray(_pack_merge(
                 use_intra_d, luma_dc_i, luma_ac_i, chroma_dc_i, chroma_ac_i,
                 i16_mode, chroma_mode, intra_cls, i4_modes, qac_zz, cdc_d,

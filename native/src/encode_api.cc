@@ -19,6 +19,7 @@
 #include "decsupport.h"
 #include "state.h"
 
+#include <algorithm>
 #include <cstring>
 
 using namespace h264pip;
@@ -114,11 +115,13 @@ int pip_encode_frame(int mb_w, int mb_h, int qp, int frame_num, int idr_id,
                      const i8* i4_modes, const i16* luma_dc,
                      const i16* luma_ac, const i16* chroma_dc,
                      const i16* chroma_ac, const u8* mb_qp,
-                     int include_params, int cabac, u8** out,
+                     int include_params, int cabac, int n_slices, u8** out,
                      size_t* out_size, char* err, size_t err_cap) {
   try {
     int n = mb_w * mb_h;
     bool is_idr = slice_type != 0;
+    if (n_slices < 1) n_slices = 1;
+    if (n_slices > mb_h) n_slices = mb_h;
     std::vector<u8> stream;
     if (include_params) {
       auto sps = write_sps(mb_w, mb_h);
@@ -126,9 +129,29 @@ int pip_encode_frame(int mb_w, int mb_h, int qp, int frame_num, int idr_id,
       stream.insert(stream.end(), sps.begin(), sps.end());
       stream.insert(stream.end(), pps.begin(), pps.end());
     }
+    Sps sps_s;
+    sps_s.pic_width_in_mbs = mb_w;
+    sps_s.pic_height_in_map_units = mb_h;
+    sps_s.log2_max_frame_num = 8;
+    sps_s.max_num_ref_frames = 1;
+    Pps pps_s;
+    if (cabac) pps_s.entropy_coding_mode = 1;
+    PicState pic;
+    pic.reset(mb_w, mb_h);
+    PicState pic_mirror;  // CABAC writer's independent state walk
+
+    // row-aligned slice split (reference SM_FIXEDSLCNUM_SLICE,
+    // slice_multi_threading.cpp load split)
+    int rows_per = (mb_h + n_slices - 1) / n_slices;
+    for (int si = 0; si < n_slices; ++si) {
+    int r0 = si * rows_per;
+    int r1 = std::min(mb_h, r0 + rows_per);
+    if (r0 >= r1) break;
+    int first_mb = r0 * mb_w;
+    int end_mb = r1 * mb_w;
     // slice header
     BitWriter bw;
-    bw.put_ue(0);                     // first_mb_in_slice
+    bw.put_ue(u32(first_mb));         // first_mb_in_slice
     bw.put_ue(is_idr ? 7 : 5);        // slice_type (I / P, all slices)
     bw.put_ue(0);                     // pps id
     bw.put(frame_num & 0xff, 8);      // frame_num
@@ -146,12 +169,6 @@ int pip_encode_frame(int mb_w, int mb_h, int qp, int frame_num, int idr_id,
     bw.put_ue(1);                     // disable_deblocking_filter_idc
     size_t header_bits = bw.pos_bits();
 
-    Sps sps_s;
-    sps_s.pic_width_in_mbs = mb_w;
-    sps_s.pic_height_in_map_units = mb_h;
-    sps_s.log2_max_frame_num = 8;
-    sps_s.max_num_ref_frames = 1;
-    Pps pps_s;
     SliceHeader sh;
     sh.slice_type = is_idr ? SLICE_I : SLICE_P;
     sh.slice_qp = qp;
@@ -162,9 +179,7 @@ int pip_encode_frame(int mb_w, int mb_h, int qp, int frame_num, int idr_id,
     sh.disable_deblocking_idc = 1;
     sh.header_bits = header_bits;
     sh.cabac_init_idc = 0;
-    if (cabac) pps_s.entropy_coding_mode = 1;
-    PicState pic;
-    pic.reset(mb_w, mb_h);
+    sh.first_mb_in_slice = first_mb;
     SliceCtx sc;
     sc.begin_slice(&sps_s, &pps_s, &sh, &pic);
 
@@ -177,7 +192,7 @@ int pip_encode_frame(int mb_w, int mb_h, int qp, int frame_num, int idr_id,
     }
     std::vector<MbRecord> recs;  // CABAC: records for cabac_write_slice
     int skip_run = 0;
-    for (int addr = 0; addr < n; ++addr) {
+    for (int addr = first_mb; addr < end_mb; ++addr) {
       MbClass cl = MbClass(mb_class[addr]);
       if (cl == MB_PSKIP) {
         PIP_CHECK(!is_idr, "P_Skip in IDR frame");
@@ -236,11 +251,10 @@ int pip_encode_frame(int mb_w, int mb_h, int qp, int frame_num, int idr_id,
     std::vector<u8> rbsp;
     if (cabac) {
       // re-run the shared state walk inside the CABAC writer on a fresh
-      // picture (same two-pass structure as the recode path)
-      PicState pic2;
-      pic2.reset(mb_w, mb_h);
+      // picture mirror (same two-pass structure as the recode path)
+      if (si == 0) pic_mirror.reset(mb_w, mb_h);
       SliceCtx sc2;
-      sc2.begin_slice(&sps_s, &pps_s, &sh, &pic2);
+      sc2.begin_slice(&sps_s, &pps_s, &sh, &pic_mirror);
       rbsp = cabac_write_slice(recs, sc2, sh, header_bytes.data(),
                                header_bits);
     } else {
@@ -250,6 +264,7 @@ int pip_encode_frame(int mb_w, int mb_h, int qp, int frame_num, int idr_id,
     }
     auto nal = make_nal(sh.nal_ref_idc, sh.nal_type, rbsp);
     stream.insert(stream.end(), nal.begin(), nal.end());
+    }  // slice loop
 
     *out = static_cast<u8*>(malloc(stream.size()));
     memcpy(*out, stream.data(), stream.size());
@@ -274,11 +289,15 @@ int pip_encode_frame(int mb_w, int mb_h, int qp, int frame_num, int idr_id,
 // classes: same codes as pip_encode_frame. mv: absolute qpel per MB
 // (used to update prediction state). Outputs: skip_pred[n*2],
 // p16_pred[n*2].
-int pip_encode_mv_preds(int mb_w, int mb_h, const u8* mb_class,
+int pip_encode_mv_preds(int mb_w, int mb_h, int n_slices,
+                        const u8* mb_class,
                         const i16* mv, i16* skip_pred, i16* p16_pred,
                         char* err, size_t err_cap) {
   try {
     int n = mb_w * mb_h;
+    if (n_slices < 1) n_slices = 1;
+    if (n_slices > mb_h) n_slices = mb_h;
+    int rows_per = (mb_h + n_slices - 1) / n_slices;
     Sps sps_s;
     sps_s.pic_width_in_mbs = mb_w;
     sps_s.pic_height_in_map_units = mb_h;
@@ -293,6 +312,8 @@ int pip_encode_mv_preds(int mb_w, int mb_h, const u8* mb_class,
     SliceCtx sc;
     sc.begin_slice(&sps_s, &pps_s, &sh, &pic);
     for (int addr = 0; addr < n; ++addr) {
+      if (addr > 0 && addr % (rows_per * mb_w) == 0)
+        sc.begin_slice(&sps_s, &pps_s, &sh, &pic);  // new slice boundary
       sc.begin_mb(addr);
       i16 sp[2], pp[2];
       predict_mv_skip(sc, sp);

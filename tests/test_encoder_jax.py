@@ -167,3 +167,35 @@ def test_cabac_encode_end_to_end():
     # CABAC should not be larger than CAVLC on the same content
     cavlc = encoder_jax.encode_yuv(frames, 64, 48, qp=26)
     assert len(data) <= len(cavlc) * 1.02
+
+
+def test_multi_slice_encode():
+    """slices=k emits k row-aligned slices per frame with the same-slice
+    availability rule respected in mode decision (reference
+    SM_FIXEDSLCNUM_SLICE); recon stays decoder-exact for CAVLC and CABAC."""
+    rng = np.random.RandomState(7)
+    H, W = 96, 64
+    bg = rng.randint(0, 255, (H + 32, W + 32)).astype(np.uint8)
+    frames = []
+    for i in range(3):
+        Y = np.ascontiguousarray(bg[i * 2:i * 2 + H, i * 3:i * 3 + W])
+        U = np.full((H // 2, W // 2), 100, np.uint8)
+        V = np.full((H // 2, W // 2), 200, np.uint8)
+        frames.append((Y, U, V))
+    for cab in (False, True):
+        enc = encoder_jax.JaxEncoder(W, H, qp=26, slices=3, cabac=cab)
+        data = b""
+        for f in frames:
+            data += enc.encode_frame(*f)
+        dec = decoder_np.NpDecoder(data, error_concealment=False)
+        dec._deblock = lambda *a, **k: None
+        last = None
+        for fr in dec.frames():
+            last = fr
+        recY, recU, recV = enc.recon
+        np.testing.assert_array_equal(last[0], recY)
+        np.testing.assert_array_equal(last[1], recU)
+        pip, st = native.compress(data, verify=False)
+        out, _ = native.decompress(pip)
+        assert out == data and st.n_fallback_slices == 0
+        assert st.n_slices == 9  # 3 slices x 3 frames
