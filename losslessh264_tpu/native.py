@@ -141,9 +141,60 @@ def _stats_from(c: PipStats) -> Stats:
     )
 
 
-def compress(data: bytes, verify: bool = True) -> tuple[bytes, Stats]:
-    """Compress an Annex-B .264 stream to the .pip container format."""
+def gop_starts(data: bytes) -> list[int]:
+    """Byte offsets of GOP (IDR access-unit) segment starts."""
     lib = load()
+    if not hasattr(lib.pip_gop_starts_c, "_cfg"):
+        lib.pip_gop_starts_c.restype = ctypes.c_int
+        lib.pip_gop_starts_c.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_size_t), ctypes.c_char_p, ctypes.c_size_t,
+        ]
+        lib.pip_gop_starts_c._cfg = True
+    cap = 65536
+    buf = (ctypes.c_uint64 * cap)()
+    n = ctypes.c_size_t()
+    err = ctypes.create_string_buffer(512)
+    rc = lib.pip_gop_starts_c(data, len(data), buf, cap, ctypes.byref(n),
+                              err, len(err))
+    if rc != 0:
+        raise RuntimeError(f"pip_gop_starts failed: {err.value.decode()}")
+    return [int(buf[i]) for i in range(min(n.value, cap))]
+
+
+def compress(data: bytes, verify: bool = True,
+             context: bytes = b"") -> tuple[bytes, Stats]:
+    """Compress an Annex-B .264 stream to the .pip container format.
+
+    context: optional SPS/PPS NAL stream absorbed for parameter-set state
+    but not emitted (GOP segment / checkpoint compression)."""
+    lib = load()
+    if context:
+        if not hasattr(lib.pip_compress_ctx_c, "_cfg"):
+            lib.pip_compress_ctx_c.restype = ctypes.c_int
+            lib.pip_compress_ctx_c.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t,
+                ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+                ctypes.POINTER(ctypes.c_size_t), ctypes.POINTER(PipStats),
+                ctypes.c_char_p, ctypes.c_size_t,
+            ]
+            lib.pip_compress_ctx_c._cfg = True
+        out = ctypes.POINTER(ctypes.c_uint8)()
+        out_size = ctypes.c_size_t()
+        st = PipStats()
+        err = ctypes.create_string_buffer(512)
+        rc = lib.pip_compress_ctx_c(data, len(data), context, len(context),
+                                    1 if verify else 0, ctypes.byref(out),
+                                    ctypes.byref(out_size), ctypes.byref(st),
+                                    err, len(err))
+        if rc != 0:
+            raise RuntimeError(f"pip_compress failed: {err.value.decode()}")
+        try:
+            return ctypes.string_at(out, out_size.value), _stats_from(st)
+        finally:
+            lib.pip_free(out)
     out = ctypes.POINTER(ctypes.c_uint8)()
     out_size = ctypes.c_size_t()
     st = PipStats()

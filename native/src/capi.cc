@@ -106,6 +106,50 @@ int pip_decompress_c(const u8* data, size_t size, u8** out, size_t* out_size,
   }
 }
 
+int pip_compress_ctx_c(const u8* data, size_t size, const u8* ctx,
+                       size_t ctx_size, int verify, u8** out,
+                       size_t* out_size, PipStats* stats_out, char* err,
+                       size_t err_cap) {
+  try {
+    EngineStats st;
+    std::vector<u8> v =
+        pip_compress(data, size, verify != 0, &st, ctx, ctx_size);
+    *out = alloc_copy(v);
+    *out_size = v.size();
+    if (stats_out) {
+      stats_out->in_bytes = st.in_bytes;
+      stats_out->out_bytes = st.out_bytes;
+      stats_out->n_nals = st.n_nals;
+      stats_out->n_slices = st.n_slices;
+      stats_out->n_fallback_slices = st.n_fallback_slices;
+      stats_out->n_frames = st.n_frames;
+      stats_out->n_mbs = st.n_mbs;
+      memcpy(stats_out->bill, st.bill_bits, sizeof(stats_out->bill));
+      memcpy(stats_out->prior_total, st.prior_total,
+             sizeof(stats_out->prior_total));
+      memcpy(stats_out->prior_hits, st.prior_hits,
+             sizeof(stats_out->prior_hits));
+    }
+    return 0;
+  } catch (const std::exception& e) {
+    set_err(err, err_cap, e.what());
+    return 1;
+  }
+}
+
+int pip_gop_starts_c(const u8* data, size_t size, u64* out, size_t cap,
+                     size_t* n_out, char* err, size_t err_cap) {
+  try {
+    std::vector<size_t> v = pip_gop_starts(data, size);
+    *n_out = v.size();
+    for (size_t i = 0; i < v.size() && i < cap; ++i) out[i] = v[i];
+    return 0;
+  } catch (const std::exception& e) {
+    set_err(err, err_cap, e.what());
+    return 1;
+  }
+}
+
 void pip_free(u8* p) { free(p); }
 
 // --- unit-test hooks (bool coder + priors), mirrored from the reference's

@@ -748,6 +748,13 @@ GopSegments find_gop_segments(const u8* data, size_t size) {
 
 }  // namespace
 
+std::vector<size_t> pip_gop_starts(const u8* data, size_t size) {
+  GopSegments segs = find_gop_segments(data, size);
+  std::vector<size_t> out;
+  for (auto& r : segs.ranges) out.push_back(r.first);
+  return out;
+}
+
 std::vector<u8> pip_compress_sharded(const u8* data, size_t size,
                                      int n_shards, bool verify,
                                      EngineStats* stats) {

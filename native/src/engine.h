@@ -62,6 +62,12 @@ std::vector<u8> pip_compress(const u8* data, size_t size, bool verify,
                              const u8* context = nullptr,
                              size_t context_size = 0);
 
+// Byte offsets of GOP (IDR access-unit) segment starts, offset 0 first —
+// the cut points used by sharded compression; each segment compressed
+// with the SPS/PPS context accumulated before it yields a self-contained
+// .pip (the basis of checkpoint/resume).
+std::vector<size_t> pip_gop_starts(const u8* data, size_t size);
+
 // GOP-sharded compression: splits at IDR access-unit boundaries into up
 // to `n_shards` independent segments, compressed in parallel threads,
 // each with its own model + arithmetic stream (the multi-host DCN
