@@ -110,14 +110,16 @@ struct Model {
   BranchPrior<4> pred_mode[2][8][9];  // [is8x8][availIdx][predMode]
   BranchPrior<2> sub_mb[4];           // [position]
   UnaryPrior<4> ref_idx[3][4];        // [past refidx clamp 2][partition]
-  MvdPrior mvd[4][16][2];             // [class bucket][slot][xy]
+  MvdPrior mvd[4][16][2][3];          // [class bucket][slot][xy][past-mvd
+                                      //  magnitude bucket 0/small/large]
   DynProb t8x8_flag[MB_NUM_CLASSES][64];
   DcPrior luma_dc[16][3];  // [coef idx][past-dc bucket: 0,|1|,>1]
   DcPrior chroma_dc[8][3];
   NzPrior nz_4x4[3][3][3][3][3];  // [color][clsb(<=2)][past][left][above]
   NzPrior nz_8x8[3][3][3];        // [past][left][above]
-  AcPrior ac_4x4[3][2][16][5][5][3];  // [color][intra][scan][nzleft][prev][pastnz]
-  AcPrior ac_8x8[16][5][5][3];        // [scan>>2][nzleft][prev][pastnz]
+  AcPrior ac_4x4[3][2][16][5][5][6];  // [color][intra][scan][nzleft][prev]
+                                      // [pastnz*2 + (prev2 != 0)]
+  AcPrior ac_8x8[16][5][5][6];        // [scan>>2][nzleft][prev][same]
   BranchPrior<8> pcm_byte[3];         // [plane]
 
   Model() = default;
@@ -234,8 +236,13 @@ void code_block(IO& io, ModelCtx& mc, int color, int blk, i16* coeff,
 
   bool intra = mb_is_intra(rec->mb_class);
   int nzleft = nonzeros;
-  i32 prev = 0;
+  i32 prev = 0, prev2 = 0;
   const MbRecord* past = mc.past;
+  // Forward scan with early stop: positions after the last nonzero are
+  // implied zero. (Measured BETTER than the reference's reverse-zigzag
+  // walk, decode_slice.cpp kzz16 — reverse pays explicit zero symbols
+  // for the whole high-frequency tail; forward stops at the last
+  // nonzero, and the nzleft context recovers the magnitude cue.)
   for (int i = 0; i < n && nzleft > 0; ++i) {
     int pastnz = 2;
     if (past) {
@@ -250,17 +257,19 @@ void code_block(IO& io, ModelCtx& mc, int color, int blk, i16* coeff,
       pastnz = pv ? 1 : 0;
     }
     int prevb = std::max(-2, std::min(2, int(prev))) + 2;
+    int ctx2 = pastnz * 2 + (prev2 != 0 ? 1 : 0);
     AcPrior* ap;
     if (IS8x8) {
-      ap = &M.ac_8x8[(start + i) >> 2][std::min(4, nzleft)][prevb][pastnz];
+      ap = &M.ac_8x8[(start + i) >> 2][std::min(4, nzleft)][prevb][ctx2];
     } else {
       ap = &M.ac_4x4[color][intra ? 1 : 0][start + i][std::min(4, nzleft)]
-                    [prevb][pastnz];
+                    [prevb][ctx2];
     }
     i32 c = code_uegk(io, IO::kIsWriter ? i32(coeff[start + i]) : 0, ap,
                       /*hasZero=*/true);
     if (!IO::kIsWriter) coeff[start + i] = i16(c);
     if (c != 0) --nzleft;
+    prev2 = prev;
     prev = c;
   }
   PIP_CHECK(nzleft == 0, "block nonzeros mismatch");
@@ -455,8 +464,20 @@ void code_mb_symbols(IO& io, ModelCtx& mc) {
     io.set_tag(BILL_MVD);
     auto code_mv = [&](int slot) {
       for (int xy = 0; xy < 2; ++xy) {
+        // temporal motion-coherence context: the co-located (PAST) MB's
+        // MVD magnitude (reference conditions its 200x16 MVD priors on
+        // the prior-frame motion the same way, macroblock_model.h:44)
+        int pm = 0;
+        if (mc.past) {
+          int a = std::abs(int(mc.past->mvd[slot][xy]));
+          pm = a == 0 ? 0 : (a <= 3 ? 1 : 2);
+        }
+        // (measured: the reference's delta-vs-past-MVD coding
+        // [decode_slice.cpp:2128] LOSES to direct coding here — the
+        // spatial median predictor already whitens the field; the PAST
+        // MVD magnitude survives only as a context bucket)
         i32 v = code_uegk(io, IO::kIsWriter ? i32(rec.mvd[slot][xy]) : 0,
-                          &M.mvd[cb][slot][xy], /*hasZero=*/true);
+                          &M.mvd[cb][slot][xy][pm], /*hasZero=*/true);
         if (!IO::kIsWriter) rec.mvd[slot][xy] = i16(v);
       }
     };
