@@ -213,13 +213,13 @@ def _cfg_lib():
     if not hasattr(lib.pip_encode_frame, "_cfg"):
         lib.pip_encode_frame.restype = ctypes.c_int
         lib.pip_encode_frame.argtypes = [ctypes.c_int] * 6 + \
-            [ctypes.c_void_p] * 10 + [ctypes.c_int] * 3 + \
+            [ctypes.c_void_p] * 11 + [ctypes.c_int] * 3 + \
             [ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
              ctypes.POINTER(ctypes.c_size_t), ctypes.c_char_p,
              ctypes.c_size_t]
         lib.pip_encode_mv_preds.restype = ctypes.c_int
         lib.pip_encode_mv_preds.argtypes = [ctypes.c_int] * 3 + \
-            [ctypes.c_void_p] * 4 + [ctypes.c_char_p, ctypes.c_size_t]
+            [ctypes.c_void_p] * 5 + [ctypes.c_char_p, ctypes.c_size_t]
         lib.pip_encode_frame._cfg = True
     return lib
 
@@ -275,7 +275,7 @@ class IntraEncoder:
 def _write_frame(lib, mw, mh, qp, frame_idx, slice_type, mb_class, mv,
                  i16_mode, chroma_mode, i4_modes, luma_dc, luma_ac,
                  chroma_dc, chroma_ac, include_params, mb_qp=None,
-                 cabac=False, n_slices=1):
+                 cabac=False, n_slices=1, mv8=None):
     out = ctypes.POINTER(ctypes.c_uint8)()
     out_size = ctypes.c_size_t()
     err = ctypes.create_string_buffer(512)
@@ -287,11 +287,14 @@ def _write_frame(lib, mw, mh, qp, frame_idx, slice_type, mb_class, mv,
     chroma_dc16 = np.ascontiguousarray(chroma_dc, np.int16)
     if mb_qp is not None:
         mb_qp = np.ascontiguousarray(mb_qp, np.uint8)
+    if mv8 is not None:
+        mv8 = np.ascontiguousarray(mv8, np.int16)
     rc = lib.pip_encode_frame(
         mw, mh, qp, frame_idx, frame_idx & 1, slice_type,
         ptr(mb_class), ptr(mv16), ptr(i16_mode), ptr(chroma_mode),
         ptr(i4_modes), ptr(luma_dc16), ptr(luma_ac16), ptr(chroma_dc16),
         ptr(chroma_ac16), None if mb_qp is None else ptr(mb_qp),
+        None if mv8 is None else ptr(mv8),
         1 if include_params else 0, 1 if cabac else 0, int(n_slices),
         ctypes.byref(out), ctypes.byref(out_size), err, len(err))
     if rc != 0:
@@ -347,7 +350,7 @@ class Encoder:
         ptr = lambda a: a.ctypes.data_as(ctypes.c_void_p)
         mv16 = np.ascontiguousarray(mv, np.int16)
         rc = self._lib.pip_encode_mv_preds(
-            self.mb_w, self.mb_h, 1, ptr(mb_class), ptr(mv16),
+            self.mb_w, self.mb_h, 1, ptr(mb_class), ptr(mv16), None,
             ptr(skip_pred), ptr(p16_pred), err, len(err))
         if rc != 0:
             raise RuntimeError(f"pip_encode_mv_preds: {err.value.decode()}")

@@ -403,11 +403,46 @@ def encode_inter_mbs(mb_w: int, mb_h: int, radius: int, Y, U, V, refY_s,
     intra_cost = jme.intra_sad_proxy(srcY_t)
     use_intra = best_sad > intra_cost + 2048
 
-    pred_y = jmc.mc_luma_mbs(planes, PAD, mby0, mbx0, mvx, mvy)
-    pred_u = jmc.mc_chroma_mbs(refU_s[0], PAD // 2, mby0 // 2, mbx0 // 2,
-                               mvx, mvy)
-    pred_v = jmc.mc_chroma_mbs(refV_s[0], PAD // 2, mby0 // 2, mbx0 // 2,
-                               mvx, mvy)
+    # ---- P8x8 partition search: independent ME per 8x8 sub-block ----
+    blk4 = jnp.arange(4)
+    by8 = (mby0[:, None] + (blk4 // 2)[None, :] * 8).reshape(-1)   # [4n]
+    bx8 = (mbx0[:, None] + (blk4 % 2)[None, :] * 8).reshape(-1)
+    src8 = srcY_t.reshape(n, 2, 8, 2, 8).transpose(0, 1, 3, 2, 4) \
+        .reshape(n * 4, 8, 8)
+    dy8, dx8, sad8, _ = jme.full_search_sad(src8, ref_r, by8, bx8, radius,
+                                            block=8)
+    mv8x = dx8.astype(jnp.int32) * 4
+    mv8y = dy8.astype(jnp.int32) * 4
+    mv8x, mv8y, sad8 = jme.subpel_refine(planes, PAD, by8, bx8, mv8x, mv8y,
+                                         src8, step=2, size=8)
+    mv8x, mv8y, sad8 = jme.subpel_refine(planes, PAD, by8, bx8, mv8x, mv8y,
+                                         src8, step=1, size=8)
+    # partition decision: 1 MV vs 4 MVs worth of side info (~SAD+lam*bits)
+    lam = LAMBDA[qp]
+    cost16 = best_sad + lam * 4
+    cost8 = sad8.reshape(n, 4).sum(axis=1) + lam * 20
+    use_p8 = (cost8 < cost16) & ~use_intra
+
+    pred16_y = jmc.mc_luma_mbs(planes, PAD, mby0, mbx0, mvx, mvy)
+    pred16_u = jmc.mc_chroma_mbs(refU_s[0], PAD // 2, mby0 // 2, mbx0 // 2,
+                                 mvx, mvy)
+    pred16_v = jmc.mc_chroma_mbs(refV_s[0], PAD // 2, mby0 // 2, mbx0 // 2,
+                                 mvx, mvy)
+    p8_y = jmc.mc_luma_mbs(planes, PAD, by8, bx8, mv8x, mv8y, size=8)
+    p8_u = jmc.mc_chroma_mbs(refU_s[0], PAD // 2, by8 // 2, bx8 // 2,
+                             mv8x, mv8y, size=4)
+    p8_v = jmc.mc_chroma_mbs(refV_s[0], PAD // 2, by8 // 2, bx8 // 2,
+                             mv8x, mv8y, size=4)
+
+    def _asm4(blocks, t):
+        return blocks.reshape(n, 2, 2, t, t).transpose(0, 1, 3, 2, 4) \
+            .reshape(n, 2 * t, 2 * t)
+
+    sel = use_p8[:, None, None]
+    pred_y = jnp.where(sel, _asm4(p8_y, 8), pred16_y)
+    pred_u = jnp.where(sel, _asm4(p8_u, 4), pred16_u)
+    pred_v = jnp.where(sel, _asm4(p8_v, 4), pred16_v)
+    mv8 = jnp.stack([mv8x, mv8y], axis=1).reshape(n, 4, 2)
 
     resid = srcY_t - pred_y
     qp16 = jnp.broadcast_to(qp[:, None], (n, 16))
@@ -438,8 +473,8 @@ def encode_inter_mbs(mb_w: int, mb_h: int, radius: int, Y, U, V, refY_s,
 
     no_res = ((qac == 0).all(axis=(1, 2, 3)) &
               (cdc == 0).all(axis=(1, 2)) & (cac == 0).all(axis=(1, 2, 3)))
-    return (mvx, mvy, use_intra, jt.zigzag4(qac), cdc, cac, tile_y,
-            tiles_c[0], tiles_c[1], no_res)
+    return (mvx, mvy, use_intra, use_p8, mv8, jt.zigzag4(qac), cdc, cac,
+            tile_y, tiles_c[0], tiles_c[1], no_res)
 
 
 # ---------------------------------------------------------------------------
@@ -492,9 +527,13 @@ def _pack_inter_only(qac_zz, cdc, cac):
 
 
 @jax.jit
-def _pack_meta(mvx, mvy, use_intra, no_res):
-    return jnp.stack([mvx, mvy, use_intra.astype(jnp.int32),
-                      no_res.astype(jnp.int32)], axis=1).astype(jnp.int16)
+def _pack_meta(mvx, mvy, use_intra, no_res, use_p8, mv8):
+    n = mvx.shape[0]
+    head = jnp.stack([mvx, mvy, use_intra.astype(jnp.int32),
+                      no_res.astype(jnp.int32),
+                      use_p8.astype(jnp.int32)], axis=1)
+    return jnp.concatenate([head, mv8.reshape(n, 8)], axis=1) \
+        .astype(jnp.int16)
 
 
 def _unpack(packed):
@@ -578,7 +617,7 @@ class JaxEncoder:
     # -- helpers ----------------------------------------------------------
     def _write(self, slice_type, mb_class, mv, i16_mode, chroma_mode,
                luma_dc, luma_ac, chroma_dc, chroma_ac, mb_qp=None,
-               i4_modes=None):
+               i4_modes=None, mv8=None):
         from . import encoder as _enc
         n = self.mb_w * self.mb_h
         if i4_modes is None:
@@ -598,7 +637,7 @@ class JaxEncoder:
             chroma_dc=np.asarray(chroma_dc, np.int16),
             chroma_ac=np.asarray(chroma_ac, np.int16),
             include_params=self.frame_idx == 0, mb_qp=mb_qp,
-            cabac=self.cabac, n_slices=self.slices)
+            cabac=self.cabac, n_slices=self.slices, mv8=mv8)
         return data
 
     def _qp_maps(self, Yd):
@@ -618,7 +657,7 @@ class JaxEncoder:
         return (jnp.asarray(qp_map, jnp.int32),
                 jnp.asarray(qpc_map, jnp.int32))
 
-    def _mv_preds(self, mb_class, mv):
+    def _mv_preds(self, mb_class, mv, mv8=None):
         import ctypes
         n = self.mb_w * self.mb_h
         skip_pred = np.zeros((n, 2), np.int16)
@@ -627,8 +666,11 @@ class JaxEncoder:
         ptr = lambda a: a.ctypes.data_as(ctypes.c_void_p)
         mv16 = np.ascontiguousarray(mv, np.int16)
         mbc = np.ascontiguousarray(mb_class, np.uint8)
+        if mv8 is not None:
+            mv8 = np.ascontiguousarray(mv8, np.int16)
         rc = self._lib.pip_encode_mv_preds(
             self.mb_w, self.mb_h, self.slices, ptr(mbc), ptr(mv16),
+            None if mv8 is None else ptr(mv8),
             ptr(skip_pred), ptr(p16_pred), err, len(err))
         if rc != 0:
             raise RuntimeError(f"pip_encode_mv_preds: {err.value.decode()}")
@@ -672,19 +714,23 @@ class JaxEncoder:
         refY_s, refU_s, refV_s = _pad_refs(*self.ref)
         qp_d, qpc_d = self._qp_maps(Yd)
 
-        (mvx, mvy, use_intra_d, qac_zz, cdc_d, cac_d, tile_y, tile_u,
-         tile_v, no_res_d) = encode_inter_mbs(
+        (mvx, mvy, use_intra_d, use_p8_d, mv8_d, qac_zz, cdc_d, cac_d,
+         tile_y, tile_u, tile_v, no_res_d) = encode_inter_mbs(
             self.mb_w, self.mb_h, self.ME_RADIUS, Yd, Ud, Vd, refY_s,
             refU_s, refV_s, qp_d, qpc_d)
 
-        meta = np.asarray(_pack_meta(mvx, mvy, use_intra_d, no_res_d))
+        meta = np.asarray(_pack_meta(mvx, mvy, use_intra_d, no_res_d,
+                                     use_p8_d, mv8_d))
         use_intra = meta[:, 2] != 0
         no_res = meta[:, 3] != 0
+        use_p8 = meta[:, 4] != 0
+        mv8 = np.ascontiguousarray(meta[:, 5:13], np.int16)
         mv = np.zeros((n, 2), np.int16)
         mv[:, 0] = meta[:, 0]
         mv[:, 1] = meta[:, 1]
         mv[use_intra] = 0
-        mb_class = np.where(use_intra, 1, 3).astype(np.uint8)
+        mb_class = np.where(use_intra, 1,
+                            np.where(use_p8, 6, 3)).astype(np.uint8)
 
         if use_intra.any():
             # intra-fallback wavefront on top of the inter recon tiles
@@ -706,9 +752,10 @@ class JaxEncoder:
 
         (ldc, lac, cdc, cac, i16m, cm, cls, m4) = _unpack(packed)
 
-        # P_Skip: zero residual + MV equals the skip predictor
-        skip_pred, _ = self._mv_preds(mb_class, mv)
-        is_skip = (no_res & ~use_intra & (mv[:, 0] == skip_pred[:, 0])
+        # P_Skip: zero residual + MV equals the skip predictor (P16x16)
+        skip_pred, _ = self._mv_preds(mb_class, mv, mv8)
+        is_skip = (no_res & ~use_intra & ~use_p8
+                   & (mv[:, 0] == skip_pred[:, 0])
                    & (mv[:, 1] == skip_pred[:, 1]))
         mb_class[is_skip] = 11
 
@@ -716,7 +763,7 @@ class JaxEncoder:
         self.ref = (recY, recU, recV)  # device arrays
         return self._write(0, mb_class, mv, i16m, cm, ldc, lac, cdc, cac,
                            mb_qp=self._qp_plane if self.aq else None,
-                           i4_modes=m4)
+                           i4_modes=m4, mv8=mv8)
 
     def encode_frame(self, Y, U, V):
         from . import processing as proc

@@ -130,11 +130,12 @@ QTAB = np.array(
 
 
 def mc_luma_mbs(planes: jax.Array, pad: int, y0: jax.Array, x0: jax.Array,
-                mvx: jax.Array, mvy: jax.Array) -> jax.Array:
-    """Whole-MB quarter-pel luma prediction from precomputed half-pel
-    planes. planes: halfpel_planes() output for a pad-padded reference.
-    Returns [n,16,16] int32, element-exact vs mc_luma_cells for MVs that
-    stay inside the padded window (i.e. any ME-produced MV)."""
+                mvx: jax.Array, mvy: jax.Array, size: int = 16) -> jax.Array:
+    """Whole-block quarter-pel luma prediction from precomputed half-pel
+    planes (size 16 = MBs, 8 = P8x8 partitions). planes:
+    halfpel_planes() output for a pad-padded reference.
+    Returns [n,size,size] int32, element-exact vs mc_luma_cells for MVs
+    that stay inside the padded window (i.e. any ME-produced MV)."""
     tab = jnp.asarray(QTAB)
 
     def one(cy, cx, vx, vy):
@@ -143,9 +144,9 @@ def mc_luma_mbs(planes: jax.Array, pad: int, y0: jax.Array, x0: jax.Array,
         by = pad - 2 + cy + (vy >> 2)
         bx = pad - 2 + cx + (vx >> 2)
         t1 = jax.lax.dynamic_slice(planes, (e[0], by + e[1], bx + e[2]),
-                                   (1, 16, 16))[0]
+                                   (1, size, size))[0]
         t2 = jax.lax.dynamic_slice(planes, (e[3], by + e[4], bx + e[5]),
-                                   (1, 16, 16))[0]
+                                   (1, size, size))[0]
         return (t1 + t2 + 1) >> 1
 
     return jax.vmap(one)(y0.astype(jnp.int32), x0.astype(jnp.int32),
@@ -153,21 +154,24 @@ def mc_luma_mbs(planes: jax.Array, pad: int, y0: jax.Array, x0: jax.Array,
 
 
 def mc_chroma_mbs(ref_pad_c: jax.Array, pad: int, cy0: jax.Array,
-                  cx0: jax.Array, mvx: jax.Array, mvy: jax.Array):
-    """Whole-8x8-block chroma prediction (one gather per MB instead of 16
-    cell gathers; MV uniform across the MB). Element-exact vs
-    mc_chroma_cells for in-window MVs."""
+                  cx0: jax.Array, mvx: jax.Array, mvy: jax.Array,
+                  size: int = 8):
+    """Whole-block chroma prediction (one gather per block instead of
+    per-2x2 cells; MV uniform across the block; size 8 = MB chroma,
+    4 = P8x8 partition chroma). Element-exact vs mc_chroma_cells for
+    in-window MVs."""
+    S = size
 
     def one(cy, cx, vx, vy):
         win = jax.lax.dynamic_slice(
             ref_pad_c, (pad + cy + (vy >> 3), pad + cx + (vx >> 3)),
-            (9, 9)).astype(jnp.int32)
+            (S + 1, S + 1)).astype(jnp.int32)
         fx = vx & 7
         fy = vy & 7
-        A = win[0:8, 0:8]
-        B = win[0:8, 1:9]
-        C = win[1:9, 0:8]
-        D = win[1:9, 1:9]
+        A = win[0:S, 0:S]
+        B = win[0:S, 1:S + 1]
+        C = win[1:S + 1, 0:S]
+        D = win[1:S + 1, 1:S + 1]
         return ((8 - fx) * (8 - fy) * A + fx * (8 - fy) * B +
                 (8 - fx) * fy * C + fx * fy * D + 32) >> 6
 

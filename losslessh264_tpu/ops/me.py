@@ -17,29 +17,30 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@partial(jax.jit, static_argnames=("radius",))
+@partial(jax.jit, static_argnames=("radius", "block"))
 def full_search_sad(cur_mbs: jax.Array, ref_pad: jax.Array, mb_y: jax.Array,
-                    mb_x: jax.Array, radius: int = 16):
-    """Exhaustive integer-pel 16x16 search.
+                    mb_x: jax.Array, radius: int = 16, block: int = 16):
+    """Exhaustive integer-pel block search (block = 16 MBs / 8 P8x8
+    partitions).
 
-    cur_mbs: [n,16,16] int32 source MBs.
+    cur_mbs: [n,block,block] int32 source blocks.
     ref_pad: reference luma edge-padded by `radius` on every side.
-    mb_y/mb_x: [n] top-left pixel coords of each MB (unpadded frame).
+    mb_y/mb_x: [n] top-left pixel coords of each block (unpadded frame).
     Returns (best_dy, best_dx, best_sad, zero_sad): [n] each, offsets in
     integer pixels relative to the colocated position.
     """
     span = 2 * radius + 1
+    b2 = block * block
 
     def one_mb(cur, y, x):
-        # window of all candidate 16x16 blocks: [(2R+16) x (2R+16)]
-        win = jax.lax.dynamic_slice(ref_pad, (y, x),
-                                    (2 * radius + 16, 2 * radius + 16))
+        win = jax.lax.dynamic_slice(
+            ref_pad, (y, x), (2 * radius + block, 2 * radius + block))
         win = win.astype(jnp.int32)
-        # all 16x16 patches in one XLA op: [1, 256, span, span]
         patches = jax.lax.conv_general_dilated_patches(
-            win[None, None].astype(jnp.float32), (16, 16), (1, 1), "VALID")
-        patches = patches[0].astype(jnp.int32)          # [256, span, span]
-        sads = jnp.abs(patches - cur.reshape(256, 1, 1)).sum(axis=0)
+            win[None, None].astype(jnp.float32), (block, block), (1, 1),
+            "VALID")
+        patches = patches[0].astype(jnp.int32)          # [b2, span, span]
+        sads = jnp.abs(patches - cur.reshape(b2, 1, 1)).sum(axis=0)
         flat = sads.reshape(-1)
         best = jnp.argmin(flat)
         return (best // span - radius, best % span - radius, flat[best],
@@ -48,10 +49,10 @@ def full_search_sad(cur_mbs: jax.Array, ref_pad: jax.Array, mb_y: jax.Array,
     return jax.vmap(one_mb)(cur_mbs, mb_y, mb_x)
 
 
-@partial(jax.jit, static_argnames=("step", "pad"))
+@partial(jax.jit, static_argnames=("step", "pad", "size"))
 def subpel_refine(planes: jax.Array, pad: int, mb_y: jax.Array,
                   mb_x: jax.Array, mvx: jax.Array, mvy: jax.Array,
-                  cur_mbs: jax.Array, step: int):
+                  cur_mbs: jax.Array, step: int, size: int = 16):
     """One sub-pel refinement round (step=2: half-pel, step=1: quarter).
 
     planes: mc.halfpel_planes() output. Per MB, gathers ONE [4,18,18]
@@ -72,11 +73,14 @@ def subpel_refine(planes: jax.Array, pad: int, mb_y: jax.Array,
     oy_arr = jnp.asarray(np.array([o[0] for o in offs], np.int32))
     ox_arr = jnp.asarray(np.array([o[1] for o in offs], np.int32))
 
+    S = size
+
     def one(cy, cx, vx, vy, cur):
         iy0 = vy >> 2
         ix0 = vx >> 2
         win = jax.lax.dynamic_slice(
-            planes, (0, pad - 3 + cy + iy0, pad - 3 + cx + ix0), (4, 18, 18))
+            planes, (0, pad - 3 + cy + iy0, pad - 3 + cx + ix0),
+            (4, S + 2, S + 2))
 
         sads_b = []
         for bfy, bfx in bases:
@@ -86,8 +90,8 @@ def subpel_refine(planes: jax.Array, pad: int, mb_y: jax.Array,
                 p1, dy1, dx1, p2, dy2, dx2 = (int(v) for v in QTAB[k])
                 ry = 1 + ((bfy + oy) >> 2)
                 rx = 1 + ((bfx + ox) >> 2)
-                t1 = win[p1, ry + dy1:ry + dy1 + 16, rx + dx1:rx + dx1 + 16]
-                t2 = win[p2, ry + dy2:ry + dy2 + 16, rx + dx2:rx + dx2 + 16]
+                t1 = win[p1, ry + dy1:ry + dy1 + S, rx + dx1:rx + dx1 + S]
+                t2 = win[p2, ry + dy2:ry + dy2 + S, rx + dx2:rx + dx2 + S]
                 pred = (t1 + t2 + 1) >> 1
                 sads.append(jnp.abs(pred - cur).sum())
             sads_b.append(jnp.stack(sads))

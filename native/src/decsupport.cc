@@ -261,6 +261,33 @@ void predict_mv_skip(SliceCtx& sc, i16 out[2]) {
 
 void derive_mvs_record(SliceCtx& sc, MbRecord& rec) { derive_mvs(sc, rec); }
 
+// Encoder support: given absolute MVs for the four 8x8 partitions of a
+// P8x8 MB (sub_types all SUB_8x8, ref 0), compute the per-partition MVDs
+// against the sequential 8.4.1.3 predictors (each partition's predictor
+// sees the previously filled partitions of this MB).
+void compute_p8x8_mvds(SliceCtx& sc, const i16 mv8[4][2], MbRecord& rec) {
+  i16 mv_cells[16][2] = {};
+  i8 ref_cells[16];
+  bool filled[16] = {};
+  memset(ref_cells, -1, sizeof(ref_cells));
+  MvCtx mc{&sc, mv_cells, ref_cells, filled};
+  for (int i = 0; i < 4; ++i) {
+    int bx0 = (i & 1) * 2, by0 = (i >> 1) * 2;
+    i16 p[2];
+    mc.predict(bx0, by0, 2, 2, 0, 0, p);
+    rec.mvd[4 * i][0] = i16(mv8[i][0] - p[0]);
+    rec.mvd[4 * i][1] = i16(mv8[i][1] - p[1]);
+    for (int y = by0; y < by0 + 2; ++y)
+      for (int x = bx0; x < bx0 + 2; ++x) {
+        int c = y * 4 + x;
+        ref_cells[c] = 0;
+        mv_cells[c][0] = mv8[i][0];
+        mv_cells[c][1] = mv8[i][1];
+        filled[c] = true;
+      }
+  }
+}
+
 // ---------------------------------------------------------------------------
 // SymbolDecoder implementation
 // ---------------------------------------------------------------------------

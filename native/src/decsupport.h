@@ -69,6 +69,7 @@ void predict_mv_skip(SliceCtx& sc, i16 out[2]);
 // Fill absolute MV cells for a record whose mvd/ref_idx are set (pushes
 // into sc.cur so commit() stores them for neighbor prediction).
 void derive_mvs_record(SliceCtx& sc, MbRecord& rec);
+void compute_p8x8_mvds(SliceCtx& sc, const i16 mv8[4][2], MbRecord& rec);
 
 struct SymbolDecoderImpl;
 

@@ -115,6 +115,7 @@ int pip_encode_frame(int mb_w, int mb_h, int qp, int frame_num, int idr_id,
                      const i8* i4_modes, const i16* luma_dc,
                      const i16* luma_ac, const i16* chroma_dc,
                      const i16* chroma_ac, const u8* mb_qp,
+                     const i16* mv8 /* [n,4,2] P8x8 partition MVs */,
                      int include_params, int cabac, int n_slices, u8** out,
                      size_t* out_size, char* err, size_t err_cap) {
   try {
@@ -227,6 +228,15 @@ int pip_encode_frame(int mb_w, int mb_h, int qp, int frame_num, int idr_id,
         predict_mv_p16x16(sc, 0, pred);
         rec.mvd[0][0] = i16(mv[addr * 2 + 0] - pred[0]);
         rec.mvd[0][1] = i16(mv[addr * 2 + 1] - pred[1]);
+      } else if (cl == MB_P8x8) {
+        PIP_CHECK(mv8 != nullptr, "P8x8 MB without mv8 plane");
+        for (int i = 0; i < 4; ++i) {
+          rec.ref_idx[i] = 0;
+          rec.sub_types[i] = 0;  // SUB_8x8
+        }
+        i16 pm[4][2];
+        memcpy(pm, mv8 + addr * 8, sizeof(pm));
+        compute_p8x8_mvds(sc, pm, rec);
       }
       derive_nnz(rec);
       derive_cbp(rec, chroma_dc, addr);
@@ -291,8 +301,8 @@ int pip_encode_frame(int mb_w, int mb_h, int qp, int frame_num, int idr_id,
 // p16_pred[n*2].
 int pip_encode_mv_preds(int mb_w, int mb_h, int n_slices,
                         const u8* mb_class,
-                        const i16* mv, i16* skip_pred, i16* p16_pred,
-                        char* err, size_t err_cap) {
+                        const i16* mv, const i16* mv8, i16* skip_pred,
+                        i16* p16_pred, char* err, size_t err_cap) {
   try {
     int n = mb_w * mb_h;
     if (n_slices < 1) n_slices = 1;
@@ -328,6 +338,14 @@ int pip_encode_mv_preds(int mb_w, int mb_h, int n_slices,
         rec.ref_idx[0] = 0;
         rec.mvd[0][0] = i16(mv[addr * 2] - pp[0]);
         rec.mvd[0][1] = i16(mv[addr * 2 + 1] - pp[1]);
+      } else if (rec.mb_class == MB_P8x8 && mv8) {
+        for (int i = 0; i < 4; ++i) {
+          rec.ref_idx[i] = 0;
+          rec.sub_types[i] = 0;
+        }
+        i16 pm[4][2];
+        memcpy(pm, mv8 + addr * 8, sizeof(pm));
+        compute_p8x8_mvds(sc, pm, rec);
       }
       if (mb_is_inter(rec.mb_class)) derive_mvs_record(sc, rec);
       sc.commit(rec);

@@ -199,3 +199,35 @@ def test_multi_slice_encode():
         out, _ = native.decompress(pip)
         assert out == data and st.n_fallback_slices == 0
         assert st.n_slices == 9  # 3 slices x 3 frames
+
+
+def test_p8x8_partitions():
+    """MBs whose quadrants move differently should pick P8x8 (4 MVs,
+    sequential 8.4.1.3 predictors) and stay decoder-exact."""
+    rng = np.random.RandomState(11)
+    H, W = 64, 64
+    bg = rng.randint(0, 255, (H * 3, W * 3)).astype(np.uint8)
+    f0 = np.ascontiguousarray(bg[:H, :W])
+    f1 = f0.copy()
+    f1[:H // 2, :W // 2] = bg[2:H // 2 + 2, 3:W // 2 + 3]
+    f1[:H // 2, W // 2:] = bg[5:H // 2 + 5, W // 2 - 4:W - 4]
+    f1[H // 2:, :W // 2] = bg[H // 2 - 3:H - 3, 1:W // 2 + 1]
+    f1[H // 2:, W // 2:] = bg[H // 2 + 6:H + 6, W // 2 + 2:W + 2]
+    U = np.full((H // 2, W // 2), 100, np.uint8)
+    V = np.full((H // 2, W // 2), 200, np.uint8)
+    enc = encoder_jax.JaxEncoder(W, H, qp=30)
+    data = enc.encode_frame(f0, U, V)
+    data += enc.encode_frame(np.ascontiguousarray(f1), U, V)
+    frames = list(native.SymbolDecoder(data))
+    assert (frames[1]["mb_class"] == 6).any()  # some MBs chose P8x8
+    dec = decoder_np.NpDecoder(data, error_concealment=False)
+    dec._deblock = lambda *a, **k: None
+    last = None
+    for fr in dec.frames():
+        last = fr
+    recY, recU, recV = enc.recon
+    np.testing.assert_array_equal(last[0], recY)
+    np.testing.assert_array_equal(last[1], recU)
+    pip, st = native.compress(data, verify=False)
+    out, _ = native.decompress(pip)
+    assert out == data and st.n_fallback_slices == 0
