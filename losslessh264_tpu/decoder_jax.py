@@ -322,136 +322,13 @@ def recon_frame(mb_w: int, mb_h: int, planes, ref_y, ref_u, ref_v, diags):
 
     (Yw, Uw, Vw), _ = jax.lax.scan(intra_diag, (Yw, Uw, Vw), diags)
 
-    # ---- deblocking wavefront ----
-    nnz = p["nnz"]
+    # ---- deblocking wavefront (shared with the encoder's in-loop) ----
     # bS compares raw ref indices (reference MB_BS_MV semantics), not
     # resolved pictures — see decsupport.h FramePlanes::ref_idx
-    bs_v, bs_h = jdb.compute_bs(mb_w, mb_h, cls, nnz, p["mv"],
-                                p["ref_idx"], p["slice_id"],
-                                p["deblock_idc"].astype(jnp.int32))
-    qps = jnp.where(cls == 8, 0, qp)
-    aoff = p["alpha_off"].astype(jnp.int32)
-    boff = p["beta_off"].astype(jnp.int32)
-    t8f = p["transform8"] != 0
-    coff = p["chroma_qp_offset"]
-
-    left_mb = jnp.clip(mbi - 1, 0, n - 1)
-    top_mb = jnp.clip(mbi - mb_w, 0, n - 1)
-
-    def mb_deblock(Yl, Ul, Vl, mb):
-        """Yl: [24,24] local (8 px left/top margin? we use WPAD=8 gather at
-        (y0-8+WPAD...)) — filter the MB's 8 luma + 4+4 chroma edges."""
-        # luma vertical edges
-        for k in range(4):
-            pmb = jnp.where(k == 0, left_mb[mb], mb)
-            qpa = (qps[pmb] + qps[mb] + 1) >> 1
-            ia = jnp.clip(qpa + aoff[mb], 0, 51)
-            ib = jnp.clip(qpa + boff[mb], 0, 51)
-            bs = bs_v[mb, k]
-            if k in (1, 3):
-                bs = jnp.where(t8f[mb], 0, bs)
-            ex = 8 + 4 * k  # local x of edge (MB starts at local 8)
-            pcols = jnp.stack([Yl[8:24, ex - 1 - i] for i in range(4)])
-            qcols = jnp.stack([Yl[8:24, ex + i] for i in range(4)])
-            tc0 = jdb.TC0[ia][jnp.clip(bs, 1, 3) - 1]
-            (p0, p1, p2), (q0, q1, q2) = jdb.filter_luma(
-                pcols, qcols, bs, jdb.ALPHA[ia], jdb.BETA[ib], tc0)
-            Yl = Yl.at[8:24, ex - 1].set(p0).at[8:24, ex - 2].set(p1) \
-                 .at[8:24, ex - 3].set(p2).at[8:24, ex].set(q0) \
-                 .at[8:24, ex + 1].set(q1).at[8:24, ex + 2].set(q2)
-        # luma horizontal edges
-        for k in range(4):
-            pmb = jnp.where(k == 0, top_mb[mb], mb)
-            qpa = (qps[pmb] + qps[mb] + 1) >> 1
-            ia = jnp.clip(qpa + aoff[mb], 0, 51)
-            ib = jnp.clip(qpa + boff[mb], 0, 51)
-            bs = bs_h[mb, k]
-            if k in (1, 3):
-                bs = jnp.where(t8f[mb], 0, bs)
-            ey = 8 + 4 * k
-            prow = jnp.stack([Yl[ey - 1 - i, 8:24] for i in range(4)])
-            qrow = jnp.stack([Yl[ey + i, 8:24] for i in range(4)])
-            tc0 = jdb.TC0[ia][jnp.clip(bs, 1, 3) - 1]
-            (p0, p1, p2), (q0, q1, q2) = jdb.filter_luma(
-                prow, qrow, bs, jdb.ALPHA[ia], jdb.BETA[ib], tc0)
-            Yl = Yl.at[ey - 1, 8:24].set(p0).at[ey - 2, 8:24].set(p1) \
-                 .at[ey - 3, 8:24].set(p2).at[ey, 8:24].set(q0) \
-                 .at[ey + 1, 8:24].set(q1).at[ey + 2, 8:24].set(q2)
-        # chroma edges (k 0 and 2 of luma -> chroma 0 and 4)
-        for k in (0, 2):
-            pmb = jnp.where(k == 0, left_mb[mb], mb)
-            qcp = jdb.CHROMA_QP[jnp.clip(qps[pmb] + coff, 0, 51)]
-            qcq = jdb.CHROMA_QP[jnp.clip(qps[mb] + coff, 0, 51)]
-            qpa = (qcp + qcq + 1) >> 1
-            ia = jnp.clip(qpa + aoff[mb], 0, 51)
-            ib = jnp.clip(qpa + boff[mb], 0, 51)
-            bs = bs_v[mb, k][::2]
-            ex = 8 + 2 * k
-            pc = jnp.stack([Ul[8:16, ex - 1 - i] for i in range(2)])
-            qc = jnp.stack([Ul[8:16, ex + i] for i in range(2)])
-            tc0 = jdb.TC0[ia][jnp.clip(bs, 1, 3) - 1]
-            p0, q0 = jdb.filter_chroma(pc, qc, bs, jdb.ALPHA[ia], jdb.BETA[ib], tc0)
-            Ul = Ul.at[8:16, ex - 1].set(p0).at[8:16, ex].set(q0)
-            pc = jnp.stack([Vl[8:16, ex - 1 - i] for i in range(2)])
-            qc = jnp.stack([Vl[8:16, ex + i] for i in range(2)])
-            p0, q0 = jdb.filter_chroma(pc, qc, bs, jdb.ALPHA[ia], jdb.BETA[ib], tc0)
-            Vl = Vl.at[8:16, ex - 1].set(p0).at[8:16, ex].set(q0)
-        for k in (0, 2):
-            pmb = jnp.where(k == 0, top_mb[mb], mb)
-            qcp = jdb.CHROMA_QP[jnp.clip(qps[pmb] + coff, 0, 51)]
-            qcq = jdb.CHROMA_QP[jnp.clip(qps[mb] + coff, 0, 51)]
-            qpa = (qcp + qcq + 1) >> 1
-            ia = jnp.clip(qpa + aoff[mb], 0, 51)
-            ib = jnp.clip(qpa + boff[mb], 0, 51)
-            bs = bs_h[mb, k][::2]
-            ey = 8 + 2 * k
-            pc = jnp.stack([Ul[ey - 1 - i, 8:16] for i in range(2)])
-            qc = jnp.stack([Ul[ey + i, 8:16] for i in range(2)])
-            tc0 = jdb.TC0[ia][jnp.clip(bs, 1, 3) - 1]
-            p0, q0 = jdb.filter_chroma(pc, qc, bs, jdb.ALPHA[ia], jdb.BETA[ib], tc0)
-            Ul = Ul.at[ey - 1, 8:16].set(p0).at[ey, 8:16].set(q0)
-            pc = jnp.stack([Vl[ey - 1 - i, 8:16] for i in range(2)])
-            qc = jnp.stack([Vl[ey + i, 8:16] for i in range(2)])
-            p0, q0 = jdb.filter_chroma(pc, qc, bs, jdb.ALPHA[ia], jdb.BETA[ib], tc0)
-            Vl = Vl.at[ey - 1, 8:16].set(p0).at[ey, 8:16].set(q0)
-        return Yl, Ul, Vl
-
-    def deblock_diag(carry, mb_list):
-        Yw, Uw, Vw = carry
-
-        def compute(mb):
-            mb_c = jnp.clip(mb, 0, n - 1)
-            y0 = (mb_c // mb_w) * 16 + WPAD - 8
-            x0 = (mb_c % mb_w) * 16 + WPAD - 8
-            Yl = jax.lax.dynamic_slice(Yw, (y0, x0), (24, 24))
-            cy = (mb_c // mb_w) * 8 + WPAD - 8
-            cx = (mb_c % mb_w) * 8 + WPAD - 8
-            Ul = jax.lax.dynamic_slice(Uw, (cy, cx), (16, 16))
-            Vl = jax.lax.dynamic_slice(Vw, (cy, cx), (16, 16))
-            Yl, Ul, Vl = mb_deblock(Yl, Ul, Vl, mb_c)
-            return Yl, Ul, Vl, y0, x0, cy, cx
-
-        Yls, Uls, Vls, y0s, x0s, cys, cxs = jax.vmap(compute)(mb_list)
-
-        def scatter(k, bufs):
-            Yw, Uw, Vw = bufs
-            do = mb_list[k] >= 0
-            cur = jax.lax.dynamic_slice(Yw, (y0s[k], x0s[k]), (24, 24))
-            Yw = jax.lax.dynamic_update_slice(
-                Yw, jnp.where(do, Yls[k], cur), (y0s[k], x0s[k]))
-            curu = jax.lax.dynamic_slice(Uw, (cys[k], cxs[k]), (16, 16))
-            Uw = jax.lax.dynamic_update_slice(
-                Uw, jnp.where(do, Uls[k], curu), (cys[k], cxs[k]))
-            curv = jax.lax.dynamic_slice(Vw, (cys[k], cxs[k]), (16, 16))
-            Vw = jax.lax.dynamic_update_slice(
-                Vw, jnp.where(do, Vls[k], curv), (cys[k], cxs[k]))
-            return Yw, Uw, Vw
-
-        Yw, Uw, Vw = jax.lax.fori_loop(0, mb_list.shape[0], scatter,
-                                       (Yw, Uw, Vw))
-        return (Yw, Uw, Vw), 0
-
-    (Yw, Uw, Vw), _ = jax.lax.scan(deblock_diag, (Yw, Uw, Vw), diags)
+    Yw, Uw, Vw = jdb.deblock_frame(
+        mb_w, mb_h, Yw, Uw, Vw, cls, qp, p["nnz"], p["mv"], p["ref_idx"],
+        p["slice_id"], p["deblock_idc"], p["alpha_off"], p["beta_off"],
+        p["transform8"], p["chroma_qp_offset"], diags)
 
     Y = Yw[WPAD:WPAD + H, WPAD:WPAD + W].astype(jnp.uint8)
     U = Uw[WPAD:WPAD + H // 2, WPAD:WPAD + W // 2].astype(jnp.uint8)

@@ -213,8 +213,9 @@ def _cfg_lib():
     if not hasattr(lib.pip_encode_frame, "_cfg"):
         lib.pip_encode_frame.restype = ctypes.c_int
         lib.pip_encode_frame.argtypes = [ctypes.c_int] * 6 + \
-            [ctypes.c_void_p] * 11 + [ctypes.c_int] * 3 + \
-            [ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            [ctypes.c_void_p] * 11 + [ctypes.c_int] * 4 + \
+            [ctypes.c_void_p,
+             ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
              ctypes.POINTER(ctypes.c_size_t), ctypes.c_char_p,
              ctypes.c_size_t]
         lib.pip_encode_mv_preds.restype = ctypes.c_int
@@ -275,7 +276,8 @@ class IntraEncoder:
 def _write_frame(lib, mw, mh, qp, frame_idx, slice_type, mb_class, mv,
                  i16_mode, chroma_mode, i4_modes, luma_dc, luma_ac,
                  chroma_dc, chroma_ac, include_params, mb_qp=None,
-                 cabac=False, n_slices=1, mv8=None):
+                 cabac=False, n_slices=1, mv8=None, deblock_idc=1,
+                 out_qp=None):
     out = ctypes.POINTER(ctypes.c_uint8)()
     out_size = ctypes.c_size_t()
     err = ctypes.create_string_buffer(512)
@@ -296,6 +298,7 @@ def _write_frame(lib, mw, mh, qp, frame_idx, slice_type, mb_class, mv,
         ptr(chroma_ac16), None if mb_qp is None else ptr(mb_qp),
         None if mv8 is None else ptr(mv8),
         1 if include_params else 0, 1 if cabac else 0, int(n_slices),
+        int(deblock_idc), None if out_qp is None else ptr(out_qp),
         ctypes.byref(out), ctypes.byref(out_size), err, len(err))
     if rc != 0:
         raise RuntimeError(f"pip_encode_frame: {err.value.decode()}")

@@ -16,8 +16,10 @@ Reference parity (behavior, not structure): codec/encoder/core —
 svc_motion_estimate.cpp (ME; reference walks diamond/cross per MB, we
 evaluate the whole window batched), md.cpp + svc_base_layer_md.cpp (mode
 decision), encode_mb_aux.cpp (forward transforms). The in-loop recon here
-is bit-exact with the decoder (streams carry
-disable_deblocking_filter_idc=1).
+is bit-exact with the decoder: with deblock=True (default) the loop
+filter runs encoder-side as the shared ops/deblock.py wavefront and the
+slice headers carry disable_deblocking_filter_idc=0 (2 for multi-slice);
+with deblock=False the headers carry idc=1 and recon stays unfiltered.
 """
 from __future__ import annotations
 
@@ -28,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import decoder_np as dn
+from .ops import deblock as jdb
 from .ops import intra as jintra
 from .ops import mc as jmc
 from .ops import me as jme
@@ -568,6 +571,35 @@ def _finalize_inter(mb_w: int, mb_h: int, tile_y, tile_u, tile_v):
             _tiles_to_plane(tile_v, mb_h, mb_w, 8).astype(jnp.uint8))
 
 
+@functools.partial(jax.jit, static_argnames=("mb_w", "mb_h"))
+def _deblock_recon(mb_w: int, mb_h: int, recY, recU, recV, cls, qp, nnz,
+                   mv_cells, slice_id, idc, diags):
+    """Run the shared in-loop filter over the encoder's recon planes.
+
+    cls/qp/nnz/mv_cells/slice_id are decoder-layout symbol planes for the
+    frame just written; idc the disable_deblocking_filter_idc it carries.
+    Uses exactly the decoder's ops/deblock.py wavefront, so the filtered
+    reference equals what any conformant decoder reconstructs.
+    """
+    n = mb_w * mb_h
+    WP = jdb.WPAD
+    H, W = mb_h * 16, mb_w * 16
+    Yw = jnp.pad(recY.astype(jnp.int32), WP)
+    Uw = jnp.pad(recU.astype(jnp.int32), WP)
+    Vw = jnp.pad(recV.astype(jnp.int32), WP)
+    zeros = jnp.zeros((n,), jnp.int32)
+    ref_cells = jnp.zeros((n, 16), jnp.int32)  # single-ref: all L0[0]
+    Yw, Uw, Vw = jdb.deblock_frame(
+        mb_w, mb_h, Yw, Uw, Vw, cls.astype(jnp.int32), qp.astype(jnp.int32),
+        nnz, mv_cells.astype(jnp.int32), ref_cells,
+        slice_id.astype(jnp.int32),
+        jnp.full((n,), idc, jnp.int32), zeros, zeros, zeros, jnp.int32(0),
+        diags)
+    return (Yw[WP:WP + H, WP:WP + W].astype(jnp.uint8),
+            Uw[WP:WP + H // 2, WP:WP + W // 2].astype(jnp.uint8),
+            Vw[WP:WP + H // 2, WP:WP + W // 2].astype(jnp.uint8))
+
+
 @jax.jit
 def _pad_refs(recY, recU, recV):
     return (jnp.pad(recY, PAD, mode="edge")[None],
@@ -590,7 +622,7 @@ class JaxEncoder:
 
     def __init__(self, width, height, qp=28, gop=0, intra_only=False,
                  rc=None, scene_cut=False, aq=False, cabac=False,
-                 slices=1):
+                 slices=1, deblock=True):
         assert width % 16 == 0 and height % 16 == 0, "pad input to MB size"
         self.width, self.height = width, height
         self.mb_w = width // 16
@@ -604,6 +636,9 @@ class JaxEncoder:
         self.aq = aq                 # per-MB adaptive quantization
         self.cabac = cabac           # CABAC entropy coding
         self.slices = max(1, min(int(slices), self.mb_h))
+        # in-loop filter: idc 0 filters everything; 2 keeps slices
+        # independent (multi-slice); 1 = filter off (deblock=False)
+        self.deblock_idc = (0 if self.slices == 1 else 2) if deblock else 1
         self.frame_idx = 0
         self.ref = None   # (Y,U,V) uint8 recon planes (device arrays)
         self._prev_src = None  # device luma of the previous source frame
@@ -625,6 +660,7 @@ class JaxEncoder:
         else:
             # wavefront emits raster-in-MB; MbRecord wants decode order
             i4_modes = np.asarray(i4_modes)[:, np.asarray(BLK)]
+        self._out_qp = np.zeros(n, np.uint8)  # per-MB QP chain (7.4.5)
         data = _enc._write_frame(
             self._lib, self.mb_w, self.mb_h, self.qp, self.frame_idx,
             slice_type=slice_type, mb_class=np.asarray(mb_class, np.uint8),
@@ -637,8 +673,35 @@ class JaxEncoder:
             chroma_dc=np.asarray(chroma_dc, np.int16),
             chroma_ac=np.asarray(chroma_ac, np.int16),
             include_params=self.frame_idx == 0, mb_qp=mb_qp,
-            cabac=self.cabac, n_slices=self.slices, mv8=mv8)
+            cabac=self.cabac, n_slices=self.slices, mv8=mv8,
+            deblock_idc=self.deblock_idc, out_qp=self._out_qp)
         return data
+
+    def _apply_deblock(self, mb_class, luma_ac, mv, mv8=None):
+        """Filter self.ref in place with the shared loop-filter wavefront
+        (only when the stream carries idc != 1)."""
+        if self.deblock_idc == 1:
+            return
+        n = self.mb_w * self.mb_h
+        nnz = (np.asarray(luma_ac, np.int16).reshape(n, 16, 16)
+               != 0).any(axis=2)
+        mv_cells = np.repeat(np.asarray(mv, np.int16)[:, None, :], 16,
+                             axis=1)
+        if mv8 is not None:
+            c = np.arange(16)
+            part = ((c // 4) // 2) * 2 + (c % 4) // 2  # cell -> 8x8 part
+            p8 = np.asarray(mb_class) == 6
+            if p8.any():
+                mv_cells[p8] = np.asarray(mv8, np.int16) \
+                    .reshape(n, 4, 2)[:, part][p8]
+        slice_id = np.repeat(np.asarray(self._row_slice), self.mb_w)
+        self.ref = _deblock_recon(
+            self.mb_w, self.mb_h, *self.ref,
+            jnp.asarray(mb_class, jnp.int32),
+            jnp.asarray(self._out_qp, jnp.int32),
+            jnp.asarray(nnz), jnp.asarray(mv_cells, jnp.int32),
+            jnp.asarray(slice_id, jnp.int32), self.deblock_idc,
+            self._diags)
 
     def _qp_maps(self, Yd):
         """Per-MB (qp, qpc) planes; AQ offsets when enabled (the
@@ -704,9 +767,11 @@ class JaxEncoder:
         (ldc, lac, cdc, cac, i16m, cm, cls, m4) = _unpack(packed)
         mb_class = np.where(cls == 0, 0, 1).astype(np.uint8)
         mv = np.zeros((n, 2), np.int16)
-        return self._write(1, mb_class, mv, i16m, cm, ldc, lac, cdc, cac,
+        data = self._write(1, mb_class, mv, i16m, cm, ldc, lac, cdc, cac,
                            mb_qp=self._qp_plane if self.aq else None,
                            i4_modes=m4)
+        self._apply_deblock(mb_class, lac, mv)
+        return data
 
     def _encode_p(self, Y, U, V):
         n = self.mb_w * self.mb_h
@@ -761,9 +826,11 @@ class JaxEncoder:
 
         mb_class[use_intra & (cls == 0)] = 0  # I4x4 fallback MBs
         self.ref = (recY, recU, recV)  # device arrays
-        return self._write(0, mb_class, mv, i16m, cm, ldc, lac, cdc, cac,
+        data = self._write(0, mb_class, mv, i16m, cm, ldc, lac, cdc, cac,
                            mb_qp=self._qp_plane if self.aq else None,
                            i4_modes=m4, mv8=mv8)
+        self._apply_deblock(mb_class, lac, mv, mv8)
+        return data
 
     def encode_frame(self, Y, U, V):
         from . import processing as proc

@@ -153,3 +153,153 @@ def filter_chroma(p, q, bs, alpha, beta, tc0):
     np0 = jnp.where(strong, (2 * p1 + p0 + q1 + 2) >> 2, np0)
     nq0 = jnp.where(strong, (2 * q1 + q0 + p1 + 2) >> 2, nq0)
     return np0, nq0
+
+
+# ---------------------------------------------------------------------------
+# whole-frame deblock wavefront (shared by the decoder and the encoder's
+# in-loop reconstruction)
+# ---------------------------------------------------------------------------
+WPAD = 8  # working-plane margin the padded planes must carry
+
+
+def deblock_frame(mb_w, mb_h, Yw, Uw, Vw, cls, qp, nnz, mv, ref_idx,
+                  slice_id, deblock_idc, alpha_off, beta_off, transform8,
+                  chroma_qp_offset, diags):
+    """Filter one frame in place over the slope-2 MB wavefront.
+
+    Yw/Uw/Vw: int32 working planes padded by WPAD on every side. cls/qp/
+    nnz/mv/ref_idx/slice_id/deblock_idc/alpha_off/beta_off/transform8 are
+    the per-MB symbol planes (decoder layout); chroma_qp_offset is the
+    PPS scalar; diags the _diagonals() schedule. Returns filtered planes.
+
+    Reference: the serial per-MB loop WelsDeblockingFilterSlice /
+    WelsDeblockingMb (decoder/core/src/deblocking.cpp:815-872).
+    """
+    n = mb_w * mb_h
+    mbi = jnp.arange(n)
+    bs_v, bs_h = compute_bs(mb_w, mb_h, cls, nnz, mv, ref_idx, slice_id,
+                            deblock_idc.astype(jnp.int32))
+    qps = jnp.where(cls == 8, 0, qp)
+    aoff = alpha_off.astype(jnp.int32)
+    boff = beta_off.astype(jnp.int32)
+    t8f = transform8 != 0
+    coff = chroma_qp_offset
+
+    left_mb = jnp.clip(mbi - 1, 0, n - 1)
+    top_mb = jnp.clip(mbi - mb_w, 0, n - 1)
+
+    def mb_deblock(Yl, Ul, Vl, mb):
+        """Yl [24,24] / Ul,Vl [16,16] local windows with the MB interior
+        starting at (8,8); filters the MB's 8 luma + 4+4 chroma edges."""
+        # luma vertical edges
+        for k in range(4):
+            pmb = jnp.where(k == 0, left_mb[mb], mb)
+            qpa = (qps[pmb] + qps[mb] + 1) >> 1
+            ia = jnp.clip(qpa + aoff[mb], 0, 51)
+            ib = jnp.clip(qpa + boff[mb], 0, 51)
+            bs = bs_v[mb, k]
+            if k in (1, 3):
+                bs = jnp.where(t8f[mb], 0, bs)
+            ex = 8 + 4 * k  # local x of edge (MB starts at local 8)
+            pcols = jnp.stack([Yl[8:24, ex - 1 - i] for i in range(4)])
+            qcols = jnp.stack([Yl[8:24, ex + i] for i in range(4)])
+            tc0 = TC0[ia][jnp.clip(bs, 1, 3) - 1]
+            (p0, p1, p2), (q0, q1, q2) = filter_luma(
+                pcols, qcols, bs, ALPHA[ia], BETA[ib], tc0)
+            Yl = Yl.at[8:24, ex - 1].set(p0).at[8:24, ex - 2].set(p1) \
+                 .at[8:24, ex - 3].set(p2).at[8:24, ex].set(q0) \
+                 .at[8:24, ex + 1].set(q1).at[8:24, ex + 2].set(q2)
+        # luma horizontal edges
+        for k in range(4):
+            pmb = jnp.where(k == 0, top_mb[mb], mb)
+            qpa = (qps[pmb] + qps[mb] + 1) >> 1
+            ia = jnp.clip(qpa + aoff[mb], 0, 51)
+            ib = jnp.clip(qpa + boff[mb], 0, 51)
+            bs = bs_h[mb, k]
+            if k in (1, 3):
+                bs = jnp.where(t8f[mb], 0, bs)
+            ey = 8 + 4 * k
+            prow = jnp.stack([Yl[ey - 1 - i, 8:24] for i in range(4)])
+            qrow = jnp.stack([Yl[ey + i, 8:24] for i in range(4)])
+            tc0 = TC0[ia][jnp.clip(bs, 1, 3) - 1]
+            (p0, p1, p2), (q0, q1, q2) = filter_luma(
+                prow, qrow, bs, ALPHA[ia], BETA[ib], tc0)
+            Yl = Yl.at[ey - 1, 8:24].set(p0).at[ey - 2, 8:24].set(p1) \
+                 .at[ey - 3, 8:24].set(p2).at[ey, 8:24].set(q0) \
+                 .at[ey + 1, 8:24].set(q1).at[ey + 2, 8:24].set(q2)
+        # chroma edges (k 0 and 2 of luma -> chroma 0 and 4)
+        for k in (0, 2):
+            pmb = jnp.where(k == 0, left_mb[mb], mb)
+            qcp = CHROMA_QP[jnp.clip(qps[pmb] + coff, 0, 51)]
+            qcq = CHROMA_QP[jnp.clip(qps[mb] + coff, 0, 51)]
+            qpa = (qcp + qcq + 1) >> 1
+            ia = jnp.clip(qpa + aoff[mb], 0, 51)
+            ib = jnp.clip(qpa + boff[mb], 0, 51)
+            bs = bs_v[mb, k][::2]
+            ex = 8 + 2 * k
+            pc = jnp.stack([Ul[8:16, ex - 1 - i] for i in range(2)])
+            qc = jnp.stack([Ul[8:16, ex + i] for i in range(2)])
+            tc0 = TC0[ia][jnp.clip(bs, 1, 3) - 1]
+            p0, q0 = filter_chroma(pc, qc, bs, ALPHA[ia], BETA[ib], tc0)
+            Ul = Ul.at[8:16, ex - 1].set(p0).at[8:16, ex].set(q0)
+            pc = jnp.stack([Vl[8:16, ex - 1 - i] for i in range(2)])
+            qc = jnp.stack([Vl[8:16, ex + i] for i in range(2)])
+            p0, q0 = filter_chroma(pc, qc, bs, ALPHA[ia], BETA[ib], tc0)
+            Vl = Vl.at[8:16, ex - 1].set(p0).at[8:16, ex].set(q0)
+        for k in (0, 2):
+            pmb = jnp.where(k == 0, top_mb[mb], mb)
+            qcp = CHROMA_QP[jnp.clip(qps[pmb] + coff, 0, 51)]
+            qcq = CHROMA_QP[jnp.clip(qps[mb] + coff, 0, 51)]
+            qpa = (qcp + qcq + 1) >> 1
+            ia = jnp.clip(qpa + aoff[mb], 0, 51)
+            ib = jnp.clip(qpa + boff[mb], 0, 51)
+            bs = bs_h[mb, k][::2]
+            ey = 8 + 2 * k
+            pc = jnp.stack([Ul[ey - 1 - i, 8:16] for i in range(2)])
+            qc = jnp.stack([Ul[ey + i, 8:16] for i in range(2)])
+            tc0 = TC0[ia][jnp.clip(bs, 1, 3) - 1]
+            p0, q0 = filter_chroma(pc, qc, bs, ALPHA[ia], BETA[ib], tc0)
+            Ul = Ul.at[ey - 1, 8:16].set(p0).at[ey, 8:16].set(q0)
+            pc = jnp.stack([Vl[ey - 1 - i, 8:16] for i in range(2)])
+            qc = jnp.stack([Vl[ey + i, 8:16] for i in range(2)])
+            p0, q0 = filter_chroma(pc, qc, bs, ALPHA[ia], BETA[ib], tc0)
+            Vl = Vl.at[ey - 1, 8:16].set(p0).at[ey, 8:16].set(q0)
+        return Yl, Ul, Vl
+
+    def deblock_diag(carry, mb_list):
+        Yw, Uw, Vw = carry
+
+        def compute(mb):
+            mb_c = jnp.clip(mb, 0, n - 1)
+            y0 = (mb_c // mb_w) * 16 + WPAD - 8
+            x0 = (mb_c % mb_w) * 16 + WPAD - 8
+            Yl = jax.lax.dynamic_slice(Yw, (y0, x0), (24, 24))
+            cy = (mb_c // mb_w) * 8 + WPAD - 8
+            cx = (mb_c % mb_w) * 8 + WPAD - 8
+            Ul = jax.lax.dynamic_slice(Uw, (cy, cx), (16, 16))
+            Vl = jax.lax.dynamic_slice(Vw, (cy, cx), (16, 16))
+            Yl, Ul, Vl = mb_deblock(Yl, Ul, Vl, mb_c)
+            return Yl, Ul, Vl, y0, x0, cy, cx
+
+        Yls, Uls, Vls, y0s, x0s, cys, cxs = jax.vmap(compute)(mb_list)
+
+        def scatter(k, bufs):
+            Yw, Uw, Vw = bufs
+            do = mb_list[k] >= 0
+            cur = jax.lax.dynamic_slice(Yw, (y0s[k], x0s[k]), (24, 24))
+            Yw = jax.lax.dynamic_update_slice(
+                Yw, jnp.where(do, Yls[k], cur), (y0s[k], x0s[k]))
+            curu = jax.lax.dynamic_slice(Uw, (cys[k], cxs[k]), (16, 16))
+            Uw = jax.lax.dynamic_update_slice(
+                Uw, jnp.where(do, Uls[k], curu), (cys[k], cxs[k]))
+            curv = jax.lax.dynamic_slice(Vw, (cys[k], cxs[k]), (16, 16))
+            Vw = jax.lax.dynamic_update_slice(
+                Vw, jnp.where(do, Vls[k], curv), (cys[k], cxs[k]))
+            return Yw, Uw, Vw
+
+        Yw, Uw, Vw = jax.lax.fori_loop(0, mb_list.shape[0], scatter,
+                                       (Yw, Uw, Vw))
+        return (Yw, Uw, Vw), 0
+
+    (Yw, Uw, Vw), _ = jax.lax.scan(deblock_diag, (Yw, Uw, Vw), diags)
+    return Yw, Uw, Vw

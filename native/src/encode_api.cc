@@ -9,10 +9,11 @@
 // motion estimation and transforms live in losslessh264_tpu/encoder.py +
 // ops/me.py (TPU side).
 //
-// Streams are written with deblocking disabled (PPS
-// deblocking_filter_control_present + per-slice disable_idc=1) so the
-// encoder's in-loop reconstruction equals any conformant decoder's
-// output bit-exactly without running the loop filter encoder-side.
+// The PPS sets deblocking_filter_control_present so each slice header
+// carries disable_deblocking_filter_idc: 1 when the caller keeps its
+// in-loop recon unfiltered, 0/2 when it runs the loop filter
+// encoder-side (encoder_jax deblock=True; the filtered planes then match
+// any conformant decoder's output bit-exactly).
 #include "bitio.h"
 #include "cabac_mb.h"
 #include "cavlc.h"
@@ -109,6 +110,10 @@ extern "C" {
 // residual (cbp != 0 or I16x16) — on other MBs the caller's value is
 // ignored (they carry no coefficients, so no quant mismatch arises; the
 // QP_prev chain simply continues, 7.4.5).
+// deblock_idc: disable_deblocking_filter_idc written per slice (0 filter
+// everything, 1 off, 2 don't cross slice boundaries). out_qp (optional,
+// [n]): the final per-MB luma QP after the 7.4.5 chain — what a decoder
+// will see, needed by the caller's in-loop deblock QP averaging.
 int pip_encode_frame(int mb_w, int mb_h, int qp, int frame_num, int idr_id,
                      int slice_type, const u8* mb_class, const i16* mv,
                      const u8* i16_mode, const u8* chroma_mode,
@@ -116,10 +121,10 @@ int pip_encode_frame(int mb_w, int mb_h, int qp, int frame_num, int idr_id,
                      const i16* luma_ac, const i16* chroma_dc,
                      const i16* chroma_ac, const u8* mb_qp,
                      const i16* mv8 /* [n,4,2] P8x8 partition MVs */,
-                     int include_params, int cabac, int n_slices, u8** out,
+                     int include_params, int cabac, int n_slices,
+                     int deblock_idc, u8* out_qp, u8** out,
                      size_t* out_size, char* err, size_t err_cap) {
   try {
-    int n = mb_w * mb_h;
     bool is_idr = slice_type != 0;
     if (n_slices < 1) n_slices = 1;
     if (n_slices > mb_h) n_slices = mb_h;
@@ -167,7 +172,11 @@ int pip_encode_frame(int mb_w, int mb_h, int qp, int frame_num, int idr_id,
     }
     if (cabac && !is_idr) bw.put_ue(0);  // cabac_init_idc
     bw.put_se(qp - 26);               // slice_qp_delta
-    bw.put_ue(1);                     // disable_deblocking_filter_idc
+    bw.put_ue(u32(deblock_idc));      // disable_deblocking_filter_idc
+    if (deblock_idc != 1) {
+      bw.put_se(0);                   // slice_alpha_c0_offset_div2
+      bw.put_se(0);                   // slice_beta_offset_div2
+    }
     size_t header_bits = bw.pos_bits();
 
     SliceHeader sh;
@@ -177,7 +186,7 @@ int pip_encode_frame(int mb_w, int mb_h, int qp, int frame_num, int idr_id,
     sh.nal_ref_idc = is_idr ? 3 : 2;
     sh.nal_type = is_idr ? 5 : 1;
     sh.frame_num = frame_num & 0xff;
-    sh.disable_deblocking_idc = 1;
+    sh.disable_deblocking_idc = u8(deblock_idc);
     sh.header_bits = header_bits;
     sh.cabac_init_idc = 0;
     sh.first_mb_in_slice = first_mb;
@@ -203,6 +212,7 @@ int pip_encode_frame(int mb_w, int mb_h, int qp, int frame_num, int idr_id,
         derive_mvs_record(sc, skip);
         skip.qp = u8(sc.cur_qp);
         sc.last_dqp = 0;
+        if (out_qp) out_qp[addr] = skip.qp;
         sc.commit(skip);
         if (cabac) recs.push_back(skip);
         ++skip_run;
@@ -254,6 +264,7 @@ int pip_encode_frame(int mb_w, int mb_h, int qp, int frame_num, int idr_id,
       else
         sc.last_dqp = 0;
       rec.qp = u8(sc.cur_qp);
+      if (out_qp) out_qp[addr] = rec.qp;
       if (mb_is_inter(rec.mb_class)) derive_mvs_record(sc, rec);
       sc.commit(rec);
       if (cabac) recs.push_back(rec);

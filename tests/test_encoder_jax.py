@@ -57,15 +57,14 @@ def test_mc_chroma_mbs_matches_decoder():
 
 
 def test_jax_encode_recon_matches_decoder():
-    """In-loop recon (I and P frames, incl. subpel MVs) must equal the
-    decoder's pre-deblock reconstruction bit-exactly."""
+    """In-loop recon (I and P frames, incl. subpel MVs, in-loop
+    deblocking) must equal the decoder's reconstruction bit-exactly."""
     frames = _moving_frames(4)
     enc = encoder_jax.JaxEncoder(64, 48, qp=26)
     data = b""
     for f in frames:
         data += enc.encode_frame(*f)
     dec = decoder_np.NpDecoder(data)
-    dec._deblock = lambda *a, **k: None
     last = None
     for fr in dec.frames():
         last = fr
@@ -131,7 +130,6 @@ def test_adaptive_quantization_end_to_end():
         data += enc.encode_frame(*f)
     assert len(np.unique(enc._qp_plane)) > 1  # AQ actually varied QP
     dec = decoder_np.NpDecoder(data)
-    dec._deblock = lambda *a, **k: None
     last = None
     for fr in dec.frames():
         last = fr
@@ -153,7 +151,6 @@ def test_cabac_encode_end_to_end():
     for f in frames:
         data += enc.encode_frame(*f)
     dec = decoder_np.NpDecoder(data, error_concealment=False)
-    dec._deblock = lambda *a, **k: None
     last = None
     for fr in dec.frames():
         last = fr
@@ -188,7 +185,6 @@ def test_multi_slice_encode():
         for f in frames:
             data += enc.encode_frame(*f)
         dec = decoder_np.NpDecoder(data, error_concealment=False)
-        dec._deblock = lambda *a, **k: None
         last = None
         for fr in dec.frames():
             last = fr
@@ -221,13 +217,45 @@ def test_p8x8_partitions():
     frames = list(native.SymbolDecoder(data))
     assert (frames[1]["mb_class"] == 6).any()  # some MBs chose P8x8
     dec = decoder_np.NpDecoder(data, error_concealment=False)
-    dec._deblock = lambda *a, **k: None
     last = None
     for fr in dec.frames():
         last = fr
     recY, recU, recV = enc.recon
     np.testing.assert_array_equal(last[0], recY)
     np.testing.assert_array_equal(last[1], recU)
+    pip, st = native.compress(data, verify=False)
+    out, _ = native.decompress(pip)
+    assert out == data and st.n_fallback_slices == 0
+
+
+def test_in_loop_deblock():
+    """deblock=True runs the shared loop-filter wavefront encoder-side
+    (slice header idc=0): on smooth gradient content the filter must
+    actually fire, recon must equal the decoder's filtered output, and
+    deblock=False (idc=1) must keep the unfiltered contract."""
+    H, W = 48, 64
+    yy, xx = np.mgrid[:H, :W]
+    frames = []
+    for i in range(3):
+        Y = ((yy * 3 + xx * 2 + i * 7) // 4 % 200 + 20).astype(np.uint8)
+        U = np.full((H // 2, W // 2), 90 + i, np.uint8)
+        V = np.full((H // 2, W // 2), 160, np.uint8)
+        frames.append((Y, U, V))
+    enc = encoder_jax.JaxEncoder(W, H, qp=38)
+    enc_off = encoder_jax.JaxEncoder(W, H, qp=38, deblock=False)
+    data = b""
+    for f in frames:
+        data += enc.encode_frame(*f)
+        enc_off.encode_frame(*f)
+    # the filter changed pixels somewhere (QP 38 alpha/beta are wide open)
+    assert not np.array_equal(enc.recon[0], enc_off.recon[0])
+    dec = decoder_np.NpDecoder(data, error_concealment=False)
+    last = None
+    for fr in dec.frames():
+        last = fr
+    np.testing.assert_array_equal(last[0], enc.recon[0])
+    np.testing.assert_array_equal(last[1], enc.recon[1])
+    np.testing.assert_array_equal(last[2], enc.recon[2])
     pip, st = native.compress(data, verify=False)
     out, _ = native.decompress(pip)
     assert out == data and st.n_fallback_slices == 0
