@@ -22,6 +22,7 @@ from .ops import deblock as jdb
 from .ops import intra as jintra
 from .ops import mc as jmc
 from .ops import transform as jt
+from .ops import wavefront as jwf
 
 PAD = 32          # reference-plane padding (luma)
 WPAD = 8          # working-plane padding for wavefront gathers
@@ -301,23 +302,10 @@ def recon_frame(mb_w: int, mb_h: int, planes, ref_y, ref_u, ref_v, diags):
         tiles, tus, tvs, y0s, x0s, cys, cxs = jax.vmap(compute)(mb_list)
         is_intra = jnp.isin(cls, jnp.array([0, 1, 2]))
 
-        def scatter(k, bufs):
-            Yw, Uw, Vw = bufs
-            mb = mb_list[k]
-            do = (mb >= 0) & is_intra[jnp.clip(mb, 0, n - 1)]
-            cur = jax.lax.dynamic_slice(Yw, (y0s[k], x0s[k]), (16, 16))
-            Yw = jax.lax.dynamic_update_slice(
-                Yw, jnp.where(do, tiles[k], cur), (y0s[k], x0s[k]))
-            curu = jax.lax.dynamic_slice(Uw, (cys[k], cxs[k]), (8, 8))
-            Uw = jax.lax.dynamic_update_slice(
-                Uw, jnp.where(do, tus[k], curu), (cys[k], cxs[k]))
-            curv = jax.lax.dynamic_slice(Vw, (cys[k], cxs[k]), (8, 8))
-            Vw = jax.lax.dynamic_update_slice(
-                Vw, jnp.where(do, tvs[k], curv), (cys[k], cxs[k]))
-            return Yw, Uw, Vw
-
-        Yw, Uw, Vw = jax.lax.fori_loop(0, mb_list.shape[0], scatter,
-                                       (Yw, Uw, Vw))
+        do = (mb_list >= 0) & is_intra[jnp.clip(mb_list, 0, n - 1)]
+        Yw = jwf.scatter_tiles(Yw, tiles, y0s, x0s, do)
+        Uw = jwf.scatter_tiles(Uw, tus, cys, cxs, do)
+        Vw = jwf.scatter_tiles(Vw, tvs, cys, cxs, do)
         return (Yw, Uw, Vw), 0
 
     (Yw, Uw, Vw), _ = jax.lax.scan(intra_diag, (Yw, Uw, Vw), diags)

@@ -35,6 +35,7 @@ from .ops import intra as jintra
 from .ops import mc as jmc
 from .ops import me as jme
 from .ops import transform as jt
+from .ops import wavefront as jwf
 
 PAD = 32          # reference-plane padding (matches decoder_jax)
 WPAD = 8          # working-plane padding for wavefront gathers
@@ -333,22 +334,9 @@ def intra_wavefront(mb_w: int, mb_h: int, srcY, srcU, srcV, inter_y, inter_u,
         chroma_dc = chroma_dc.at[idx].set(cdcs, mode="drop")
         chroma_ac = chroma_ac.at[idx].set(cacs, mode="drop")
 
-        def scatter(k, bufs):
-            Yw, Uw, Vw = bufs
-            d = do[k]
-            cur = jax.lax.dynamic_slice(Yw, (y0s[k], x0s[k]), (16, 16))
-            Yw = jax.lax.dynamic_update_slice(
-                Yw, jnp.where(d, tiles[k], cur), (y0s[k], x0s[k]))
-            curu = jax.lax.dynamic_slice(Uw, (cys[k], cxs[k]), (8, 8))
-            Uw = jax.lax.dynamic_update_slice(
-                Uw, jnp.where(d, tus[k], curu), (cys[k], cxs[k]))
-            curv = jax.lax.dynamic_slice(Vw, (cys[k], cxs[k]), (8, 8))
-            Vw = jax.lax.dynamic_update_slice(
-                Vw, jnp.where(d, tvs[k], curv), (cys[k], cxs[k]))
-            return Yw, Uw, Vw
-
-        Yw, Uw, Vw = jax.lax.fori_loop(0, mb_list.shape[0], scatter,
-                                       (Yw, Uw, Vw))
+        Yw = jwf.scatter_tiles(Yw, tiles, y0s, x0s, do)
+        Uw = jwf.scatter_tiles(Uw, tus, cys, cxs, do)
+        Vw = jwf.scatter_tiles(Vw, tvs, cys, cxs, do)
         return (Yw, Uw, Vw, i16_mode, intra_cls, i4_modes, chroma_mode,
                 luma_dc, luma_ac, chroma_dc, chroma_ac), 0
 

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import decoder_np as _dn
+from .wavefront import scatter_tiles
 
 ALPHA = jnp.asarray(_dn.ALPHA_TABLE)
 BETA = jnp.asarray(_dn.BETA_TABLE)
@@ -283,22 +284,10 @@ def deblock_frame(mb_w, mb_h, Yw, Uw, Vw, cls, qp, nnz, mv, ref_idx,
 
         Yls, Uls, Vls, y0s, x0s, cys, cxs = jax.vmap(compute)(mb_list)
 
-        def scatter(k, bufs):
-            Yw, Uw, Vw = bufs
-            do = mb_list[k] >= 0
-            cur = jax.lax.dynamic_slice(Yw, (y0s[k], x0s[k]), (24, 24))
-            Yw = jax.lax.dynamic_update_slice(
-                Yw, jnp.where(do, Yls[k], cur), (y0s[k], x0s[k]))
-            curu = jax.lax.dynamic_slice(Uw, (cys[k], cxs[k]), (16, 16))
-            Uw = jax.lax.dynamic_update_slice(
-                Uw, jnp.where(do, Uls[k], curu), (cys[k], cxs[k]))
-            curv = jax.lax.dynamic_slice(Vw, (cys[k], cxs[k]), (16, 16))
-            Vw = jax.lax.dynamic_update_slice(
-                Vw, jnp.where(do, Vls[k], curv), (cys[k], cxs[k]))
-            return Yw, Uw, Vw
-
-        Yw, Uw, Vw = jax.lax.fori_loop(0, mb_list.shape[0], scatter,
-                                       (Yw, Uw, Vw))
+        do = mb_list >= 0
+        Yw = scatter_tiles(Yw, Yls, y0s, x0s, do)
+        Uw = scatter_tiles(Uw, Uls, cys, cxs, do)
+        Vw = scatter_tiles(Vw, Vls, cys, cxs, do)
         return (Yw, Uw, Vw), 0
 
     (Yw, Uw, Vw), _ = jax.lax.scan(deblock_diag, (Yw, Uw, Vw), diags)
