@@ -384,12 +384,14 @@ def encode_inter_mbs(mb_w: int, mb_h: int, radius: int, Y, U, V, refY_s,
     mvy = dy.astype(jnp.int32) * 4
 
     # subpel refinement on the precomputed half-pel planes: half (±2)
-    # then quarter (±1)
+    # then quarter (±1); the quarter round hands back the winning
+    # prediction so no separate final MC gather pass is needed
     planes = jmc.halfpel_planes(refY_s[0])
     mvx, mvy, best_sad = jme.subpel_refine(
         planes, PAD, mby0, mbx0, mvx, mvy, srcY_t, step=2)
-    mvx, mvy, best_sad = jme.subpel_refine(
-        planes, PAD, mby0, mbx0, mvx, mvy, srcY_t, step=1)
+    mvx, mvy, best_sad, pred16_y = jme.subpel_refine(
+        planes, PAD, mby0, mbx0, mvx, mvy, srcY_t, step=1,
+        return_pred=True)
 
     intra_cost = jme.intra_sad_proxy(srcY_t)
     use_intra = best_sad > intra_cost + 2048
@@ -406,24 +408,14 @@ def encode_inter_mbs(mb_w: int, mb_h: int, radius: int, Y, U, V, refY_s,
     mv8y = dy8.astype(jnp.int32) * 4
     mv8x, mv8y, sad8 = jme.subpel_refine(planes, PAD, by8, bx8, mv8x, mv8y,
                                          src8, step=2, size=8)
-    mv8x, mv8y, sad8 = jme.subpel_refine(planes, PAD, by8, bx8, mv8x, mv8y,
-                                         src8, step=1, size=8)
+    mv8x, mv8y, sad8, p8_y = jme.subpel_refine(planes, PAD, by8, bx8, mv8x,
+                                               mv8y, src8, step=1, size=8,
+                                               return_pred=True)
     # partition decision: 1 MV vs 4 MVs worth of side info (~SAD+lam*bits)
     lam = LAMBDA[qp]
     cost16 = best_sad + lam * 4
     cost8 = sad8.reshape(n, 4).sum(axis=1) + lam * 20
     use_p8 = (cost8 < cost16) & ~use_intra
-
-    pred16_y = jmc.mc_luma_mbs(planes, PAD, mby0, mbx0, mvx, mvy)
-    pred16_u = jmc.mc_chroma_mbs(refU_s[0], PAD // 2, mby0 // 2, mbx0 // 2,
-                                 mvx, mvy)
-    pred16_v = jmc.mc_chroma_mbs(refV_s[0], PAD // 2, mby0 // 2, mbx0 // 2,
-                                 mvx, mvy)
-    p8_y = jmc.mc_luma_mbs(planes, PAD, by8, bx8, mv8x, mv8y, size=8)
-    p8_u = jmc.mc_chroma_mbs(refU_s[0], PAD // 2, by8 // 2, bx8 // 2,
-                             mv8x, mv8y, size=4)
-    p8_v = jmc.mc_chroma_mbs(refV_s[0], PAD // 2, by8 // 2, bx8 // 2,
-                             mv8x, mv8y, size=4)
 
     def _asm4(blocks, t):
         return blocks.reshape(n, 2, 2, t, t).transpose(0, 1, 3, 2, 4) \
@@ -431,8 +423,19 @@ def encode_inter_mbs(mb_w: int, mb_h: int, radius: int, Y, U, V, refY_s,
 
     sel = use_p8[:, None, None]
     pred_y = jnp.where(sel, _asm4(p8_y, 8), pred16_y)
-    pred_u = jnp.where(sel, _asm4(p8_u, 4), pred16_u)
-    pred_v = jnp.where(sel, _asm4(p8_v, 4), pred16_v)
+    # chroma MC once, at 4x4 partition granularity with the SELECTED MV
+    # per 8x8 (bilinear chroma MC is split-invariant for one translation,
+    # so the P16x16 case is identical to four quarter blocks)
+    mv16_rep = jnp.stack([mvx, mvy], 1)[:, None, :].repeat(4, 1)
+    mv_sel = jnp.where(use_p8[:, None, None],
+                       jnp.stack([mv8x, mv8y], 1).reshape(n, 4, 2),
+                       mv16_rep).reshape(n * 4, 2)
+    pred_u = _asm4(jmc.mc_chroma_mbs(refU_s[0], PAD // 2, by8 // 2,
+                                     bx8 // 2, mv_sel[:, 0], mv_sel[:, 1],
+                                     size=4), 4)
+    pred_v = _asm4(jmc.mc_chroma_mbs(refV_s[0], PAD // 2, by8 // 2,
+                                     bx8 // 2, mv_sel[:, 0], mv_sel[:, 1],
+                                     size=4), 4)
     mv8 = jnp.stack([mv8x, mv8y], axis=1).reshape(n, 4, 2)
 
     resid = srcY_t - pred_y
@@ -596,6 +599,119 @@ def _pad_refs(recY, recU, recV):
 
 
 # ---------------------------------------------------------------------------
+# fused per-frame programs (non-AQ path): ONE dispatch + ONE packed
+# device->host fetch per frame. The axon tunnel costs ~30 ms latency per
+# sync and ~20 MB/s, so the frame pipeline is structured as
+#   A: analysis+pack (fetch packed symbols)  ->  host entropy write
+#   B: recon finalize + in-loop deblock      ->  stays on device
+# with B dispatched before the host write so it overlaps it.
+# ---------------------------------------------------------------------------
+_CELL_PART8 = ((np.arange(16) // 4) // 2) * 2 + (np.arange(16) % 4) // 2
+
+
+@functools.partial(jax.jit, static_argnames=("mb_w", "mb_h", "radius"))
+def _p_analyze(mb_w: int, mb_h: int, radius: int, buf, refY, refU, refV,
+               qp, qpc):
+    """Upload-to-symbols program for a P frame: split source, pad refs,
+    run the whole-frame inter analysis, pack meta+symbols into one int16
+    array, and derive the deblock prep planes device-side."""
+    Y, U, V = _split_src(mb_h, mb_w, buf)
+    refY_s, refU_s, refV_s = _pad_refs(refY, refU, refV)
+    (mvx, mvy, use_intra, use_p8, mv8, qac_zz, cdc, cac,
+     tile_y, tile_u, tile_v, no_res) = encode_inter_mbs(
+        mb_w, mb_h, radius, Y, U, V, refY_s, refU_s, refV_s, qp, qpc)
+    meta = _pack_meta(mvx, mvy, use_intra, no_res, use_p8, mv8)
+    nmb = mb_w * mb_h
+    # inter frames carry only meta + qac/cdc/cac (no I16 DC, no mode
+    # columns — those are constants the host re-materializes); coeffs
+    # usually fit int8, so the fetch is the int8 copy and the int16
+    # original stays device-side as the rare wide-value fallback
+    packed = jnp.concatenate(
+        [meta, qac_zz.reshape(nmb, 256).astype(jnp.int16),
+         cdc.reshape(nmb, 8).astype(jnp.int16),
+         cac.reshape(nmb, 128).astype(jnp.int16)], axis=1)
+    clip8 = jnp.clip(packed, -128, 127)
+    wide = (clip8 != packed).any(axis=1)
+    packed8 = jnp.concatenate(
+        [clip8, wide[:, None].astype(jnp.int16)], axis=1).astype(jnp.int8)
+    # deblock prep (the host's later P_Skip/I4 class refinements don't
+    # change boundary strengths: skip stays inter with the same MV/nnz,
+    # I4 stays intra)
+    n = mb_w * mb_h
+    cls_d = jnp.where(use_intra, 1,
+                      jnp.where(use_p8, 6, 3)).astype(jnp.int32)
+    nnz_d = (qac_zz != 0).any(-1)
+    mv16 = jnp.broadcast_to(jnp.stack([mvx, mvy], -1)[:, None, :],
+                            (n, 16, 2))
+    mvc = jnp.where(use_p8[:, None, None],
+                    mv8[:, jnp.asarray(_CELL_PART8), :], mv16)
+    mvc = jnp.where(use_intra[:, None, None], 0, mvc)
+    return (packed8, packed, tile_y, tile_u, tile_v, Y, U, V, use_intra,
+            cls_d, nnz_d, mvc)
+
+
+@functools.partial(jax.jit, static_argnames=("mb_w", "mb_h", "idc"))
+def _p_finish(mb_w: int, mb_h: int, idc: int, tile_y, tile_u, tile_v,
+              cls_d, nnz_d, mvc, qp_plane, slice_id, diags):
+    """Recon planes for an all-inter P frame + in-loop deblock."""
+    recY, recU, recV = _finalize_inter(mb_w, mb_h, tile_y, tile_u, tile_v)
+    if idc == 1:
+        return recY, recU, recV
+    return _deblock_recon(mb_w, mb_h, recY, recU, recV, cls_d, qp_plane,
+                          nnz_d, mvc, slice_id, idc, diags)
+
+
+@functools.partial(jax.jit, static_argnames=("mb_w", "mb_h", "idc"))
+def _p_intra_fixup(mb_w: int, mb_h: int, idc: int, packed, Y, U, V,
+                   tile_y, tile_u, tile_v, use_intra, cls_d, nnz_d, mvc,
+                   qp, qpc, qp_plane, slice_id, diags, row_slice):
+    """Rare path: some P MBs fell back to intra. Runs the masked intra
+    wavefront over the inter recon, merges symbols with the inter planes
+    sliced back out of `packed`, and deblocks the merged recon."""
+    n = mb_w * mb_h
+    m = jnp.asarray(~use_intra)[:, None, None]
+    (i16_mode, intra_cls, i4_modes, chroma_mode, ldc_i, lac_i, cdc_i,
+     cac_i, recY, recU, recV) = intra_wavefront(
+        mb_w, mb_h, Y, U, V, jnp.where(m, tile_y, 0),
+        jnp.where(m, tile_u, 0), jnp.where(m, tile_v, 0),
+        use_intra, qp, qpc, diags, row_slice)
+    qac_zz = packed[:, 13:269].astype(jnp.int32).reshape(n, 16, 16)
+    cdc = packed[:, 269:277].astype(jnp.int32).reshape(n, 2, 4)
+    cac = packed[:, 277:405].astype(jnp.int32).reshape(n, 8, 16)
+    syms = _pack_merge(use_intra, ldc_i, lac_i, cdc_i, cac_i, i16_mode,
+                       chroma_mode, intra_cls, i4_modes, qac_zz, cdc, cac)
+    if idc == 1:
+        return syms, recY, recU, recV
+    cls2 = jnp.where(use_intra, intra_cls, cls_d)
+    recY, recU, recV = _deblock_recon(mb_w, mb_h, recY, recU, recV, cls2,
+                                      qp_plane, nnz_d, mvc, slice_id, idc,
+                                      diags)
+    return syms, recY, recU, recV
+
+
+@functools.partial(jax.jit, static_argnames=("mb_w", "mb_h", "idc"))
+def _i_frame(mb_w: int, mb_h: int, idc: int, buf, qp, qpc, qp_plane,
+             slice_id, diags, row_slice):
+    """Whole IDR frame: intra wavefront + pack + in-loop deblock."""
+    n = mb_w * mb_h
+    Y, U, V = _split_src(mb_h, mb_w, buf)
+    zt16 = jnp.zeros((n, 16, 16), jnp.int32)
+    zt8 = jnp.zeros((n, 8, 8), jnp.int32)
+    (i16_mode, intra_cls, i4_modes, chroma_mode, ldc, lac, cdc, cac,
+     recY, recU, recV) = intra_wavefront(
+        mb_w, mb_h, Y, U, V, zt16, zt8, zt8, jnp.ones((n,), bool), qp,
+        qpc, diags, row_slice)
+    packed = _pack_intra(ldc, lac, cdc, cac, i16_mode, chroma_mode,
+                         intra_cls, i4_modes)
+    if idc != 1:
+        recY, recU, recV = _deblock_recon(
+            mb_w, mb_h, recY, recU, recV, intra_cls, qp_plane,
+            jnp.zeros((n, 16), bool), jnp.zeros((n, 16, 2), jnp.int32),
+            slice_id, idc, diags)
+    return packed, recY, recU, recV
+
+
+# ---------------------------------------------------------------------------
 # host-side frame drivers
 # ---------------------------------------------------------------------------
 class JaxEncoder:
@@ -634,6 +750,9 @@ class JaxEncoder:
         rows_per = -(-self.mb_h // self.slices)
         self._row_slice = jnp.asarray(
             np.arange(self.mb_h) // rows_per, jnp.int32)
+        self._slice_id = jnp.asarray(
+            np.repeat(np.arange(self.mb_h) // rows_per, self.mb_w),
+            jnp.int32)
         from . import encoder as _enc
         self._lib = _enc._cfg_lib()
 
@@ -728,16 +847,99 @@ class JaxEncoder:
         return skip_pred, p16_pred
 
     # -- frame paths ------------------------------------------------------
-    def _upload(self, Y, U, V):
+    def _upload_buf(self, Y, U, V):
         """Single H2D transfer: Y on top, U|V side by side below."""
         H, W = self.height, self.width
         buf = np.empty((H + H // 2, W), np.uint8)
         buf[:H] = Y
         buf[H:, :W // 2] = U
         buf[H:, W // 2:] = V
-        return _split_src(self.mb_h, self.mb_w, jnp.asarray(buf))
+        return jnp.asarray(buf)
+
+    def _upload(self, Y, U, V):
+        return _split_src(self.mb_h, self.mb_w, self._upload_buf(Y, U, V))
 
     def _encode_i(self, Y, U, V):
+        """IDR frame via the fused single-dispatch program (non-AQ)."""
+        if self.aq:
+            return self._encode_i_aq(Y, U, V)
+        n = self.mb_w * self.mb_h
+        buf = self._upload_buf(Y, U, V)
+        qp_d = jnp.full((n,), self.qp, jnp.int32)
+        qpc_d = jnp.full((n,), self.qpc, jnp.int32)
+        packed_d, recY, recU, recV = _i_frame(
+            self.mb_w, self.mb_h, self.deblock_idc, buf, qp_d, qpc_d,
+            qp_d, self._slice_id, self._diags, self._row_slice)
+        self.ref = (recY, recU, recV)
+        packed = np.asarray(packed_d)
+        (ldc, lac, cdc, cac, i16m, cm, cls, m4) = _unpack(packed)
+        mb_class = np.where(cls == 0, 0, 1).astype(np.uint8)
+        mv = np.zeros((n, 2), np.int16)
+        return self._write(1, mb_class, mv, i16m, cm, ldc, lac, cdc, cac,
+                           i4_modes=m4)
+
+    def _encode_p(self, Y, U, V):
+        """P frame: fused analyze program, one packed fetch, recon+deblock
+        finishing on device while the host writes entropy (non-AQ)."""
+        if self.aq:
+            return self._encode_p_aq(Y, U, V)
+        n = self.mb_w * self.mb_h
+        buf = self._upload_buf(Y, U, V)
+        qp_d = jnp.full((n,), self.qp, jnp.int32)
+        qpc_d = jnp.full((n,), self.qpc, jnp.int32)
+        (packed8_d, packed_d, tile_y, tile_u, tile_v, Yd, Ud, Vd,
+         use_intra_d, cls_d, nnz_d, mvc_d) = _p_analyze(
+            self.mb_w, self.mb_h, self.ME_RADIUS, buf, *self.ref, qp_d,
+            qpc_d)
+        packed8 = np.asarray(packed8_d)  # the frame's one blocking fetch
+        if packed8[:, 405].any():  # rare wide coeffs: refetch as int16
+            packed = np.asarray(packed_d)
+        else:
+            packed = packed8[:, :405].astype(np.int16)
+        meta = packed[:, :13]
+        use_intra = meta[:, 2] != 0
+        no_res = meta[:, 3] != 0
+        use_p8 = meta[:, 4] != 0
+        mv8 = np.ascontiguousarray(meta[:, 5:13], np.int16)
+        mv = np.zeros((n, 2), np.int16)
+        mv[:, 0] = meta[:, 0]
+        mv[:, 1] = meta[:, 1]
+        mv[use_intra] = 0
+        if use_intra.any():
+            fix = _p_intra_fixup(
+                self.mb_w, self.mb_h, self.deblock_idc, packed_d, Yd, Ud,
+                Vd, tile_y, tile_u, tile_v, use_intra_d, cls_d, nnz_d,
+                mvc_d, qp_d, qpc_d, qp_d, self._slice_id, self._diags,
+                self._row_slice)
+            self.ref = fix[1:]
+            (ldc, lac, cdc, cac, i16m, cm, cls,
+             m4) = _unpack(np.asarray(fix[0]))
+        else:
+            # dispatched before the host write so it overlaps it
+            self.ref = _p_finish(
+                self.mb_w, self.mb_h, self.deblock_idc, tile_y, tile_u,
+                tile_v, cls_d, nnz_d, mvc_d, qp_d, self._slice_id,
+                self._diags)
+            lac = packed[:, 13:269].reshape(n, 16, 16)
+            cdc = packed[:, 269:277].reshape(n, 2, 4)
+            cac = packed[:, 277:405].reshape(n, 8, 16)
+            ldc = np.zeros((n, 16), np.int16)
+            i16m = np.zeros(n, np.int16)
+            cm = np.zeros(n, np.int16)
+            cls = np.ones(n, np.int16)
+            m4 = np.full((n, 16), 2, np.int16)
+        mb_class = np.where(use_intra, 1,
+                            np.where(use_p8, 6, 3)).astype(np.uint8)
+        skip_pred, _ = self._mv_preds(mb_class, mv, mv8)
+        is_skip = (no_res & ~use_intra & ~use_p8
+                   & (mv[:, 0] == skip_pred[:, 0])
+                   & (mv[:, 1] == skip_pred[:, 1]))
+        mb_class[is_skip] = 11
+        mb_class[use_intra & (cls == 0)] = 0  # I4x4 fallback MBs
+        return self._write(0, mb_class, mv, i16m, cm, ldc, lac, cdc, cac,
+                           i4_modes=m4, mv8=mv8)
+
+    def _encode_i_aq(self, Y, U, V):
         n = self.mb_w * self.mb_h
         Yd, Ud, Vd = self._upload(Y, U, V)
         zt16 = jnp.zeros((n, 16, 16), jnp.int32)
@@ -761,7 +963,7 @@ class JaxEncoder:
         self._apply_deblock(mb_class, lac, mv)
         return data
 
-    def _encode_p(self, Y, U, V):
+    def _encode_p_aq(self, Y, U, V):
         n = self.mb_w * self.mb_h
         Yd, Ud, Vd = self._upload(Y, U, V)
         refY_s, refU_s, refV_s = _pad_refs(*self.ref)

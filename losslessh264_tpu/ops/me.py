@@ -49,10 +49,11 @@ def full_search_sad(cur_mbs: jax.Array, ref_pad: jax.Array, mb_y: jax.Array,
     return jax.vmap(one_mb)(cur_mbs, mb_y, mb_x)
 
 
-@partial(jax.jit, static_argnames=("step", "pad", "size"))
+@partial(jax.jit, static_argnames=("step", "pad", "size", "return_pred"))
 def subpel_refine(planes: jax.Array, pad: int, mb_y: jax.Array,
                   mb_x: jax.Array, mvx: jax.Array, mvy: jax.Array,
-                  cur_mbs: jax.Array, step: int, size: int = 16):
+                  cur_mbs: jax.Array, step: int, size: int = 16,
+                  return_pred: bool = False):
     """One sub-pel refinement round (step=2: half-pel, step=1: quarter).
 
     planes: mc.halfpel_planes() output. Per MB, gathers ONE [4,18,18]
@@ -65,7 +66,10 @@ def subpel_refine(planes: jax.Array, pad: int, mb_y: jax.Array,
     search; step=1: {0,2} halves), so the slice set per candidate is
     enumerable at trace time; step=1 computes all four base cases and
     selects per MB.
-    Returns (mvx, mvy, best_sad) per MB.
+    Returns (mvx, mvy, best_sad) per MB; with return_pred=True also the
+    winning prediction block — the candidates are already materialized
+    for the SADs, so returning the winner makes a separate final MC
+    gather pass unnecessary.
     """
     from .mc import QTAB
     offs = [(oy, ox) for oy in (-step, 0, step) for ox in (-step, 0, step)]
@@ -83,8 +87,10 @@ def subpel_refine(planes: jax.Array, pad: int, mb_y: jax.Array,
             (4, S + 2, S + 2))
 
         sads_b = []
+        preds_b = []
         for bfy, bfx in bases:
             sads = []
+            preds = []
             for oy, ox in offs:
                 k = ((bfy + oy) & 3) * 4 + ((bfx + ox) & 3)
                 p1, dy1, dx1, p2, dy2, dx2 = (int(v) for v in QTAB[k])
@@ -94,14 +100,24 @@ def subpel_refine(planes: jax.Array, pad: int, mb_y: jax.Array,
                 t2 = win[p2, ry + dy2:ry + dy2 + S, rx + dx2:rx + dx2 + S]
                 pred = (t1 + t2 + 1) >> 1
                 sads.append(jnp.abs(pred - cur).sum())
+                if return_pred:
+                    preds.append(pred)
             sads_b.append(jnp.stack(sads))
+            if return_pred:
+                preds_b.append(jnp.stack(preds))
         if step == 2:
             sads = sads_b[0]
         else:
             bidx = ((vy & 2) >> 1) * 2 + ((vx & 2) >> 1)
             sads = jnp.stack(sads_b)[bidx]
         best = jnp.argmin(sads)
-        return vx + ox_arr[best], vy + oy_arr[best], sads[best]
+        if not return_pred:
+            return vx + ox_arr[best], vy + oy_arr[best], sads[best]
+        if step == 2:
+            pred_best = preds_b[0][best]
+        else:
+            pred_best = jnp.stack(preds_b)[bidx, best]
+        return vx + ox_arr[best], vy + oy_arr[best], sads[best], pred_best
 
     return jax.vmap(one)(mb_y.astype(jnp.int32), mb_x.astype(jnp.int32),
                          mvx.astype(jnp.int32), mvy.astype(jnp.int32),
