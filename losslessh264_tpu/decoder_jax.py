@@ -316,7 +316,7 @@ def recon_frame(mb_w: int, mb_h: int, planes, ref_y, ref_u, ref_v, diags):
     Yw, Uw, Vw = jdb.deblock_frame(
         mb_w, mb_h, Yw, Uw, Vw, cls, qp, p["nnz"], p["mv"], p["ref_idx"],
         p["slice_id"], p["deblock_idc"], p["alpha_off"], p["beta_off"],
-        p["transform8"], p["chroma_qp_offset"], diags)
+        p["transform8"], p["chroma_qp_offset"])
 
     Y = Yw[WPAD:WPAD + H, WPAD:WPAD + W].astype(jnp.uint8)
     U = Uw[WPAD:WPAD + H // 2, WPAD:WPAD + W // 2].astype(jnp.uint8)

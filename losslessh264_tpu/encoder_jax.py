@@ -564,7 +564,7 @@ def _finalize_inter(mb_w: int, mb_h: int, tile_y, tile_u, tile_v):
 
 @functools.partial(jax.jit, static_argnames=("mb_w", "mb_h"))
 def _deblock_recon(mb_w: int, mb_h: int, recY, recU, recV, cls, qp, nnz,
-                   mv_cells, slice_id, idc, diags):
+                   mv_cells, slice_id, idc):
     """Run the shared in-loop filter over the encoder's recon planes.
 
     cls/qp/nnz/mv_cells/slice_id are decoder-layout symbol planes for the
@@ -584,8 +584,7 @@ def _deblock_recon(mb_w: int, mb_h: int, recY, recU, recV, cls, qp, nnz,
         mb_w, mb_h, Yw, Uw, Vw, cls.astype(jnp.int32), qp.astype(jnp.int32),
         nnz, mv_cells.astype(jnp.int32), ref_cells,
         slice_id.astype(jnp.int32),
-        jnp.full((n,), idc, jnp.int32), zeros, zeros, zeros, jnp.int32(0),
-        diags)
+        jnp.full((n,), idc, jnp.int32), zeros, zeros, zeros, jnp.int32(0))
     return (Yw[WP:WP + H, WP:WP + W].astype(jnp.uint8),
             Uw[WP:WP + H // 2, WP:WP + W // 2].astype(jnp.uint8),
             Vw[WP:WP + H // 2, WP:WP + W // 2].astype(jnp.uint8))
@@ -652,13 +651,13 @@ def _p_analyze(mb_w: int, mb_h: int, radius: int, buf, refY, refU, refV,
 
 @functools.partial(jax.jit, static_argnames=("mb_w", "mb_h", "idc"))
 def _p_finish(mb_w: int, mb_h: int, idc: int, tile_y, tile_u, tile_v,
-              cls_d, nnz_d, mvc, qp_plane, slice_id, diags):
+              cls_d, nnz_d, mvc, qp_plane, slice_id):
     """Recon planes for an all-inter P frame + in-loop deblock."""
     recY, recU, recV = _finalize_inter(mb_w, mb_h, tile_y, tile_u, tile_v)
     if idc == 1:
         return recY, recU, recV
     return _deblock_recon(mb_w, mb_h, recY, recU, recV, cls_d, qp_plane,
-                          nnz_d, mvc, slice_id, idc, diags)
+                          nnz_d, mvc, slice_id, idc)
 
 
 @functools.partial(jax.jit, static_argnames=("mb_w", "mb_h", "idc"))
@@ -684,8 +683,7 @@ def _p_intra_fixup(mb_w: int, mb_h: int, idc: int, packed, Y, U, V,
         return syms, recY, recU, recV
     cls2 = jnp.where(use_intra, intra_cls, cls_d)
     recY, recU, recV = _deblock_recon(mb_w, mb_h, recY, recU, recV, cls2,
-                                      qp_plane, nnz_d, mvc, slice_id, idc,
-                                      diags)
+                                      qp_plane, nnz_d, mvc, slice_id, idc)
     return syms, recY, recU, recV
 
 
@@ -707,7 +705,7 @@ def _i_frame(mb_w: int, mb_h: int, idc: int, buf, qp, qpc, qp_plane,
         recY, recU, recV = _deblock_recon(
             mb_w, mb_h, recY, recU, recV, intra_cls, qp_plane,
             jnp.zeros((n, 16), bool), jnp.zeros((n, 16, 2), jnp.int32),
-            slice_id, idc, diags)
+            slice_id, idc)
     return packed, recY, recU, recV
 
 
@@ -807,8 +805,7 @@ class JaxEncoder:
             jnp.asarray(mb_class, jnp.int32),
             jnp.asarray(self._out_qp, jnp.int32),
             jnp.asarray(nnz), jnp.asarray(mv_cells, jnp.int32),
-            jnp.asarray(slice_id, jnp.int32), self.deblock_idc,
-            self._diags)
+            jnp.asarray(slice_id, jnp.int32), self.deblock_idc)
 
     def _qp_maps(self, Yd):
         """Per-MB (qp, qpc) planes; AQ offsets when enabled (the
@@ -918,8 +915,7 @@ class JaxEncoder:
             # dispatched before the host write so it overlaps it
             self.ref = _p_finish(
                 self.mb_w, self.mb_h, self.deblock_idc, tile_y, tile_u,
-                tile_v, cls_d, nnz_d, mvc_d, qp_d, self._slice_id,
-                self._diags)
+                tile_v, cls_d, nnz_d, mvc_d, qp_d, self._slice_id)
             lac = packed[:, 13:269].reshape(n, 16, 16)
             cdc = packed[:, 269:277].reshape(n, 2, 4)
             cac = packed[:, 277:405].reshape(n, 8, 16)

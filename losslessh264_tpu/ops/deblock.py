@@ -11,6 +11,8 @@ Element-exact vs decoder_np._deblock.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -162,19 +164,20 @@ def filter_chroma(p, q, bs, alpha, beta, tc0):
 # ---------------------------------------------------------------------------
 WPAD = 8  # working-plane margin the padded planes must carry
 
+# planes larger than this stay on the lax.scan path (the Pallas kernel
+# keeps all three working planes resident in VMEM)
+_PALLAS_VMEM_BUDGET = 10 * 1024 * 1024
 
-def deblock_frame(mb_w, mb_h, Yw, Uw, Vw, cls, qp, nnz, mv, ref_idx,
-                  slice_id, deblock_idc, alpha_off, beta_off, transform8,
-                  chroma_qp_offset, diags):
-    """Filter one frame in place over the slope-2 MB wavefront.
 
-    Yw/Uw/Vw: int32 working planes padded by WPAD on every side. cls/qp/
-    nnz/mv/ref_idx/slice_id/deblock_idc/alpha_off/beta_off/transform8 are
-    the per-MB symbol planes (decoder layout); chroma_qp_offset is the
-    PPS scalar; diags the _diagonals() schedule. Returns filtered planes.
+def _edge_params(mb_w, mb_h, cls, qp, nnz, mv, ref_idx, slice_id,
+                 deblock_idc, alpha_off, beta_off, transform8,
+                 chroma_qp_offset):
+    """Per-MB, per-edge filter parameters, fully batched.
 
-    Reference: the serial per-MB loop WelsDeblockingFilterSlice /
-    WelsDeblockingMb (decoder/core/src/deblocking.cpp:815-872).
+    Returns dict of planes: bs_v/bs_h [n,4,16] (transform-8x8 masking
+    already applied), alpha/beta [n,4] and tc0 [n,4,16] per direction,
+    chroma alpha/beta [n,2] + tc0 [n,2,8] per direction, chroma bs
+    [n,2,8] per direction. Everything downstream is pure filtering.
     """
     n = mb_w * mb_h
     mbi = jnp.arange(n)
@@ -183,112 +186,189 @@ def deblock_frame(mb_w, mb_h, Yw, Uw, Vw, cls, qp, nnz, mv, ref_idx,
     qps = jnp.where(cls == 8, 0, qp)
     aoff = alpha_off.astype(jnp.int32)
     boff = beta_off.astype(jnp.int32)
-    t8f = transform8 != 0
+    t8f = (transform8 != 0)[:, None]
     coff = chroma_qp_offset
 
     left_mb = jnp.clip(mbi - 1, 0, n - 1)
     top_mb = jnp.clip(mbi - mb_w, 0, n - 1)
+    # interior-edge mask for transform-8x8 MBs (edges 1 and 3 off)
+    kmask = jnp.asarray([False, True, False, True])
+    bs_v = jnp.where(t8f[:, :, None] & kmask[None, :, None], 0, bs_v)
+    bs_h = jnp.where(t8f[:, :, None] & kmask[None, :, None], 0, bs_h)
 
-    def mb_deblock(Yl, Ul, Vl, mb):
-        """Yl [24,24] / Ul,Vl [16,16] local windows with the MB interior
-        starting at (8,8); filters the MB's 8 luma + 4+4 chroma edges."""
-        # luma vertical edges
-        for k in range(4):
-            pmb = jnp.where(k == 0, left_mb[mb], mb)
-            qpa = (qps[pmb] + qps[mb] + 1) >> 1
-            ia = jnp.clip(qpa + aoff[mb], 0, 51)
-            ib = jnp.clip(qpa + boff[mb], 0, 51)
-            bs = bs_v[mb, k]
-            if k in (1, 3):
-                bs = jnp.where(t8f[mb], 0, bs)
-            ex = 8 + 4 * k  # local x of edge (MB starts at local 8)
-            pcols = jnp.stack([Yl[8:24, ex - 1 - i] for i in range(4)])
-            qcols = jnp.stack([Yl[8:24, ex + i] for i in range(4)])
-            tc0 = TC0[ia][jnp.clip(bs, 1, 3) - 1]
-            (p0, p1, p2), (q0, q1, q2) = filter_luma(
-                pcols, qcols, bs, ALPHA[ia], BETA[ib], tc0)
-            Yl = Yl.at[8:24, ex - 1].set(p0).at[8:24, ex - 2].set(p1) \
-                 .at[8:24, ex - 3].set(p2).at[8:24, ex].set(q0) \
-                 .at[8:24, ex + 1].set(q1).at[8:24, ex + 2].set(q2)
-        # luma horizontal edges
-        for k in range(4):
-            pmb = jnp.where(k == 0, top_mb[mb], mb)
-            qpa = (qps[pmb] + qps[mb] + 1) >> 1
-            ia = jnp.clip(qpa + aoff[mb], 0, 51)
-            ib = jnp.clip(qpa + boff[mb], 0, 51)
-            bs = bs_h[mb, k]
-            if k in (1, 3):
-                bs = jnp.where(t8f[mb], 0, bs)
-            ey = 8 + 4 * k
-            prow = jnp.stack([Yl[ey - 1 - i, 8:24] for i in range(4)])
-            qrow = jnp.stack([Yl[ey + i, 8:24] for i in range(4)])
-            tc0 = TC0[ia][jnp.clip(bs, 1, 3) - 1]
-            (p0, p1, p2), (q0, q1, q2) = filter_luma(
-                prow, qrow, bs, ALPHA[ia], BETA[ib], tc0)
-            Yl = Yl.at[ey - 1, 8:24].set(p0).at[ey - 2, 8:24].set(p1) \
-                 .at[ey - 3, 8:24].set(p2).at[ey, 8:24].set(q0) \
-                 .at[ey + 1, 8:24].set(q1).at[ey + 2, 8:24].set(q2)
-        # chroma edges (k 0 and 2 of luma -> chroma 0 and 4)
-        for k in (0, 2):
-            pmb = jnp.where(k == 0, left_mb[mb], mb)
-            qcp = CHROMA_QP[jnp.clip(qps[pmb] + coff, 0, 51)]
-            qcq = CHROMA_QP[jnp.clip(qps[mb] + coff, 0, 51)]
-            qpa = (qcp + qcq + 1) >> 1
-            ia = jnp.clip(qpa + aoff[mb], 0, 51)
-            ib = jnp.clip(qpa + boff[mb], 0, 51)
-            bs = bs_v[mb, k][::2]
-            ex = 8 + 2 * k
-            pc = jnp.stack([Ul[8:16, ex - 1 - i] for i in range(2)])
-            qc = jnp.stack([Ul[8:16, ex + i] for i in range(2)])
-            tc0 = TC0[ia][jnp.clip(bs, 1, 3) - 1]
-            p0, q0 = filter_chroma(pc, qc, bs, ALPHA[ia], BETA[ib], tc0)
-            Ul = Ul.at[8:16, ex - 1].set(p0).at[8:16, ex].set(q0)
-            pc = jnp.stack([Vl[8:16, ex - 1 - i] for i in range(2)])
-            qc = jnp.stack([Vl[8:16, ex + i] for i in range(2)])
-            p0, q0 = filter_chroma(pc, qc, bs, ALPHA[ia], BETA[ib], tc0)
-            Vl = Vl.at[8:16, ex - 1].set(p0).at[8:16, ex].set(q0)
-        for k in (0, 2):
-            pmb = jnp.where(k == 0, top_mb[mb], mb)
-            qcp = CHROMA_QP[jnp.clip(qps[pmb] + coff, 0, 51)]
-            qcq = CHROMA_QP[jnp.clip(qps[mb] + coff, 0, 51)]
-            qpa = (qcp + qcq + 1) >> 1
-            ia = jnp.clip(qpa + aoff[mb], 0, 51)
-            ib = jnp.clip(qpa + boff[mb], 0, 51)
-            bs = bs_h[mb, k][::2]
-            ey = 8 + 2 * k
-            pc = jnp.stack([Ul[ey - 1 - i, 8:16] for i in range(2)])
-            qc = jnp.stack([Ul[ey + i, 8:16] for i in range(2)])
-            tc0 = TC0[ia][jnp.clip(bs, 1, 3) - 1]
-            p0, q0 = filter_chroma(pc, qc, bs, ALPHA[ia], BETA[ib], tc0)
-            Ul = Ul.at[ey - 1, 8:16].set(p0).at[ey, 8:16].set(q0)
-            pc = jnp.stack([Vl[ey - 1 - i, 8:16] for i in range(2)])
-            qc = jnp.stack([Vl[ey + i, 8:16] for i in range(2)])
-            p0, q0 = filter_chroma(pc, qc, bs, ALPHA[ia], BETA[ib], tc0)
-            Vl = Vl.at[ey - 1, 8:16].set(p0).at[ey, 8:16].set(q0)
-        return Yl, Ul, Vl
+    def luma_dir(nbr):
+        pmb = jnp.stack([nbr, mbi, mbi, mbi], axis=1)      # [n,4]
+        qpa = (qps[pmb] + qps[:, None] + 1) >> 1
+        ia = jnp.clip(qpa + aoff[:, None], 0, 51)
+        ib = jnp.clip(qpa + boff[:, None], 0, 51)
+        return ALPHA[ia], BETA[ib], ia
+
+    def chroma_dir(nbr):
+        pmb = jnp.stack([nbr, mbi], axis=1)                # [n,2]
+        qcp = CHROMA_QP[jnp.clip(qps[pmb] + coff, 0, 51)]
+        qcq = CHROMA_QP[jnp.clip(qps[:, None] + coff, 0, 51)]
+        qpa = (qcp + qcq + 1) >> 1
+        ia = jnp.clip(qpa + aoff[:, None], 0, 51)
+        ib = jnp.clip(qpa + boff[:, None], 0, 51)
+        return ALPHA[ia], BETA[ib], ia
+
+    p = {"bs_v": bs_v, "bs_h": bs_h}
+    for d, nbr, bs in (("v", left_mb, bs_v), ("h", top_mb, bs_h)):
+        al, be, ia = luma_dir(nbr)
+        p["alpha_" + d] = al
+        p["beta_" + d] = be
+        p["tc0_" + d] = TC0[ia[:, :, None], jnp.clip(bs, 1, 3) - 1]
+        bs_c = bs[:, ::2, ::2]                             # [n,2,8]
+        alc, bec, iac = chroma_dir(nbr)
+        p["bs_c" + d] = bs_c
+        p["alpha_c" + d] = alc
+        p["beta_c" + d] = bec
+        p["tc0_c" + d] = TC0[iac[:, :, None], jnp.clip(bs_c, 1, 3) - 1]
+    return p
+
+
+def _filter_mb_luma(Yl, bs_v, bs_h, a_v, b_v, tc_v, a_h, b_h, tc_h):
+    """Filter one MB's 4 vertical then 4 horizontal luma edges over a
+    [..., 24, 24] local window (leading dims broadcast). The spec's
+    sequential edge order (8.7: later edges consume already-filtered
+    samples) is preserved; only the lanes are batched."""
+    for k in range(4):
+        ex = 8 + 4 * k
+        pc = jnp.stack([Yl[..., 8:24, ex - 1 - i] for i in range(4)])
+        qc = jnp.stack([Yl[..., 8:24, ex + i] for i in range(4)])
+        (p0, p1, p2), (q0, q1, q2) = filter_luma(
+            pc, qc, bs_v[..., k, :], a_v[..., k, None], b_v[..., k, None],
+            tc_v[..., k, :])
+        Yl = Yl.at[..., 8:24, ex - 1].set(p0) \
+               .at[..., 8:24, ex - 2].set(p1) \
+               .at[..., 8:24, ex - 3].set(p2) \
+               .at[..., 8:24, ex].set(q0) \
+               .at[..., 8:24, ex + 1].set(q1) \
+               .at[..., 8:24, ex + 2].set(q2)
+    for k in range(4):
+        ey = 8 + 4 * k
+        pr = jnp.stack([Yl[..., ey - 1 - i, 8:24] for i in range(4)])
+        qr = jnp.stack([Yl[..., ey + i, 8:24] for i in range(4)])
+        (p0, p1, p2), (q0, q1, q2) = filter_luma(
+            pr, qr, bs_h[..., k, :], a_h[..., k, None], b_h[..., k, None],
+            tc_h[..., k, :])
+        Yl = Yl.at[..., ey - 1, 8:24].set(p0) \
+               .at[..., ey - 2, 8:24].set(p1) \
+               .at[..., ey - 3, 8:24].set(p2) \
+               .at[..., ey, 8:24].set(q0) \
+               .at[..., ey + 1, 8:24].set(q1) \
+               .at[..., ey + 2, 8:24].set(q2)
+    return Yl
+
+
+def _filter_mb_chroma(Cl, bs_cv, bs_ch, a_cv, b_cv, tc_cv, a_ch, b_ch,
+                      tc_ch):
+    """Filter one chroma plane's 2+2 edges over a [..., 16, 16] window."""
+    for j in range(2):
+        ex = 8 + 4 * j
+        pc = jnp.stack([Cl[..., 8:16, ex - 1 - i] for i in range(2)])
+        qc = jnp.stack([Cl[..., 8:16, ex + i] for i in range(2)])
+        p0, q0 = filter_chroma(pc, qc, bs_cv[..., j, :],
+                               a_cv[..., j, None], b_cv[..., j, None],
+                               tc_cv[..., j, :])
+        Cl = Cl.at[..., 8:16, ex - 1].set(p0).at[..., 8:16, ex].set(q0)
+    for j in range(2):
+        ey = 8 + 4 * j
+        pr = jnp.stack([Cl[..., ey - 1 - i, 8:16] for i in range(2)])
+        qr = jnp.stack([Cl[..., ey + i, 8:16] for i in range(2)])
+        p0, q0 = filter_chroma(pr, qr, bs_ch[..., j, :],
+                               a_ch[..., j, None], b_ch[..., j, None],
+                               tc_ch[..., j, :])
+        Cl = Cl.at[..., ey - 1, 8:16].set(p0).at[..., ey, 8:16].set(q0)
+    return Cl
+
+
+_LUMA_KEYS = ("bs_v", "bs_h", "alpha_v", "beta_v", "tc0_v", "alpha_h",
+              "beta_h", "tc0_h")
+_CHROMA_KEYS = ("bs_cv", "bs_ch", "alpha_cv", "beta_cv", "tc0_cv",
+                "alpha_ch", "beta_ch", "tc0_ch")
+
+
+@functools.lru_cache(maxsize=None)
+def _deblock_diagonals(mb_w, mb_h):
+    """Slope-2 wavefront schedule (2*row + col = const). The loop filter
+    DOES depend on the ABOVE-RIGHT MB: an MB's horizontal edge 0 filters
+    the bottom rows of the MB above at columns 13-15, which that MB's
+    right neighbor's vertical edge 0 modified — so slope 1 would race.
+    Slope-2 diagonal members' 24x24 windows are provably disjoint."""
+    diags = {}
+    for i in range(mb_w * mb_h):
+        y, x = divmod(i, mb_w)
+        diags.setdefault(2 * y + x, []).append(i)
+    nd = 2 * (mb_h - 1) + mb_w
+    K = max(len(v) for v in diags.values())
+    out = np.full((nd, K), -1, np.int32)
+    for d, v in diags.items():
+        out[d, :len(v)] = v
+    return out
+
+
+def deblock_frame(mb_w, mb_h, Yw, Uw, Vw, cls, qp, nnz, mv, ref_idx,
+                  slice_id, deblock_idc, alpha_off, beta_off, transform8,
+                  chroma_qp_offset):
+    """Filter one frame in place over the slope-1 MB wavefront.
+
+    Yw/Uw/Vw: int32 working planes padded by WPAD on every side. cls/qp/
+    nnz/mv/ref_idx/slice_id/deblock_idc/alpha_off/beta_off/transform8 are
+    the per-MB symbol planes (decoder layout); chroma_qp_offset is the
+    PPS scalar. Returns filtered planes.
+
+    Reference: the serial per-MB loop WelsDeblockingFilterSlice /
+    WelsDeblockingMb (decoder/core/src/deblocking.cpp:815-872).
+    """
+    n = mb_w * mb_h
+    diags = jnp.asarray(_deblock_diagonals(mb_w, mb_h))
+    p = _edge_params(mb_w, mb_h, cls, qp, nnz, mv, ref_idx, slice_id,
+                     deblock_idc, alpha_off, beta_off, transform8,
+                     chroma_qp_offset)
+
+    plane_bytes = 4 * sum(
+        a.shape[0] * ((-(-a.shape[1] // 128)) * 128 + 128)
+        for a in (Yw, Uw, Vw))  # kernel pads widths for aligned strips
+    if _pallas_ok() and plane_bytes <= _PALLAS_VMEM_BUDGET:
+        from . import deblock_pallas as _dp
+        return _dp.deblock_wavefront(mb_w, mb_h, Yw, Uw, Vw, p, diags)
 
     def deblock_diag(carry, mb_list):
         Yw, Uw, Vw = carry
+        mb_c = jnp.clip(mb_list, 0, n - 1)
 
         def compute(mb):
-            mb_c = jnp.clip(mb, 0, n - 1)
-            y0 = (mb_c // mb_w) * 16 + WPAD - 8
-            x0 = (mb_c % mb_w) * 16 + WPAD - 8
+            y0 = (mb // mb_w) * 16 + WPAD - 8
+            x0 = (mb % mb_w) * 16 + WPAD - 8
             Yl = jax.lax.dynamic_slice(Yw, (y0, x0), (24, 24))
-            cy = (mb_c // mb_w) * 8 + WPAD - 8
-            cx = (mb_c % mb_w) * 8 + WPAD - 8
+            cy = (mb // mb_w) * 8 + WPAD - 8
+            cx = (mb % mb_w) * 8 + WPAD - 8
             Ul = jax.lax.dynamic_slice(Uw, (cy, cx), (16, 16))
             Vl = jax.lax.dynamic_slice(Vw, (cy, cx), (16, 16))
-            Yl, Ul, Vl = mb_deblock(Yl, Ul, Vl, mb_c)
             return Yl, Ul, Vl, y0, x0, cy, cx
 
-        Yls, Uls, Vls, y0s, x0s, cys, cxs = jax.vmap(compute)(mb_list)
+        Yl, Ul, Vl, y0s, x0s, cys, cxs = jax.vmap(compute)(mb_c)
+        lp = [p[k][mb_c] for k in _LUMA_KEYS]
+        cp = [p[k][mb_c] for k in _CHROMA_KEYS]
+        # lanes-batched filtering: leading dim = diagonal members
+        Yl = _filter_mb_luma(Yl, *lp)
+        Ul = _filter_mb_chroma(Ul, *cp)
+        Vl = _filter_mb_chroma(Vl, *cp)
 
         do = mb_list >= 0
-        Yw = scatter_tiles(Yw, Yls, y0s, x0s, do)
-        Uw = scatter_tiles(Uw, Uls, cys, cxs, do)
-        Vw = scatter_tiles(Vw, Vls, cys, cxs, do)
+        Yw = scatter_tiles(Yw, Yl, y0s, x0s, do)
+        Uw = scatter_tiles(Uw, Ul, cys, cxs, do)
+        Vw = scatter_tiles(Vw, Vl, cys, cxs, do)
         return (Yw, Uw, Vw), 0
 
     (Yw, Uw, Vw), _ = jax.lax.scan(deblock_diag, (Yw, Uw, Vw), diags)
     return Yw, Uw, Vw
+
+
+def _pallas_ok():
+    """Pallas TPU kernels only on a real TPU backend."""
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
