@@ -7,6 +7,10 @@
   python -m losslessh264_tpu encode in.yuv WxH out.264 [--qp N]
                                                # TPU encode (I420 input;
                                                # the h264enc equivalent)
+  python -m losslessh264_tpu decode in.264 out.yuv [--jax]
+                                               # decode to I420 (SPS crop
+                                               # applied; the reference
+                                               # h264dec's YUV output)
 
 Like the reference, direction is inferred: .pip input (magic "PIPT")
 decompresses, anything else compresses.
@@ -46,7 +50,38 @@ def main(argv=None):
                     help="encode with CABAC entropy coding")
     ap.add_argument("--aq", action="store_true",
                     help="encode with per-MB adaptive quantization")
+    ap.add_argument("--temporal-layers", type=int, default=1,
+                    help="encode with N dyadic temporal layers (1 or 2; "
+                         "T1 frames are droppable non-references)")
+    ap.add_argument("--jax", action="store_true",
+                    help="decode mode: use the TPU (JAX) pixel pipeline "
+                         "instead of the numpy oracle")
     args = ap.parse_args(argv)
+
+    if args.input == "decode":
+        if not args.output or len(args.extra) != 1:
+            ap.error("decode mode: decode in.264 out.yuv")
+        import numpy as np
+
+        from . import decoder_np as dnp
+        data = open(args.output, "rb").read()
+        dec = (__import__("losslessh264_tpu.decoder_jax", fromlist=["x"])
+               .JaxDecoder(data) if args.jax else dnp.NpDecoder(data))
+        t0 = time.perf_counter()
+        n_frames = 0
+        with open(args.extra[0], "wb") as fh:
+            for yuv in dec.frames():
+                yuv = tuple(np.asarray(p) for p in yuv)
+                Y, U, V = dnp.crop_yuv(yuv, dec.crop_px)
+                fh.write(Y.tobytes())
+                fh.write(U.tobytes())
+                fh.write(V.tobytes())
+                n_frames += 1
+        t1 = time.perf_counter()
+        if args.stats:
+            print(f"decoded {n_frames} frames "
+                  f"({n_frames/(t1-t0):.1f} fps)", file=sys.stderr)
+        return 0
 
     if args.input == "encode":
         if not args.output or len(args.extra) != 2:
@@ -65,7 +100,8 @@ def main(argv=None):
               if args.bitrate else None)
         enc = encoder_jax.JaxEncoder(W, H, qp=args.qp, gop=args.gop, rc=rc,
                                      scene_cut=args.gop == 0,
-                                     cabac=args.cabac, aq=args.aq)
+                                     cabac=args.cabac, aq=args.aq,
+                                     temporal_layers=args.temporal_layers)
         t0 = time.perf_counter()
         out = b""
         for i in range(n_frames):

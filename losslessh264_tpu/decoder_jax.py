@@ -352,6 +352,7 @@ class JaxDecoder:
 
     def frames(self):
         for f in self.sym:
+            self.crop_px = f.get("crop_px", (0, 0, 0, 0))
             mb_w, mb_h = f["mb_w"], f["mb_h"]
             n = mb_w * mb_h
             self._prep_refs(mb_w, mb_h)

@@ -638,6 +638,7 @@ class NpDecoder:
         self.outputs = []  # decoded frames (Y, U, V) in decode order
         self.concealed = 0
         self._conceal = error_concealment
+        self.crop_px = (0, 0, 0, 0)  # SPS crop (l,r,t,b luma samples)
 
     def frames(self):
         it = iter(self.sym)
@@ -655,6 +656,7 @@ class NpDecoder:
                 self.outputs.append(self.outputs[-1])
                 yield self.outputs[-1]
                 return
+            self.crop_px = f.get("crop_px", (0, 0, 0, 0))
             try:
                 yuv = self._recon_frame(f)
             except Exception:
@@ -1154,3 +1156,16 @@ def decode_to_yuv(data: bytes):
     """Decode a .264 byte stream; returns list of (Y, U, V) numpy frames."""
     dec = NpDecoder(data)
     return list(dec.frames())
+
+
+def crop_yuv(yuv, crop_px):
+    """Apply SPS frame cropping (l,r,t,b luma samples) to a decoded
+    (Y, U, V) tuple — what the reference's h264dec writes as its YUV
+    output (decoder_core.cpp output stride/offset handling)."""
+    l, r, t, b = crop_px
+    Y, U, V = yuv
+    H, W = Y.shape
+    Y = Y[t:H - b, l:W - r]
+    U = U[t // 2:(H - b) // 2, l // 2:(W - r) // 2]
+    V = V[t // 2:(H - b) // 2, l // 2:(W - r) // 2]
+    return Y, U, V

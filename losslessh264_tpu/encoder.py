@@ -213,7 +213,7 @@ def _cfg_lib():
     if not hasattr(lib.pip_encode_frame, "_cfg"):
         lib.pip_encode_frame.restype = ctypes.c_int
         lib.pip_encode_frame.argtypes = [ctypes.c_int] * 6 + \
-            [ctypes.c_void_p] * 11 + [ctypes.c_int] * 4 + \
+            [ctypes.c_void_p] * 11 + [ctypes.c_int] * 7 + \
             [ctypes.c_void_p,
              ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
              ctypes.POINTER(ctypes.c_size_t), ctypes.c_char_p,
@@ -277,7 +277,8 @@ def _write_frame(lib, mw, mh, qp, frame_idx, slice_type, mb_class, mv,
                  i16_mode, chroma_mode, i4_modes, luma_dc, luma_ac,
                  chroma_dc, chroma_ac, include_params, mb_qp=None,
                  cabac=False, n_slices=1, mv8=None, deblock_idc=1,
-                 out_qp=None):
+                 out_qp=None, crop_r=0, crop_b=0, is_ref=True,
+                 frame_num=None, idr_id=0):
     out = ctypes.POINTER(ctypes.c_uint8)()
     out_size = ctypes.c_size_t()
     err = ctypes.create_string_buffer(512)
@@ -291,14 +292,17 @@ def _write_frame(lib, mw, mh, qp, frame_idx, slice_type, mb_class, mv,
         mb_qp = np.ascontiguousarray(mb_qp, np.uint8)
     if mv8 is not None:
         mv8 = np.ascontiguousarray(mv8, np.int16)
+    if frame_num is None:
+        frame_num = frame_idx
     rc = lib.pip_encode_frame(
-        mw, mh, qp, frame_idx, frame_idx & 1, slice_type,
+        mw, mh, qp, frame_num, idr_id & 1, slice_type,
         ptr(mb_class), ptr(mv16), ptr(i16_mode), ptr(chroma_mode),
         ptr(i4_modes), ptr(luma_dc16), ptr(luma_ac16), ptr(chroma_dc16),
         ptr(chroma_ac16), None if mb_qp is None else ptr(mb_qp),
         None if mv8 is None else ptr(mv8),
         1 if include_params else 0, 1 if cabac else 0, int(n_slices),
-        int(deblock_idc), None if out_qp is None else ptr(out_qp),
+        int(deblock_idc), int(crop_r), int(crop_b), 1 if is_ref else 0,
+        None if out_qp is None else ptr(out_qp),
         ctypes.byref(out), ctypes.byref(out_size), err, len(err))
     if rc != 0:
         raise RuntimeError(f"pip_encode_frame: {err.value.decode()}")

@@ -724,11 +724,15 @@ class JaxEncoder:
 
     def __init__(self, width, height, qp=28, gop=0, intra_only=False,
                  rc=None, scene_cut=False, aq=False, cabac=False,
-                 slices=1, deblock=True):
-        assert width % 16 == 0 and height % 16 == 0, "pad input to MB size"
+                 slices=1, deblock=True, temporal_layers=1):
+        assert width % 2 == 0 and height % 2 == 0, "4:2:0 needs even dims"
+        # arbitrary (even) resolutions: pad to whole MBs internally and
+        # signal the true size via SPS frame cropping (7.4.2.1.1)
         self.width, self.height = width, height
-        self.mb_w = width // 16
-        self.mb_h = height // 16
+        self.mb_w = -(-width // 16)
+        self.mb_h = -(-height // 16)
+        self.pad_w = self.mb_w * 16 - width
+        self.pad_h = self.mb_h * 16 - height
         self.qp = int(qp)
         self.qpc = int(dn.CHROMA_QP[self.qp])
         self.gop = gop
@@ -741,7 +745,16 @@ class JaxEncoder:
         # in-loop filter: idc 0 filters everything; 2 keeps slices
         # independent (multi-slice); 1 = filter off (deblock=False)
         self.deblock_idc = (0 if self.slices == 1 else 2) if deblock else 1
+        # dyadic temporal scalability: with temporal_layers=2, odd frames
+        # are non-reference (nal_ref_idc 0) and predict from the last T0
+        # frame — droppable without breaking the T0 chain (the reference
+        # encoder's temporal-layer feature, ref_list_mgr_svc.cpp)
+        assert temporal_layers in (1, 2), "1 or 2 temporal layers"
+        self.temporal_layers = temporal_layers
         self.frame_idx = 0
+        self._frame_num = 0   # 7.4.3: increments after each ref frame
+        self._idr_id = 0
+        self._cur_is_ref = True
         self.ref = None   # (Y,U,V) uint8 recon planes (device arrays)
         self._prev_src = None  # device luma of the previous source frame
         self._diags = jnp.asarray(_diagonals(self.mb_w, self.mb_h))
@@ -779,7 +792,10 @@ class JaxEncoder:
             chroma_ac=np.asarray(chroma_ac, np.int16),
             include_params=self.frame_idx == 0, mb_qp=mb_qp,
             cabac=self.cabac, n_slices=self.slices, mv8=mv8,
-            deblock_idc=self.deblock_idc, out_qp=self._out_qp)
+            deblock_idc=self.deblock_idc, out_qp=self._out_qp,
+            crop_r=self.pad_w // 2, crop_b=self.pad_h // 2,
+            is_ref=self._cur_is_ref, frame_num=self._frame_num,
+            idr_id=self._idr_id)
         return data
 
     def _apply_deblock(self, mb_class, luma_ac, mv, mv8=None):
@@ -845,8 +861,15 @@ class JaxEncoder:
 
     # -- frame paths ------------------------------------------------------
     def _upload_buf(self, Y, U, V):
-        """Single H2D transfer: Y on top, U|V side by side below."""
-        H, W = self.height, self.width
+        """Single H2D transfer: Y on top, U|V side by side below (source
+        edge-padded to whole MBs when the display size isn't)."""
+        if self.pad_w or self.pad_h:
+            Y = np.pad(Y, ((0, self.pad_h), (0, self.pad_w)), mode="edge")
+            U = np.pad(U, ((0, self.pad_h // 2), (0, self.pad_w // 2)),
+                       mode="edge")
+            V = np.pad(V, ((0, self.pad_h // 2), (0, self.pad_w // 2)),
+                       mode="edge")
+        H, W = self.mb_h * 16, self.mb_w * 16
         buf = np.empty((H + H // 2, W), np.uint8)
         buf[:H] = Y
         buf[H:, :W // 2] = U
@@ -908,14 +931,19 @@ class JaxEncoder:
                 Vd, tile_y, tile_u, tile_v, use_intra_d, cls_d, nnz_d,
                 mvc_d, qp_d, qpc_d, qp_d, self._slice_id, self._diags,
                 self._row_slice)
-            self.ref = fix[1:]
+            if self._cur_is_ref:
+                self.ref = fix[1:]
             (ldc, lac, cdc, cac, i16m, cm, cls,
              m4) = _unpack(np.asarray(fix[0]))
         else:
-            # dispatched before the host write so it overlaps it
-            self.ref = _p_finish(
-                self.mb_w, self.mb_h, self.deblock_idc, tile_y, tile_u,
-                tile_v, cls_d, nnz_d, mvc_d, qp_d, self._slice_id)
+            if self._cur_is_ref:
+                # dispatched before the host write so it overlaps it
+                # (non-ref T1 frames never become references, so their
+                # recon+deblock is skipped entirely)
+                self.ref = _p_finish(
+                    self.mb_w, self.mb_h, self.deblock_idc, tile_y,
+                    tile_u, tile_v, cls_d, nnz_d, mvc_d, qp_d,
+                    self._slice_id)
             lac = packed[:, 13:269].reshape(n, 16, 16)
             cdc = packed[:, 269:277].reshape(n, 2, 4)
             cac = packed[:, 277:405].reshape(n, 8, 16)
@@ -1011,7 +1039,8 @@ class JaxEncoder:
         mb_class[is_skip] = 11
 
         mb_class[use_intra & (cls == 0)] = 0  # I4x4 fallback MBs
-        self.ref = (recY, recU, recV)  # device arrays
+        if self._cur_is_ref:
+            self.ref = (recY, recU, recV)  # device arrays
         data = self._write(0, mb_class, mv, i16m, cm, ldc, lac, cdc, cac,
                            mb_qp=self._qp_plane if self.aq else None,
                            i4_modes=m4, mv8=mv8)
@@ -1022,6 +1051,10 @@ class JaxEncoder:
         from . import processing as proc
         is_idr = (self.ref is None or self.intra_only
                   or (self.gop and self.frame_idx % self.gop == 0))
+        # temporal layer of this frame (T1 = odd frames, non-reference)
+        t1 = (self.temporal_layers == 2 and not is_idr
+              and self.frame_idx % 2 == 1)
+        self._cur_is_ref = not t1
         cur_src = (jnp.asarray(Y)
                    if (self.scene_cut or self.rc or self.aq) else None)
         if (self.scene_cut and not is_idr and self._prev_src is not None
@@ -1033,7 +1066,12 @@ class JaxEncoder:
                   float(jnp.abs(cur_src.astype(jnp.int32) - 128).sum()))
             self.qp = self.rc.frame_qp(cx, is_idr)
             self.qpc = int(dn.CHROMA_QP[self.qp])
+        if is_idr:
+            self._frame_num = 0
+            self._idr_id += 1
         data = self._encode_i(Y, U, V) if is_idr else self._encode_p(Y, U, V)
+        if self._cur_is_ref:  # 7.4.3: frame_num advances per ref frame
+            self._frame_num = (self._frame_num + 1) & 0xff
         if self.rc is not None:
             self.rc.update(8 * len(data))
         self._prev_src = cur_src

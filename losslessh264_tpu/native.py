@@ -345,7 +345,7 @@ class SymbolDecoder:
             # (reference semantics), not resolved output frames
             "ref_idx": np.zeros((n, 16), np.int8),
         }
-        meta = np.zeros(8, np.int32)
+        meta = np.zeros(12, np.int32)
         scaling = np.zeros(96 + 384, np.uint8)
         ptr = lambda a: a.ctypes.data_as(ctypes.c_void_p)
         rc = self._lib.pip_sym_planes(
@@ -367,6 +367,9 @@ class SymbolDecoder:
         f["is_ref"] = bool(meta[3])
         f["is_idr"] = bool(meta[4])
         f["constrained_intra"] = bool(meta[5])
+        # SPS frame cropping in luma samples (4:2:0 frame_mbs_only:
+        # CropUnitX = CropUnitY = 2, spec 7.4.2.1.1)
+        f["crop_px"] = tuple(int(meta[6 + i]) * 2 for i in range(4))
         f["scaling4"] = scaling[:96].reshape(6, 16)
         f["scaling8"] = scaling[96:].reshape(6, 64)
         return f

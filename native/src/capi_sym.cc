@@ -87,6 +87,7 @@ int pip_sym_planes(void* hv, u8* mb_class, u8* qp, u8* cbp_l, u8* cbp_c,
   meta[3] = f.is_ref ? 1 : 0;
   meta[4] = f.is_idr ? 1 : 0;
   meta[5] = f.intra_avail_mode;
+  for (int i = 0; i < 4; ++i) meta[6 + i] = f.crop[i];
   memcpy(scaling, f.scaling4, 6 * 16);
   memcpy(scaling + 96, f.scaling8, 6 * 64);
   memcpy(wp_luma, f.wp_luma.data(), n * 48 * 2);

@@ -576,6 +576,8 @@ bool SymbolDecoder::next_frame(FramePlanes* out) {
     im.pic.reset(w, h);
     out->mb_w = w;
     out->mb_h = h;
+    for (int i = 0; i < 4; ++i)
+      out->crop[i] = s.frame_cropping ? s.crop[i] : 0;
     size_t n = size_t(w) * h;
     out->mb_class.assign(n, MB_PSKIP);
     out->qp.assign(n, 0);

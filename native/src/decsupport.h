@@ -19,6 +19,7 @@ struct FramePlanes {
   int poc = 0;
   bool is_ref = false;
   bool is_idr = false;
+  int crop[4] = {};  // SPS frame_crop l/r/t/b (crop units)
   // per-MB (n = mb_w*mb_h):
   std::vector<u8> mb_class;
   std::vector<u8> qp;

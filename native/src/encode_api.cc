@@ -35,7 +35,10 @@ std::vector<u8> make_nal(int ref_idc, int type, const std::vector<u8>& rbsp) {
   return out;
 }
 
-std::vector<u8> write_sps(int mb_w, int mb_h) {
+std::vector<u8> write_sps(int mb_w, int mb_h, int crop_r, int crop_b) {
+  // crop_r/crop_b in crop units (2 luma samples each: 4:2:0
+  // frame_mbs_only, 7.4.2.1.1) — non-multiple-of-16 sources are padded
+  // to whole MBs and cropped back here
   BitWriter bw;
   bw.put(66, 8);   // profile: baseline
   bw.put(0xc0, 8); // constraint set 0+1
@@ -49,7 +52,15 @@ std::vector<u8> write_sps(int mb_w, int mb_h) {
   bw.put_ue(u32(mb_h - 1));
   bw.put_bit(1);   // frame_mbs_only
   bw.put_bit(1);   // direct_8x8_inference
-  bw.put_bit(0);   // frame_cropping
+  if (crop_r || crop_b) {
+    bw.put_bit(1); // frame_cropping
+    bw.put_ue(0);
+    bw.put_ue(u32(crop_r));
+    bw.put_ue(0);
+    bw.put_ue(u32(crop_b));
+  } else {
+    bw.put_bit(0); // frame_cropping
+  }
   bw.put_bit(0);   // vui
   bw.rbsp_trailing_bits();
   return make_nal(3, 7, bw.bytes());
@@ -122,7 +133,8 @@ int pip_encode_frame(int mb_w, int mb_h, int qp, int frame_num, int idr_id,
                      const i16* chroma_ac, const u8* mb_qp,
                      const i16* mv8 /* [n,4,2] P8x8 partition MVs */,
                      int include_params, int cabac, int n_slices,
-                     int deblock_idc, u8* out_qp, u8** out,
+                     int deblock_idc, int crop_r, int crop_b, int is_ref,
+                     u8* out_qp, u8** out,
                      size_t* out_size, char* err, size_t err_cap) {
   try {
     bool is_idr = slice_type != 0;
@@ -130,7 +142,7 @@ int pip_encode_frame(int mb_w, int mb_h, int qp, int frame_num, int idr_id,
     if (n_slices > mb_h) n_slices = mb_h;
     std::vector<u8> stream;
     if (include_params) {
-      auto sps = write_sps(mb_w, mb_h);
+      auto sps = write_sps(mb_w, mb_h, crop_r, crop_b);
       auto pps = write_pps(cabac != 0);
       stream.insert(stream.end(), sps.begin(), sps.end());
       stream.insert(stream.end(), pps.begin(), pps.end());
@@ -168,7 +180,8 @@ int pip_encode_frame(int mb_w, int mb_h, int qp, int frame_num, int idr_id,
     } else {
       bw.put_bit(0);                  // num_ref_idx_active_override
       bw.put_bit(0);                  // ref_pic_list_modification
-      bw.put_bit(0);                  // adaptive_ref_pic_marking
+      if (is_ref)                     // dec_ref_pic_marking only when
+        bw.put_bit(0);                // nal_ref_idc != 0 (7.3.3)
     }
     if (cabac && !is_idr) bw.put_ue(0);  // cabac_init_idc
     bw.put_se(qp - 26);               // slice_qp_delta
@@ -183,7 +196,8 @@ int pip_encode_frame(int mb_w, int mb_h, int qp, int frame_num, int idr_id,
     sh.slice_type = is_idr ? SLICE_I : SLICE_P;
     sh.slice_qp = qp;
     sh.is_idr = is_idr;
-    sh.nal_ref_idc = is_idr ? 3 : 2;
+    // non-reference P frames (temporal layer > 0) carry nal_ref_idc 0
+    sh.nal_ref_idc = is_idr ? 3 : (is_ref ? 2 : 0);
     sh.nal_type = is_idr ? 5 : 1;
     sh.frame_num = frame_num & 0xff;
     sh.disable_deblocking_idc = u8(deblock_idc);

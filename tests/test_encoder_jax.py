@@ -259,3 +259,62 @@ def test_in_loop_deblock():
     pip, st = native.compress(data, verify=False)
     out, _ = native.decompress(pip)
     assert out == data and st.n_fallback_slices == 0
+
+
+def test_arbitrary_resolution_crop():
+    """Non-multiple-of-16 sources pad to whole MBs and signal the true
+    size via SPS frame cropping (7.4.2.1.1); decoders expose crop_px and
+    the stream recompresses losslessly."""
+    rng = np.random.RandomState(3)
+    W, H = 100, 62
+    bg = rng.randint(0, 255, (H + 32, W + 32)).astype(np.uint8)
+    frames = [(np.ascontiguousarray(bg[i * 2:i * 2 + H, i * 3:i * 3 + W]),
+               np.full((H // 2, W // 2), 100, np.uint8),
+               np.full((H // 2, W // 2), 200, np.uint8)) for i in range(3)]
+    enc = encoder_jax.JaxEncoder(W, H, qp=28)
+    data = b"".join(enc.encode_frame(*f) for f in frames)
+    dec = decoder_np.NpDecoder(data, error_concealment=False)
+    n = 0
+    for yuv in dec.frames():
+        Yc, Uc, Vc = decoder_np.crop_yuv(yuv, dec.crop_px)
+        assert Yc.shape == (H, W) and Uc.shape == (H // 2, W // 2)
+        n += 1
+    assert n == 3 and dec.crop_px == (0, 12, 0, 2)
+    pip, st = native.compress(data, verify=False)
+    out, _ = native.decompress(pip)
+    assert out == data and st.n_fallback_slices == 0
+
+
+def test_temporal_layers():
+    """temporal_layers=2: odd frames are non-reference (nal_ref_idc 0,
+    no dec_ref_pic_marking); dropping them leaves a decodable T0
+    substream with bit-identical T0 reconstruction (the reference's
+    dyadic temporal scalability, ref_list_mgr_svc.cpp)."""
+    rng = np.random.RandomState(5)
+    bg = rng.randint(0, 255, (120, 120)).astype(np.uint8)
+    frames = [(np.ascontiguousarray(bg[i * 2:i * 2 + 48, i * 3:i * 3 + 64]),
+               np.full((24, 32), 100, np.uint8),
+               np.full((24, 32), 200, np.uint8)) for i in range(6)]
+    enc = encoder_jax.JaxEncoder(64, 48, qp=28, temporal_layers=2)
+    data = b"".join(enc.encode_frame(*f) for f in frames)
+    refs = [f["is_ref"] for f in native.SymbolDecoder(data)]
+    assert refs == [True, False, True, False, True, False]
+    full = list(decoder_np.NpDecoder(data, error_concealment=False).frames())
+    # drop every nal_ref_idc==0 NAL -> T0-only substream
+    nals, i = [], 0
+    while True:
+        j = data.find(b"\x00\x00\x00\x01", i + 1)
+        if j < 0:
+            nals.append(data[i:])
+            break
+        nals.append(data[i:j])
+        i = j
+    t0 = b"".join(nal for nal in nals if (nal[4] >> 5) != 0)
+    sub = list(decoder_np.NpDecoder(t0, error_concealment=False).frames())
+    assert len(full) == 6 and len(sub) == 3
+    for a, b in zip(full[::2], sub):
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
+    pip, st = native.compress(data, verify=False)
+    out, _ = native.decompress(pip)
+    assert out == data and st.n_fallback_slices == 0
