@@ -101,7 +101,8 @@ def main(argv=None):
         enc = encoder_jax.JaxEncoder(W, H, qp=args.qp, gop=args.gop, rc=rc,
                                      scene_cut=args.gop == 0,
                                      cabac=args.cabac, aq=args.aq,
-                                     temporal_layers=args.temporal_layers)
+                                     temporal_layers=args.temporal_layers,
+                                     gom_rc=rc is not None)
         t0 = time.perf_counter()
         out = b""
         for i in range(n_frames):

@@ -724,7 +724,8 @@ class JaxEncoder:
 
     def __init__(self, width, height, qp=28, gop=0, intra_only=False,
                  rc=None, scene_cut=False, aq=False, cabac=False,
-                 slices=1, deblock=True, temporal_layers=1):
+                 slices=1, deblock=True, temporal_layers=1,
+                 gom_rc=False):
         assert width % 2 == 0 and height % 2 == 0, "4:2:0 needs even dims"
         # arbitrary (even) resolutions: pad to whole MBs internally and
         # signal the true size via SPS frame cropping (7.4.2.1.1)
@@ -740,6 +741,7 @@ class JaxEncoder:
         self.rc = rc                 # optional ratectl.RateControl
         self.scene_cut = scene_cut   # IDR on detected scene changes
         self.aq = aq                 # per-MB adaptive quantization
+        self.gom_rc = gom_rc and rc is not None  # per-MB-row RC dqp
         self.cabac = cabac           # CABAC entropy coding
         self.slices = max(1, min(int(slices), self.mb_h))
         # in-loop filter: idc 0 filters everything; 2 keeps slices
@@ -828,13 +830,19 @@ class JaxEncoder:
         reference applies the AdaptiveQuantization dqp map the same
         way, wels_preprocess.cpp -> sMbInfo QP adjustment)."""
         n = self.mb_w * self.mb_h
+        qp_map = np.full(n, self.qp)
         if self.aq:
             from . import processing as proc
             ref = self._prev_src if self._prev_src is not None else Yd
             dqp, _ = proc.adaptive_quant_map(Yd, ref)
-            qp_map = np.clip(self.qp + np.asarray(dqp).reshape(n), 10, 51)
-        else:
-            qp_map = np.full(n, self.qp)
+            qp_map = qp_map + np.asarray(dqp).reshape(n)
+        if self.gom_rc and self._prev_src is not None:
+            diff = jnp.abs(Yd.astype(jnp.int32)
+                           - self._prev_src.astype(jnp.int32))
+            row_cx = np.asarray(diff.reshape(self.mb_h, 16, -1)
+                                .sum(axis=(1, 2)))
+            qp_map = qp_map + np.repeat(self.rc.gom_dqp(row_cx), self.mb_w)
+        qp_map = np.clip(qp_map, 10, 51)
         qpc_map = dn.CHROMA_QP[qp_map]
         self._qp_plane = qp_map.astype(np.uint8)
         return (jnp.asarray(qp_map, jnp.int32),
@@ -880,8 +888,8 @@ class JaxEncoder:
         return _split_src(self.mb_h, self.mb_w, self._upload_buf(Y, U, V))
 
     def _encode_i(self, Y, U, V):
-        """IDR frame via the fused single-dispatch program (non-AQ)."""
-        if self.aq:
+        """IDR frame via the fused single-dispatch program (flat QP)."""
+        if self.aq or self.gom_rc:
             return self._encode_i_aq(Y, U, V)
         n = self.mb_w * self.mb_h
         buf = self._upload_buf(Y, U, V)
@@ -901,7 +909,7 @@ class JaxEncoder:
     def _encode_p(self, Y, U, V):
         """P frame: fused analyze program, one packed fetch, recon+deblock
         finishing on device while the host writes entropy (non-AQ)."""
-        if self.aq:
+        if self.aq or self.gom_rc:
             return self._encode_p_aq(Y, U, V)
         n = self.mb_w * self.mb_h
         buf = self._upload_buf(Y, U, V)
@@ -982,7 +990,7 @@ class JaxEncoder:
         mb_class = np.where(cls == 0, 0, 1).astype(np.uint8)
         mv = np.zeros((n, 2), np.int16)
         data = self._write(1, mb_class, mv, i16m, cm, ldc, lac, cdc, cac,
-                           mb_qp=self._qp_plane if self.aq else None,
+                           mb_qp=(self._qp_plane if (self.aq or self.gom_rc) else None),
                            i4_modes=m4)
         self._apply_deblock(mb_class, lac, mv)
         return data
@@ -1042,7 +1050,7 @@ class JaxEncoder:
         if self._cur_is_ref:
             self.ref = (recY, recU, recV)  # device arrays
         data = self._write(0, mb_class, mv, i16m, cm, ldc, lac, cdc, cac,
-                           mb_qp=self._qp_plane if self.aq else None,
+                           mb_qp=(self._qp_plane if (self.aq or self.gom_rc) else None),
                            i4_modes=m4, mv8=mv8)
         self._apply_deblock(mb_class, lac, mv, mv8)
         return data
@@ -1055,8 +1063,11 @@ class JaxEncoder:
         t1 = (self.temporal_layers == 2 and not is_idr
               and self.frame_idx % 2 == 1)
         self._cur_is_ref = not t1
-        cur_src = (jnp.asarray(Y)
-                   if (self.scene_cut or self.rc or self.aq) else None)
+        cur_src = None
+        if self.scene_cut or self.rc or self.aq:
+            Yp = (np.pad(Y, ((0, self.pad_h), (0, self.pad_w)), mode="edge")
+                  if (self.pad_w or self.pad_h) else Y)
+            cur_src = jnp.asarray(Yp)
         if (self.scene_cut and not is_idr and self._prev_src is not None
                 and proc.is_scene_change(cur_src, self._prev_src)):
             is_idr = True

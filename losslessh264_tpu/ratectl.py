@@ -45,6 +45,27 @@ class RateControl:
         self._last = (qp, complexity, is_idr)
         return qp
 
+    def gom_dqp(self, row_complexity):
+        """Per-MB-row (GOM) delta-QP plane for the coming frame.
+
+        TPU-first equivalent of the reference's per-GOM QP loop
+        (ratectl.cpp WelsRcGomTargetBits/GomRC): instead of adjusting QP
+        sequentially from bits spent so far inside the frame, the whole
+        plane is decided up front from per-GOM complexity — rows that
+        would overspend (high SAD vs the frame average) take +dqp, flat
+        rows take -dqp, keeping per-GOM bits near uniform without a
+        serial in-frame feedback chain."""
+        import numpy as np
+        c = np.asarray(row_complexity, np.float64)
+        if c.size == 0 or c.mean() <= 0:
+            return np.zeros(c.size, np.int32)
+        ratio = np.maximum(c / c.mean(), 1e-3)
+        # bits ~ complexity / Qstep and Qstep doubles per 6 QP: +2 QP
+        # per doubling of relative complexity halves the overshoot
+        dqp = np.round(2.0 * np.log2(ratio))
+        return np.clip(dqp, -self.MAX_DELTA_QP,
+                       self.MAX_DELTA_QP).astype(np.int32)
+
     def update(self, bits_used: float) -> None:
         """Feed back the actual size of the frame just encoded."""
         if self._last is None:

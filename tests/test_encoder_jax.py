@@ -318,3 +318,35 @@ def test_temporal_layers():
     pip, st = native.compress(data, verify=False)
     out, _ = native.decompress(pip)
     assert out == data and st.n_fallback_slices == 0
+
+
+def test_gom_rate_control():
+    """gom_rc=True plans a per-MB-row delta-QP plane from per-GOM
+    complexity (the reference's GOM-level RC, ratectl.cpp, decided up
+    front instead of by serial in-frame feedback): textured rows take
+    higher QP than flat rows, recon stays decoder-exact and the stream
+    recompresses losslessly."""
+    from losslessh264_tpu import ratectl
+    rng = np.random.RandomState(9)
+    H, W = 96, 64
+    frames = []
+    for i in range(4):
+        Y = np.zeros((H, W), np.uint8)
+        Y[:H // 2] = 60 + i
+        Y[H // 2:] = rng.randint(0, 255, (H // 2, W))
+        frames.append((Y, np.full((H // 2, W // 2), 100, np.uint8),
+                       np.full((H // 2, W // 2), 200, np.uint8)))
+    rc = ratectl.RateControl(200_000, 25.0, qp_init=30)
+    enc = encoder_jax.JaxEncoder(W, H, qp=30, rc=rc, gom_rc=True)
+    data = b"".join(enc.encode_frame(*f) for f in frames)
+    rows = np.asarray(enc._qp_plane).reshape(6, 4)[:, 0]
+    assert rows[5] > rows[0]  # textured rows carry higher QP
+    dec = decoder_np.NpDecoder(data, error_concealment=False)
+    last = None
+    for fr in dec.frames():
+        last = fr
+    for a, b in zip(last, enc.recon):
+        np.testing.assert_array_equal(a, b)
+    pip, st = native.compress(data, verify=False)
+    out, _ = native.decompress(pip)
+    assert out == data and st.n_fallback_slices == 0
