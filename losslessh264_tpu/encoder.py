@@ -213,7 +213,7 @@ def _cfg_lib():
     if not hasattr(lib.pip_encode_frame, "_cfg"):
         lib.pip_encode_frame.restype = ctypes.c_int
         lib.pip_encode_frame.argtypes = [ctypes.c_int] * 6 + \
-            [ctypes.c_void_p] * 11 + [ctypes.c_int] * 7 + \
+            [ctypes.c_void_p] * 11 + [ctypes.c_int] * 8 + \
             [ctypes.c_void_p,
              ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
              ctypes.POINTER(ctypes.c_size_t), ctypes.c_char_p,
@@ -278,7 +278,7 @@ def _write_frame(lib, mw, mh, qp, frame_idx, slice_type, mb_class, mv,
                  chroma_dc, chroma_ac, include_params, mb_qp=None,
                  cabac=False, n_slices=1, mv8=None, deblock_idc=1,
                  out_qp=None, crop_r=0, crop_b=0, is_ref=True,
-                 frame_num=None, idr_id=0):
+                 frame_num=None, idr_id=0, ltr_flags=0):
     out = ctypes.POINTER(ctypes.c_uint8)()
     out_size = ctypes.c_size_t()
     err = ctypes.create_string_buffer(512)
@@ -302,6 +302,7 @@ def _write_frame(lib, mw, mh, qp, frame_idx, slice_type, mb_class, mv,
         None if mv8 is None else ptr(mv8),
         1 if include_params else 0, 1 if cabac else 0, int(n_slices),
         int(deblock_idc), int(crop_r), int(crop_b), 1 if is_ref else 0,
+        int(ltr_flags),
         None if out_qp is None else ptr(out_qp),
         ctypes.byref(out), ctypes.byref(out_size), err, len(err))
     if rc != 0:

@@ -725,7 +725,7 @@ class JaxEncoder:
     def __init__(self, width, height, qp=28, gop=0, intra_only=False,
                  rc=None, scene_cut=False, aq=False, cabac=False,
                  slices=1, deblock=True, temporal_layers=1,
-                 gom_rc=False):
+                 gom_rc=False, ltr=False):
         assert width % 2 == 0 and height % 2 == 0, "4:2:0 needs even dims"
         # arbitrary (even) resolutions: pad to whole MBs internally and
         # signal the true size via SPS frame cropping (7.4.2.1.1)
@@ -753,6 +753,14 @@ class JaxEncoder:
         # encoder's temporal-layer feature, ref_list_mgr_svc.cpp)
         assert temporal_layers in (1, 2), "1 or 2 temporal layers"
         self.temporal_layers = temporal_layers
+        # long-term reference (reference LTR feature): the SPS keeps a
+        # second DPB slot; IDRs seed the LTR, mark_ltr() re-marks it,
+        # recover_from_ltr() makes the next P frame predict from it
+        # (loss recovery without an IDR, ref_list_mgr_svc.cpp)
+        self.ltr = bool(ltr)
+        self._ltr_ref = None      # device recon planes of the LTR
+        self._mark_ltr_next = False
+        self._use_ltr_next = False
         self.frame_idx = 0
         self._frame_num = 0   # 7.4.3: increments after each ref frame
         self._idr_id = 0
@@ -797,8 +805,29 @@ class JaxEncoder:
             deblock_idc=self.deblock_idc, out_qp=self._out_qp,
             crop_r=self.pad_w // 2, crop_b=self.pad_h // 2,
             is_ref=self._cur_is_ref, frame_num=self._frame_num,
-            idr_id=self._idr_id)
+            idr_id=self._idr_id, ltr_flags=self._ltr_flags(slice_type))
         return data
+
+    def _ltr_flags(self, slice_type):
+        if not self.ltr:
+            return 0
+        flags = 1
+        if slice_type == 0 and self._mark_ltr_next and self._cur_is_ref:
+            flags |= 2
+        if slice_type == 0 and self._use_ltr_next:
+            flags |= 4
+        return flags
+
+    def mark_ltr(self):
+        """Mark the NEXT reference frame as the long-term reference."""
+        assert self.ltr, "encoder not in LTR mode"
+        self._mark_ltr_next = True
+
+    def recover_from_ltr(self):
+        """Make the next P frame predict from the LTR instead of the
+        previous frame (loss recovery without an IDR)."""
+        assert self.ltr, "encoder not in LTR mode"
+        self._use_ltr_next = True
 
     def _apply_deblock(self, mb_class, luma_ac, mv, mv8=None):
         """Filter self.ref in place with the shared loop-filter wavefront
@@ -1080,7 +1109,15 @@ class JaxEncoder:
         if is_idr:
             self._frame_num = 0
             self._idr_id += 1
+        if self._use_ltr_next and not is_idr:
+            # predict this frame from the long-term reference; its own
+            # recon then re-seeds the short-term chain (loss recovery)
+            self.ref = self._ltr_ref
         data = self._encode_i(Y, U, V) if is_idr else self._encode_p(Y, U, V)
+        self._use_ltr_next = False
+        if self.ltr and self._cur_is_ref and (is_idr or self._mark_ltr_next):
+            self._ltr_ref = self.ref  # this frame's recon is the LTR
+            self._mark_ltr_next = False
         if self._cur_is_ref:  # 7.4.3: frame_num advances per ref frame
             self._frame_num = (self._frame_num + 1) & 0xff
         if self.rc is not None:

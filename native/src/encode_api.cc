@@ -35,7 +35,8 @@ std::vector<u8> make_nal(int ref_idc, int type, const std::vector<u8>& rbsp) {
   return out;
 }
 
-std::vector<u8> write_sps(int mb_w, int mb_h, int crop_r, int crop_b) {
+std::vector<u8> write_sps(int mb_w, int mb_h, int crop_r, int crop_b,
+                          int num_refs) {
   // crop_r/crop_b in crop units (2 luma samples each: 4:2:0
   // frame_mbs_only, 7.4.2.1.1) — non-multiple-of-16 sources are padded
   // to whole MBs and cropped back here
@@ -46,7 +47,7 @@ std::vector<u8> write_sps(int mb_w, int mb_h, int crop_r, int crop_b) {
   bw.put_ue(0);    // sps id
   bw.put_ue(4);    // log2_max_frame_num = 8
   bw.put_ue(2);    // pic_order_cnt_type 2 (decode order)
-  bw.put_ue(1);    // max_num_ref_frames
+  bw.put_ue(u32(num_refs));  // max_num_ref_frames (2 with an LTR slot)
   bw.put_bit(0);   // gaps_in_frame_num
   bw.put_ue(u32(mb_w - 1));
   bw.put_ue(u32(mb_h - 1));
@@ -125,6 +126,11 @@ extern "C" {
 // everything, 1 off, 2 don't cross slice boundaries). out_qp (optional,
 // [n]): the final per-MB luma QP after the 7.4.5 chain — what a decoder
 // will see, needed by the caller's in-loop deblock QP averaging.
+// ltr_flags (long-term reference support, the reference's LTR feature,
+// ref_list_mgr_svc.cpp): bit0 = LTR mode (SPS advertises 2 ref frames;
+// IDRs carry long_term_reference_flag=1), bit1 = mark THIS ref frame as
+// the long-term reference (MMCO 4+6), bit2 = predict this P frame from
+// the LTR (RPLR putting long_term_pic_num 0 first).
 int pip_encode_frame(int mb_w, int mb_h, int qp, int frame_num, int idr_id,
                      int slice_type, const u8* mb_class, const i16* mv,
                      const u8* i16_mode, const u8* chroma_mode,
@@ -134,15 +140,18 @@ int pip_encode_frame(int mb_w, int mb_h, int qp, int frame_num, int idr_id,
                      const i16* mv8 /* [n,4,2] P8x8 partition MVs */,
                      int include_params, int cabac, int n_slices,
                      int deblock_idc, int crop_r, int crop_b, int is_ref,
-                     u8* out_qp, u8** out,
+                     int ltr_flags, u8* out_qp, u8** out,
                      size_t* out_size, char* err, size_t err_cap) {
   try {
     bool is_idr = slice_type != 0;
+    bool ltr_mode = (ltr_flags & 1) != 0;
+    bool ltr_mark = (ltr_flags & 2) != 0 && is_ref && !is_idr;
+    bool ltr_use = (ltr_flags & 4) != 0 && !is_idr;
     if (n_slices < 1) n_slices = 1;
     if (n_slices > mb_h) n_slices = mb_h;
     std::vector<u8> stream;
     if (include_params) {
-      auto sps = write_sps(mb_w, mb_h, crop_r, crop_b);
+      auto sps = write_sps(mb_w, mb_h, crop_r, crop_b, ltr_mode ? 2 : 1);
       auto pps = write_pps(cabac != 0);
       stream.insert(stream.end(), sps.begin(), sps.end());
       stream.insert(stream.end(), pps.begin(), pps.end());
@@ -151,7 +160,7 @@ int pip_encode_frame(int mb_w, int mb_h, int qp, int frame_num, int idr_id,
     sps_s.pic_width_in_mbs = mb_w;
     sps_s.pic_height_in_map_units = mb_h;
     sps_s.log2_max_frame_num = 8;
-    sps_s.max_num_ref_frames = 1;
+    sps_s.max_num_ref_frames = ltr_mode ? 2 : 1;
     Pps pps_s;
     if (cabac) pps_s.entropy_coding_mode = 1;
     PicState pic;
@@ -176,12 +185,30 @@ int pip_encode_frame(int mb_w, int mb_h, int qp, int frame_num, int idr_id,
     if (is_idr) {
       bw.put_ue(u32(idr_id));         // idr_pic_id
       bw.put_bit(0);                  // no_output_of_prior_pics
-      bw.put_bit(0);                  // long_term_reference_flag
+      // in LTR mode the IDR itself becomes the initial long-term ref
+      bw.put_bit(ltr_mode ? 1 : 0);   // long_term_reference_flag
     } else {
       bw.put_bit(0);                  // num_ref_idx_active_override
-      bw.put_bit(0);                  // ref_pic_list_modification
-      if (is_ref)                     // dec_ref_pic_marking only when
-        bw.put_bit(0);                // nal_ref_idc != 0 (7.3.3)
+      if (ltr_use) {
+        bw.put_bit(1);                // ref_pic_list_modification_l0
+        bw.put_ue(2);                 // idc 2: long_term_pic_num follows
+        bw.put_ue(0);                 // long_term_pic_num = 0
+        bw.put_ue(3);                 // idc 3: end of modifications
+      } else {
+        bw.put_bit(0);                // ref_pic_list_modification
+      }
+      if (is_ref) {                   // dec_ref_pic_marking only when
+        if (ltr_mark) {               // nal_ref_idc != 0 (7.3.3)
+          bw.put_bit(1);              // adaptive marking
+          bw.put_ue(4);               // MMCO 4: max_long_term_frame_idx
+          bw.put_ue(1);               //   plus1 = 1 (idx 0 allowed)
+          bw.put_ue(6);               // MMCO 6: current -> LT idx 0
+          bw.put_ue(0);
+          bw.put_ue(0);               // MMCO 0: end
+        } else {
+          bw.put_bit(0);
+        }
+      }
     }
     if (cabac && !is_idr) bw.put_ue(0);  // cabac_init_idc
     bw.put_se(qp - 26);               // slice_qp_delta

@@ -350,3 +350,47 @@ def test_gom_rate_control():
     pip, st = native.compress(data, verify=False)
     out, _ = native.decompress(pip)
     assert out == data and st.n_fallback_slices == 0
+
+
+def test_long_term_reference():
+    """ltr=True keeps a second DPB slot: IDRs seed the LTR
+    (long_term_reference_flag), mark_ltr() re-marks via MMCO 4+6, and
+    recover_from_ltr() predicts the next P from the LTR via RPLR — so
+    frames after a loss reconstruct identically even when intermediate
+    frames are dropped (the reference's LTR recovery,
+    ref_list_mgr_svc.cpp)."""
+    rng = np.random.RandomState(11)
+    bg = rng.randint(0, 255, (120, 140)).astype(np.uint8)
+    frames = [(np.ascontiguousarray(bg[i * 2:i * 2 + 48, i * 3:i * 3 + 64]),
+               np.full((24, 32), 100, np.uint8),
+               np.full((24, 32), 200, np.uint8)) for i in range(7)]
+    enc = encoder_jax.JaxEncoder(64, 48, qp=28, ltr=True)
+    data = b""
+    for i, f in enumerate(frames):
+        if i == 2:
+            enc.mark_ltr()
+        if i == 5:
+            enc.recover_from_ltr()
+        data += enc.encode_frame(*f)
+    outs = list(decoder_np.NpDecoder(data, error_concealment=False).frames())
+    assert len(outs) == 7
+    for a, b in zip(outs[-1], enc.recon):
+        np.testing.assert_array_equal(a, b)
+    # drop frames 3-4 entirely: the recovery frame predicts from the LTR
+    nals, i = [], 0
+    while True:
+        j = data.find(b"\x00\x00\x00\x01", i + 1)
+        if j < 0:
+            nals.append(data[i:])
+            break
+        nals.append(data[i:j])
+        i = j
+    d2 = b"".join(nals[:5] + nals[7:])
+    outs2 = list(decoder_np.NpDecoder(d2, error_concealment=False).frames())
+    assert len(outs2) == 5
+    for a, b in zip(outs[5:], outs2[-2:]):
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
+    pip, st = native.compress(data, verify=False)
+    out, _ = native.decompress(pip)
+    assert out == data and st.n_fallback_slices == 0
