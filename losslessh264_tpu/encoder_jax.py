@@ -396,16 +396,28 @@ def encode_inter_mbs(mb_w: int, mb_h: int, radius: int, Y, U, V, refY_s,
     intra_cost = jme.intra_sad_proxy(srcY_t)
     use_intra = best_sad > intra_cost + 2048
 
-    # ---- P8x8 partition search: independent ME per 8x8 sub-block ----
+    # ---- P8x8 partition search: per-8x8 re-search at radius 8 around
+    # the MB's integer-pel winner (divergent-quadrant motion is local to
+    # the MB's dominant motion; a full re-search at the MB radius would
+    # double the whole ME cost for ~nothing) ----
+    R8 = 8
     blk4 = jnp.arange(4)
     by8 = (mby0[:, None] + (blk4 // 2)[None, :] * 8).reshape(-1)   # [4n]
     bx8 = (mbx0[:, None] + (blk4 % 2)[None, :] * 8).reshape(-1)
     src8 = srcY_t.reshape(n, 2, 8, 2, 8).transpose(0, 1, 3, 2, 4) \
         .reshape(n * 4, 8, 8)
-    dy8, dx8, sad8, _ = jme.full_search_sad(src8, ref_r, by8, bx8, radius,
-                                            block=8)
-    mv8x = dx8.astype(jnp.int32) * 4
-    mv8y = dy8.astype(jnp.int32) * 4
+    # center the radius-8 window on the winner: shift block coords by the
+    # winner MV inside a ref slice carrying radius+R16 margin
+    m8 = R8 + radius
+    ref_r8 = jax.lax.slice(
+        refY_s[0], (PAD - m8, PAD - m8),
+        (refY_s.shape[1] - (PAD - m8), refY_s.shape[2] - (PAD - m8)))
+    wy = jnp.repeat(dy.astype(jnp.int32), 4)
+    wx = jnp.repeat(dx.astype(jnp.int32), 4)
+    dy8, dx8, sad8, _ = jme.full_search_sad(
+        src8, ref_r8, by8 + wy + radius, bx8 + wx + radius, R8, block=8)
+    mv8x = (dx8.astype(jnp.int32) + wx) * 4
+    mv8y = (dy8.astype(jnp.int32) + wy) * 4
     mv8x, mv8y, sad8 = jme.subpel_refine(planes, PAD, by8, bx8, mv8x, mv8y,
                                          src8, step=2, size=8)
     mv8x, mv8y, sad8, p8_y = jme.subpel_refine(planes, PAD, by8, bx8, mv8x,
