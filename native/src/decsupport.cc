@@ -720,7 +720,7 @@ bool SymbolDecoder::next_frame(FramePlanes* out) {
     if (getenv("PIP_DBG_REF") && mb_is_inter(rec.mb_class))
       fprintf(stderr,
               "DBGREC addr=%d refcell=%d,%d,%d,%d reflist=%zu out=%d,%d,%d,%d\n",
-              n, sc.cur.ref_cell[0], sc.cur.ref_cell[1], sc.cur.ref_cell[2],
+              int(n), sc.cur.ref_cell[0], sc.cur.ref_cell[1], sc.cur.ref_cell[2],
               sc.cur.ref_cell[3], reflist.size(), out->ref_frame[n * 16 + 0],
               out->ref_frame[n * 16 + 1], out->ref_frame[n * 16 + 2],
               out->ref_frame[n * 16 + 3]);

@@ -693,7 +693,6 @@ GopSegments find_gop_segments(const u8* data, size_t size) {
   std::vector<size_t> cuts;       // index into nals of segment starts
   std::vector<std::vector<u8>> ctxs;
   std::vector<u8> param_accum;    // all SPS/PPS NAL bytes so far
-  int prev_vcl_type = -1;
   int prev_idr_id = -1;
   size_t run_start = 0;  // first NAL of the current non-VCL run
   bool in_nonvcl_run = true;
@@ -733,7 +732,6 @@ GopSegments find_gop_segments(const u8* data, size_t size) {
         ctxs.push_back(param_accum);
       }
     }
-    prev_vcl_type = type;
     (void)prev_idr_id;
     in_nonvcl_run = false;
   }
