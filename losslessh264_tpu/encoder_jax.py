@@ -423,32 +423,94 @@ def encode_inter_mbs(mb_w: int, mb_h: int, radius: int, Y, U, V, refY_s,
     mv8x, mv8y, sad8, p8_y = jme.subpel_refine(planes, PAD, by8, bx8, mv8x,
                                                mv8y, src8, step=1, size=8,
                                                return_pred=True)
-    # partition decision: 1 MV vs 4 MVs worth of side info (~SAD+lam*bits)
+
+    # ---- P16x8 / P8x16 partition searches (2 partitions each) ----
+    wy2 = jnp.repeat(dy.astype(jnp.int32), 2)
+    wx2 = jnp.repeat(dx.astype(jnp.int32), 2)
+    byh = (mby0[:, None] + jnp.asarray([0, 8])[None, :]).reshape(-1)
+    bxh = jnp.repeat(mbx0, 2)
+    srch = srcY_t.reshape(n * 2, 8, 16)
+    dyh, dxh, sadh, _ = jme.full_search_sad(
+        srch, ref_r8, byh + wy2 + radius, bxh + wx2 + radius, R8,
+        block=(8, 16))
+    mvhx = (dxh.astype(jnp.int32) + wx2) * 4
+    mvhy = (dyh.astype(jnp.int32) + wy2) * 4
+    mvhx, mvhy, sadh = jme.subpel_refine(planes, PAD, byh, bxh, mvhx, mvhy,
+                                         srch, step=2, size=(8, 16))
+    mvhx, mvhy, sadh, ph_y = jme.subpel_refine(
+        planes, PAD, byh, bxh, mvhx, mvhy, srch, step=1, size=(8, 16),
+        return_pred=True)
+    byv = jnp.repeat(mby0, 2)
+    bxv = (mbx0[:, None] + jnp.asarray([0, 8])[None, :]).reshape(-1)
+    srcv = srcY_t.reshape(n, 16, 2, 8).transpose(0, 2, 1, 3) \
+        .reshape(n * 2, 16, 8)
+    dyv, dxv, sadv, _ = jme.full_search_sad(
+        srcv, ref_r8, byv + wy2 + radius, bxv + wx2 + radius, R8,
+        block=(16, 8))
+    mvvx = (dxv.astype(jnp.int32) + wx2) * 4
+    mvvy = (dyv.astype(jnp.int32) + wy2) * 4
+    mvvx, mvvy, sadv = jme.subpel_refine(planes, PAD, byv, bxv, mvvx, mvvy,
+                                         srcv, step=2, size=(16, 8))
+    mvvx, mvvy, sadv, pv_y = jme.subpel_refine(
+        planes, PAD, byv, bxv, mvvx, mvvy, srcv, step=1, size=(16, 8),
+        return_pred=True)
+
+    # partition decision: SAD + lambda * side-info bits per shape
+    # (reference svc_base_layer_md.cpp inter partition MD)
     lam = LAMBDA[qp]
-    cost16 = best_sad + lam * 4
-    cost8 = sad8.reshape(n, 4).sum(axis=1) + lam * 20
-    use_p8 = (cost8 < cost16) & ~use_intra
+    cost = jnp.stack([
+        best_sad + lam * 4,                              # 0: P16x16
+        sadh.reshape(n, 2).sum(axis=1) + lam * 11,       # 1: P16x8
+        sadv.reshape(n, 2).sum(axis=1) + lam * 11,       # 2: P8x16
+        sad8.reshape(n, 4).sum(axis=1) + lam * 20,       # 3: P8x8
+    ], axis=1)
+    part = jnp.argmin(cost, axis=1).astype(jnp.int32)
+    part = jnp.where(use_intra, 0, part)
 
     def _asm4(blocks, t):
         return blocks.reshape(n, 2, 2, t, t).transpose(0, 1, 3, 2, 4) \
             .reshape(n, 2 * t, 2 * t)
 
-    sel = use_p8[:, None, None]
-    pred_y = jnp.where(sel, _asm4(p8_y, 8), pred16_y)
+    predL_h = ph_y.reshape(n, 16, 16)
+    predL_v = pv_y.reshape(n, 2, 16, 8).transpose(0, 2, 1, 3) \
+        .reshape(n, 16, 16)
+    stackp = jnp.stack([pred16_y, predL_h, predL_v, _asm4(p8_y, 8)])
+    pred_y = jnp.take_along_axis(
+        stackp, part[None, :, None, None], axis=0)[0]
+
+    # per-partition MVs: writer layout (partition slots) and per-8x8
+    # quadrant (chroma MC + deblock cells)
+    mvh2 = jnp.stack([mvhx, mvhy], 1).reshape(n, 2, 2)
+    mvv2 = jnp.stack([mvvx, mvvy], 1).reshape(n, 2, 2)
+    mv8q = jnp.stack([mv8x, mv8y], 1).reshape(n, 4, 2)
+    mv16q = jnp.stack([mvx, mvy], 1)[:, None, :]
+    zpad = jnp.zeros((n, 2, 2), jnp.int32)
+    mv_slots = jnp.stack([
+        jnp.broadcast_to(mv16q, (n, 4, 2)),
+        jnp.concatenate([mvh2, zpad], axis=1),
+        jnp.concatenate([mvv2, zpad], axis=1),
+        mv8q], axis=0)
+    mv8 = jnp.take_along_axis(mv_slots,
+                              part[None, :, None, None], axis=0)[0]
+    quad = jnp.arange(4)
+    mv_quads = jnp.stack([
+        jnp.broadcast_to(mv16q, (n, 4, 2)),
+        mvh2[:, quad // 2],
+        mvv2[:, quad % 2],
+        mv8q], axis=0)
+    mvq = jnp.take_along_axis(mv_quads,
+                              part[None, :, None, None], axis=0)[0]
+
     # chroma MC once, at 4x4 partition granularity with the SELECTED MV
-    # per 8x8 (bilinear chroma MC is split-invariant for one translation,
-    # so the P16x16 case is identical to four quarter blocks)
-    mv16_rep = jnp.stack([mvx, mvy], 1)[:, None, :].repeat(4, 1)
-    mv_sel = jnp.where(use_p8[:, None, None],
-                       jnp.stack([mv8x, mv8y], 1).reshape(n, 4, 2),
-                       mv16_rep).reshape(n * 4, 2)
+    # per 8x8 quadrant (bilinear chroma MC is split-invariant for one
+    # translation, so larger partitions equal their quarter blocks)
+    mv_sel = mvq.reshape(n * 4, 2)
     pred_u = _asm4(jmc.mc_chroma_mbs(refU_s[0], PAD // 2, by8 // 2,
                                      bx8 // 2, mv_sel[:, 0], mv_sel[:, 1],
                                      size=4), 4)
     pred_v = _asm4(jmc.mc_chroma_mbs(refV_s[0], PAD // 2, by8 // 2,
                                      bx8 // 2, mv_sel[:, 0], mv_sel[:, 1],
                                      size=4), 4)
-    mv8 = jnp.stack([mv8x, mv8y], axis=1).reshape(n, 4, 2)
 
     resid = srcY_t - pred_y
     qp16 = jnp.broadcast_to(qp[:, None], (n, 16))
@@ -479,8 +541,8 @@ def encode_inter_mbs(mb_w: int, mb_h: int, radius: int, Y, U, V, refY_s,
 
     no_res = ((qac == 0).all(axis=(1, 2, 3)) &
               (cdc == 0).all(axis=(1, 2)) & (cac == 0).all(axis=(1, 2, 3)))
-    return (mvx, mvy, use_intra, use_p8, mv8, jt.zigzag4(qac), cdc, cac,
-            tile_y, tiles_c[0], tiles_c[1], no_res)
+    return (mvx, mvy, use_intra, part, mv8, mvq, jt.zigzag4(qac), cdc,
+            cac, tile_y, tiles_c[0], tiles_c[1], no_res)
 
 
 # ---------------------------------------------------------------------------
@@ -533,11 +595,13 @@ def _pack_inter_only(qac_zz, cdc, cac):
 
 
 @jax.jit
-def _pack_meta(mvx, mvy, use_intra, no_res, use_p8, mv8):
+def _pack_meta(mvx, mvy, use_intra, no_res, part, mv8):
+    """meta columns: mvx mvy use_intra no_res part(0=16x16,1=16x8,
+    2=8x16,3=8x8) mv8[4][2] (partition slots)."""
     n = mvx.shape[0]
     head = jnp.stack([mvx, mvy, use_intra.astype(jnp.int32),
                       no_res.astype(jnp.int32),
-                      use_p8.astype(jnp.int32)], axis=1)
+                      part.astype(jnp.int32)], axis=1)
     return jnp.concatenate([head, mv8.reshape(n, 8)], axis=1) \
         .astype(jnp.int16)
 
@@ -628,10 +692,10 @@ def _p_analyze(mb_w: int, mb_h: int, radius: int, buf, refY, refU, refV,
     array, and derive the deblock prep planes device-side."""
     Y, U, V = _split_src(mb_h, mb_w, buf)
     refY_s, refU_s, refV_s = _pad_refs(refY, refU, refV)
-    (mvx, mvy, use_intra, use_p8, mv8, qac_zz, cdc, cac,
+    (mvx, mvy, use_intra, part, mv8, mvq, qac_zz, cdc, cac,
      tile_y, tile_u, tile_v, no_res) = encode_inter_mbs(
         mb_w, mb_h, radius, Y, U, V, refY_s, refU_s, refV_s, qp, qpc)
-    meta = _pack_meta(mvx, mvy, use_intra, no_res, use_p8, mv8)
+    meta = _pack_meta(mvx, mvy, use_intra, no_res, part, mv8)
     nmb = mb_w * mb_h
     # inter frames carry only meta + qac/cdc/cac (no I16 DC, no mode
     # columns — those are constants the host re-materializes); coeffs
@@ -649,13 +713,9 @@ def _p_analyze(mb_w: int, mb_h: int, radius: int, buf, refY, refU, refV,
     # change boundary strengths: skip stays inter with the same MV/nnz,
     # I4 stays intra)
     n = mb_w * mb_h
-    cls_d = jnp.where(use_intra, 1,
-                      jnp.where(use_p8, 6, 3)).astype(jnp.int32)
+    cls_d = jnp.where(use_intra, 1, 3 + part).astype(jnp.int32)
     nnz_d = (qac_zz != 0).any(-1)
-    mv16 = jnp.broadcast_to(jnp.stack([mvx, mvy], -1)[:, None, :],
-                            (n, 16, 2))
-    mvc = jnp.where(use_p8[:, None, None],
-                    mv8[:, jnp.asarray(_CELL_PART8), :], mv16)
+    mvc = mvq[:, jnp.asarray(_CELL_PART8), :]  # quadrant mv -> 4x4 cells
     mvc = jnp.where(use_intra[:, None, None], 0, mvc)
     return (packed8, packed, tile_y, tile_u, tile_v, Y, U, V, use_intra,
             cls_d, nnz_d, mvc)
@@ -853,11 +913,14 @@ class JaxEncoder:
                              axis=1)
         if mv8 is not None:
             c = np.arange(16)
-            part = ((c // 4) // 2) * 2 + (c % 4) // 2  # cell -> 8x8 part
-            p8 = np.asarray(mb_class) == 6
-            if p8.any():
-                mv_cells[p8] = np.asarray(mv8, np.int16) \
-                    .reshape(n, 4, 2)[:, part][p8]
+            mv8r = np.asarray(mv8, np.int16).reshape(n, 4, 2)
+            mbc = np.asarray(mb_class)
+            quad = ((c // 4) // 2) * 2 + (c % 4) // 2  # cell -> 8x8 quad
+            for cls_v, idx in ((4, (c // 4) // 2), (5, (c % 4) // 2),
+                               (6, quad)):
+                m = mbc == cls_v
+                if m.any():
+                    mv_cells[m] = mv8r[:, idx][m]
         slice_id = np.repeat(np.asarray(self._row_slice), self.mb_w)
         self.ref = _deblock_recon(
             self.mb_w, self.mb_h, *self.ref,
@@ -968,7 +1031,7 @@ class JaxEncoder:
         meta = packed[:, :13]
         use_intra = meta[:, 2] != 0
         no_res = meta[:, 3] != 0
-        use_p8 = meta[:, 4] != 0
+        part = meta[:, 4]
         mv8 = np.ascontiguousarray(meta[:, 5:13], np.int16)
         mv = np.zeros((n, 2), np.int16)
         mv[:, 0] = meta[:, 0]
@@ -1001,10 +1064,10 @@ class JaxEncoder:
             cm = np.zeros(n, np.int16)
             cls = np.ones(n, np.int16)
             m4 = np.full((n, 16), 2, np.int16)
-        mb_class = np.where(use_intra, 1,
-                            np.where(use_p8, 6, 3)).astype(np.uint8)
+        # part -> MbClass: 0/1/2/3 = P16x16/P16x8/P8x16/P8x8 (3/4/5/6)
+        mb_class = np.where(use_intra, 1, 3 + part).astype(np.uint8)
         skip_pred, _ = self._mv_preds(mb_class, mv, mv8)
-        is_skip = (no_res & ~use_intra & ~use_p8
+        is_skip = (no_res & ~use_intra & (part == 0)
                    & (mv[:, 0] == skip_pred[:, 0])
                    & (mv[:, 1] == skip_pred[:, 1]))
         mb_class[is_skip] = 11
@@ -1042,23 +1105,22 @@ class JaxEncoder:
         refY_s, refU_s, refV_s = _pad_refs(*self.ref)
         qp_d, qpc_d = self._qp_maps(Yd)
 
-        (mvx, mvy, use_intra_d, use_p8_d, mv8_d, qac_zz, cdc_d, cac_d,
-         tile_y, tile_u, tile_v, no_res_d) = encode_inter_mbs(
+        (mvx, mvy, use_intra_d, part_d, mv8_d, mvq_d, qac_zz, cdc_d,
+         cac_d, tile_y, tile_u, tile_v, no_res_d) = encode_inter_mbs(
             self.mb_w, self.mb_h, self.ME_RADIUS, Yd, Ud, Vd, refY_s,
             refU_s, refV_s, qp_d, qpc_d)
 
         meta = np.asarray(_pack_meta(mvx, mvy, use_intra_d, no_res_d,
-                                     use_p8_d, mv8_d))
+                                     part_d, mv8_d))
         use_intra = meta[:, 2] != 0
         no_res = meta[:, 3] != 0
-        use_p8 = meta[:, 4] != 0
+        part = meta[:, 4]
         mv8 = np.ascontiguousarray(meta[:, 5:13], np.int16)
         mv = np.zeros((n, 2), np.int16)
         mv[:, 0] = meta[:, 0]
         mv[:, 1] = meta[:, 1]
         mv[use_intra] = 0
-        mb_class = np.where(use_intra, 1,
-                            np.where(use_p8, 6, 3)).astype(np.uint8)
+        mb_class = np.where(use_intra, 1, 3 + part).astype(np.uint8)
 
         if use_intra.any():
             # intra-fallback wavefront on top of the inter recon tiles
@@ -1082,7 +1144,7 @@ class JaxEncoder:
 
         # P_Skip: zero residual + MV equals the skip predictor (P16x16)
         skip_pred, _ = self._mv_preds(mb_class, mv, mv8)
-        is_skip = (no_res & ~use_intra & ~use_p8
+        is_skip = (no_res & ~use_intra & (part == 0)
                    & (mv[:, 0] == skip_pred[:, 0])
                    & (mv[:, 1] == skip_pred[:, 1]))
         mb_class[is_skip] = 11

@@ -19,25 +19,27 @@ import numpy as np
 
 @partial(jax.jit, static_argnames=("radius", "block"))
 def full_search_sad(cur_mbs: jax.Array, ref_pad: jax.Array, mb_y: jax.Array,
-                    mb_x: jax.Array, radius: int = 16, block: int = 16):
-    """Exhaustive integer-pel block search (block = 16 MBs / 8 P8x8
-    partitions).
+                    mb_x: jax.Array, radius: int = 16, block=16):
+    """Exhaustive integer-pel block search.
 
-    cur_mbs: [n,block,block] int32 source blocks.
+    cur_mbs: [n,bh,bw] int32 source blocks; block = side length or a
+    (bh, bw) pair (16 MBs, 8 P8x8 partitions, (8,16)/(16,8) for
+    P16x8/P8x16).
     ref_pad: reference luma edge-padded by `radius` on every side.
     mb_y/mb_x: [n] top-left pixel coords of each block (unpadded frame).
     Returns (best_dy, best_dx, best_sad, zero_sad): [n] each, offsets in
     integer pixels relative to the colocated position.
     """
+    bh, bw = (block, block) if isinstance(block, int) else block
     span = 2 * radius + 1
-    b2 = block * block
+    b2 = bh * bw
 
     def one_mb(cur, y, x):
         win = jax.lax.dynamic_slice(
-            ref_pad, (y, x), (2 * radius + block, 2 * radius + block))
+            ref_pad, (y, x), (2 * radius + bh, 2 * radius + bw))
         win = win.astype(jnp.int32)
         patches = jax.lax.conv_general_dilated_patches(
-            win[None, None].astype(jnp.float32), (block, block), (1, 1),
+            win[None, None].astype(jnp.float32), (bh, bw), (1, 1),
             "VALID")
         patches = patches[0].astype(jnp.int32)          # [b2, span, span]
         sads = jnp.abs(patches - cur.reshape(b2, 1, 1)).sum(axis=0)
@@ -52,7 +54,7 @@ def full_search_sad(cur_mbs: jax.Array, ref_pad: jax.Array, mb_y: jax.Array,
 @partial(jax.jit, static_argnames=("step", "pad", "size", "return_pred"))
 def subpel_refine(planes: jax.Array, pad: int, mb_y: jax.Array,
                   mb_x: jax.Array, mvx: jax.Array, mvy: jax.Array,
-                  cur_mbs: jax.Array, step: int, size: int = 16,
+                  cur_mbs: jax.Array, step: int, size=16,
                   return_pred: bool = False):
     """One sub-pel refinement round (step=2: half-pel, step=1: quarter).
 
@@ -77,14 +79,14 @@ def subpel_refine(planes: jax.Array, pad: int, mb_y: jax.Array,
     oy_arr = jnp.asarray(np.array([o[0] for o in offs], np.int32))
     ox_arr = jnp.asarray(np.array([o[1] for o in offs], np.int32))
 
-    S = size
+    SH, SW = (size, size) if isinstance(size, int) else size
 
     def one(cy, cx, vx, vy, cur):
         iy0 = vy >> 2
         ix0 = vx >> 2
         win = jax.lax.dynamic_slice(
             planes, (0, pad - 3 + cy + iy0, pad - 3 + cx + ix0),
-            (4, S + 2, S + 2))
+            (4, SH + 2, SW + 2))
 
         sads_b = []
         preds_b = []
@@ -96,8 +98,10 @@ def subpel_refine(planes: jax.Array, pad: int, mb_y: jax.Array,
                 p1, dy1, dx1, p2, dy2, dx2 = (int(v) for v in QTAB[k])
                 ry = 1 + ((bfy + oy) >> 2)
                 rx = 1 + ((bfx + ox) >> 2)
-                t1 = win[p1, ry + dy1:ry + dy1 + S, rx + dx1:rx + dx1 + S]
-                t2 = win[p2, ry + dy2:ry + dy2 + S, rx + dx2:rx + dx2 + S]
+                t1 = win[p1, ry + dy1:ry + dy1 + SH,
+                         rx + dx1:rx + dx1 + SW]
+                t2 = win[p2, ry + dy2:ry + dy2 + SH,
+                         rx + dx2:rx + dx2 + SW]
                 pred = (t1 + t2 + 1) >> 1
                 sads.append(jnp.abs(pred - cur).sum())
                 if return_pred:

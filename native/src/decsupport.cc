@@ -288,6 +288,53 @@ void compute_p8x8_mvds(SliceCtx& sc, const i16 mv8[4][2], MbRecord& rec) {
   }
 }
 
+// Encoder support: absolute MVs for the two partitions of a P16x8 /
+// P8x16 MB -> MVDs against the sequential directional predictors
+// (8.4.1.3.1: 16x8 prefers B/A, 8x16 prefers A/C).
+void compute_p16x8_mvds(SliceCtx& sc, const i16 mv2[2][2], MbRecord& rec) {
+  i16 mv_cells[16][2] = {};
+  i8 ref_cells[16];
+  bool filled[16] = {};
+  memset(ref_cells, -1, sizeof(ref_cells));
+  MvCtx mc{&sc, mv_cells, ref_cells, filled};
+  for (int i = 0; i < 2; ++i) {
+    i16 p[2];
+    mc.predict(0, i * 2, 4, 2, 0, 1 + i, p);
+    rec.mvd[i][0] = i16(mv2[i][0] - p[0]);
+    rec.mvd[i][1] = i16(mv2[i][1] - p[1]);
+    for (int y = i * 2; y < i * 2 + 2; ++y)
+      for (int x = 0; x < 4; ++x) {
+        int c = y * 4 + x;
+        ref_cells[c] = 0;
+        mv_cells[c][0] = mv2[i][0];
+        mv_cells[c][1] = mv2[i][1];
+        filled[c] = true;
+      }
+  }
+}
+
+void compute_p8x16_mvds(SliceCtx& sc, const i16 mv2[2][2], MbRecord& rec) {
+  i16 mv_cells[16][2] = {};
+  i8 ref_cells[16];
+  bool filled[16] = {};
+  memset(ref_cells, -1, sizeof(ref_cells));
+  MvCtx mc{&sc, mv_cells, ref_cells, filled};
+  for (int i = 0; i < 2; ++i) {
+    i16 p[2];
+    mc.predict(i * 2, 0, 2, 4, 0, 3 + i, p);
+    rec.mvd[i][0] = i16(mv2[i][0] - p[0]);
+    rec.mvd[i][1] = i16(mv2[i][1] - p[1]);
+    for (int y = 0; y < 4; ++y)
+      for (int x = i * 2; x < i * 2 + 2; ++x) {
+        int c = y * 4 + x;
+        ref_cells[c] = 0;
+        mv_cells[c][0] = mv2[i][0];
+        mv_cells[c][1] = mv2[i][1];
+        filled[c] = true;
+      }
+  }
+}
+
 // ---------------------------------------------------------------------------
 // SymbolDecoder implementation
 // ---------------------------------------------------------------------------

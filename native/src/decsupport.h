@@ -71,6 +71,8 @@ void predict_mv_skip(SliceCtx& sc, i16 out[2]);
 // into sc.cur so commit() stores them for neighbor prediction).
 void derive_mvs_record(SliceCtx& sc, MbRecord& rec);
 void compute_p8x8_mvds(SliceCtx& sc, const i16 mv8[4][2], MbRecord& rec);
+void compute_p16x8_mvds(SliceCtx& sc, const i16 mv2[2][2], MbRecord& rec);
+void compute_p8x16_mvds(SliceCtx& sc, const i16 mv2[2][2], MbRecord& rec);
 
 struct SymbolDecoderImpl;
 

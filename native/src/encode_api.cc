@@ -288,6 +288,15 @@ int pip_encode_frame(int mb_w, int mb_h, int qp, int frame_num, int idr_id,
         i16 pm[4][2];
         memcpy(pm, mv8 + addr * 8, sizeof(pm));
         compute_p8x8_mvds(sc, pm, rec);
+      } else if (cl == MB_P16x8 || cl == MB_P8x16) {
+        PIP_CHECK(mv8 != nullptr, "two-partition MB without mv plane");
+        rec.ref_idx[0] = rec.ref_idx[1] = 0;
+        i16 pm[2][2];
+        memcpy(pm, mv8 + addr * 8, sizeof(pm));  // partitions in slots 0,1
+        if (cl == MB_P16x8)
+          compute_p16x8_mvds(sc, pm, rec);
+        else
+          compute_p8x16_mvds(sc, pm, rec);
       }
       derive_nnz(rec);
       derive_cbp(rec, chroma_dc, addr);
@@ -398,6 +407,15 @@ int pip_encode_mv_preds(int mb_w, int mb_h, int n_slices,
         i16 pm[4][2];
         memcpy(pm, mv8 + addr * 8, sizeof(pm));
         compute_p8x8_mvds(sc, pm, rec);
+      } else if ((rec.mb_class == MB_P16x8 || rec.mb_class == MB_P8x16)
+                 && mv8) {
+        rec.ref_idx[0] = rec.ref_idx[1] = 0;
+        i16 pm[2][2];
+        memcpy(pm, mv8 + addr * 8, sizeof(pm));
+        if (rec.mb_class == MB_P16x8)
+          compute_p16x8_mvds(sc, pm, rec);
+        else
+          compute_p8x16_mvds(sc, pm, rec);
       }
       if (mb_is_inter(rec.mb_class)) derive_mvs_record(sc, rec);
       sc.commit(rec);

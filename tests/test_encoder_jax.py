@@ -394,3 +394,41 @@ def test_long_term_reference():
     pip, st = native.compress(data, verify=False)
     out, _ = native.decompress(pip)
     assert out == data and st.n_fallback_slices == 0
+
+
+def test_p16x8_p8x16_partitions():
+    """Content whose halves move differently should pick two-partition
+    shapes (P16x8/P8x16 with 8.4.1.3.1 directional predictors) and stay
+    decoder-exact."""
+    rng = np.random.RandomState(2)
+    H, W = 64, 64
+    bg = rng.randint(0, 255, (H * 3, W * 3)).astype(np.uint8)
+    f0 = np.ascontiguousarray(bg[:H, :W])
+    fh = f0.copy()   # horizontal band splits -> P16x8
+    fh[:8] = bg[3:11, 2:W + 2]
+    fh[8:32] = bg[13:37, 1:W + 1]
+    fh[32:40] = bg[34:42, 4:W + 4]
+    fh[40:] = bg[46:H + 6, 3:W + 3]
+    fv = f0.copy()   # vertical band splits -> P8x16
+    fv[:, :8] = bg[2:H + 2, 3:11]
+    fv[:, 8:32] = bg[1:H + 1, 13:37]
+    fv[:, 32:40] = bg[4:H + 4, 34:42]
+    fv[:, 40:] = bg[3:H + 3, 46:W + 6]
+    U = np.full((H // 2, W // 2), 100, np.uint8)
+    V = np.full((H // 2, W // 2), 200, np.uint8)
+    enc = encoder_jax.JaxEncoder(W, H, qp=30)
+    data = enc.encode_frame(f0, U, V)
+    data += enc.encode_frame(np.ascontiguousarray(fh), U, V)
+    data += enc.encode_frame(np.ascontiguousarray(fv), U, V)
+    frames = list(native.SymbolDecoder(data))
+    assert (frames[1]["mb_class"] == 4).any()   # P16x8 used
+    assert (frames[2]["mb_class"] == 5).any()   # P8x16 used
+    dec = decoder_np.NpDecoder(data, error_concealment=False)
+    last = None
+    for fr in dec.frames():
+        last = fr
+    for a, b in zip(last, enc.recon):
+        np.testing.assert_array_equal(a, b)
+    pip, st = native.compress(data, verify=False)
+    out, _ = native.decompress(pip)
+    assert out == data and st.n_fallback_slices == 0
