@@ -213,14 +213,14 @@ def _cfg_lib():
     if not hasattr(lib.pip_encode_frame, "_cfg"):
         lib.pip_encode_frame.restype = ctypes.c_int
         lib.pip_encode_frame.argtypes = [ctypes.c_int] * 6 + \
-            [ctypes.c_void_p] * 11 + [ctypes.c_int] * 8 + \
-            [ctypes.c_void_p,
-             ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            [ctypes.c_void_p] * 11 + [ctypes.c_int] * 9 + \
+            [ctypes.c_void_p] * 2 + \
+            [ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
              ctypes.POINTER(ctypes.c_size_t), ctypes.c_char_p,
              ctypes.c_size_t]
         lib.pip_encode_mv_preds.restype = ctypes.c_int
         lib.pip_encode_mv_preds.argtypes = [ctypes.c_int] * 3 + \
-            [ctypes.c_void_p] * 5 + [ctypes.c_char_p, ctypes.c_size_t]
+            [ctypes.c_void_p] * 6 + [ctypes.c_char_p, ctypes.c_size_t]
         lib.pip_encode_frame._cfg = True
     return lib
 
@@ -278,7 +278,8 @@ def _write_frame(lib, mw, mh, qp, frame_idx, slice_type, mb_class, mv,
                  chroma_dc, chroma_ac, include_params, mb_qp=None,
                  cabac=False, n_slices=1, mv8=None, deblock_idc=1,
                  out_qp=None, crop_r=0, crop_b=0, is_ref=True,
-                 frame_num=None, idr_id=0, ltr_flags=0):
+                 frame_num=None, idr_id=0, ltr_flags=0, n_refs=1,
+                 ref_plane=None):
     out = ctypes.POINTER(ctypes.c_uint8)()
     out_size = ctypes.c_size_t()
     err = ctypes.create_string_buffer(512)
@@ -292,6 +293,8 @@ def _write_frame(lib, mw, mh, qp, frame_idx, slice_type, mb_class, mv,
         mb_qp = np.ascontiguousarray(mb_qp, np.uint8)
     if mv8 is not None:
         mv8 = np.ascontiguousarray(mv8, np.int16)
+    if ref_plane is not None:
+        ref_plane = np.ascontiguousarray(ref_plane, np.int8)
     if frame_num is None:
         frame_num = frame_idx
     rc = lib.pip_encode_frame(
@@ -302,7 +305,8 @@ def _write_frame(lib, mw, mh, qp, frame_idx, slice_type, mb_class, mv,
         None if mv8 is None else ptr(mv8),
         1 if include_params else 0, 1 if cabac else 0, int(n_slices),
         int(deblock_idc), int(crop_r), int(crop_b), 1 if is_ref else 0,
-        int(ltr_flags),
+        int(ltr_flags), int(n_refs),
+        None if ref_plane is None else ptr(ref_plane),
         None if out_qp is None else ptr(out_qp),
         ctypes.byref(out), ctypes.byref(out_size), err, len(err))
     if rc != 0:
@@ -358,7 +362,7 @@ class Encoder:
         ptr = lambda a: a.ctypes.data_as(ctypes.c_void_p)
         mv16 = np.ascontiguousarray(mv, np.int16)
         rc = self._lib.pip_encode_mv_preds(
-            self.mb_w, self.mb_h, 1, ptr(mb_class), ptr(mv16), None,
+            self.mb_w, self.mb_h, 1, ptr(mb_class), ptr(mv16), None, None,
             ptr(skip_pred), ptr(p16_pred), err, len(err))
         if rc != 0:
             raise RuntimeError(f"pip_encode_mv_preds: {err.value.decode()}")

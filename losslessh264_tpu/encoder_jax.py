@@ -361,12 +361,20 @@ def encode_inter_mbs(mb_w: int, mb_h: int, radius: int, Y, U, V, refY_s,
                      refU_s, refV_s, qp, qpc):
     """Whole-frame P-MB analysis, fully batched.
 
-    refY_s/refU_s/refV_s: [1,H+2P,W+2P] edge-padded reference stacks
-    (PAD=32 luma / 16 chroma, same as the decoder's DPB planes).
-    Returns mv (quarter-pel), use_intra, symbol planes, recon tiles and a
-    per-MB all-zero-residual flag for P_Skip detection.
+    refY_s/refU_s/refV_s: [R,H+2P,W+2P] edge-padded reference stacks
+    (PAD=32 luma / 16 chroma, same as the decoder's DPB planes; R = 1 or
+    2 short-term references, newest first). With R=2 every MB picks its
+    reference by ME cost; downstream the choice is a per-lane x offset
+    into width-concatenated reference planes, so subpel/MC pay nothing
+    extra. Returns mv (quarter-pel), use_intra, partition code, per-MB
+    ref choice, symbol planes, recon tiles and a per-MB all-zero-residual
+    flag for P_Skip detection.
     """
     n = mb_w * mb_h
+    R = refY_s.shape[0]
+    WpY = refY_s.shape[2]
+    WpC = refU_s.shape[2]
+    lam = LAMBDA[qp]
     srcY_t = _mb_tiles(Y.astype(jnp.int32), mb_h, mb_w, 16)
     srcU_t = _mb_tiles(U.astype(jnp.int32), mb_h, mb_w, 8)
     srcV_t = _mb_tiles(V.astype(jnp.int32), mb_h, mb_w, 8)
@@ -374,23 +382,39 @@ def encode_inter_mbs(mb_w: int, mb_h: int, radius: int, Y, U, V, refY_s,
     mby0 = (mbi // mb_w) * 16
     mbx0 = (mbi % mb_w) * 16
 
+    refcatY = jnp.concatenate([refY_s[k] for k in range(R)], axis=1)
+    refcatU = jnp.concatenate([refU_s[k] for k in range(R)], axis=1)
+    refcatV = jnp.concatenate([refV_s[k] for k in range(R)], axis=1)
+
     # integer-pel exhaustive search on the radius-padded window
     ref_r = jax.lax.slice(
-        refY_s[0], (PAD - radius, PAD - radius),
-        (refY_s.shape[1] - (PAD - radius), refY_s.shape[2] - (PAD - radius)))
-    dy, dx, best_sad, zero_sad = jme.full_search_sad(
+        refcatY, (PAD - radius, PAD - radius),
+        (refcatY.shape[0] - (PAD - radius),
+         refcatY.shape[1] - (PAD - radius)))
+    dy, dx, best_sad, _zs = jme.full_search_sad(
         srcY_t, ref_r, mby0, mbx0, radius)
+    ref_sel = jnp.zeros((n,), jnp.int32)
+    if R == 2:
+        dy1, dx1, sad1, _ = jme.full_search_sad(
+            srcY_t, ref_r, mby0, mbx0 + WpY, radius)
+        take1 = (sad1 + lam) < best_sad  # te(ref_idx) bit bias
+        dy = jnp.where(take1, dy1, dy)
+        dx = jnp.where(take1, dx1, dx)
+        best_sad = jnp.where(take1, sad1, best_sad)
+        ref_sel = take1.astype(jnp.int32)
+    xoffL = ref_sel * WpY
+    xoffC = ref_sel * WpC
     mvx = dx.astype(jnp.int32) * 4
     mvy = dy.astype(jnp.int32) * 4
 
     # subpel refinement on the precomputed half-pel planes: half (±2)
     # then quarter (±1); the quarter round hands back the winning
     # prediction so no separate final MC gather pass is needed
-    planes = jmc.halfpel_planes(refY_s[0])
+    planes = jmc.halfpel_planes(refcatY)
     mvx, mvy, best_sad = jme.subpel_refine(
-        planes, PAD, mby0, mbx0, mvx, mvy, srcY_t, step=2)
+        planes, PAD, mby0, mbx0 + xoffL, mvx, mvy, srcY_t, step=2)
     mvx, mvy, best_sad, pred16_y = jme.subpel_refine(
-        planes, PAD, mby0, mbx0, mvx, mvy, srcY_t, step=1,
+        planes, PAD, mby0, mbx0 + xoffL, mvx, mvy, srcY_t, step=1,
         return_pred=True)
 
     intra_cost = jme.intra_sad_proxy(srcY_t)
@@ -410,54 +434,59 @@ def encode_inter_mbs(mb_w: int, mb_h: int, radius: int, Y, U, V, refY_s,
     # winner MV inside a ref slice carrying radius+R16 margin
     m8 = R8 + radius
     ref_r8 = jax.lax.slice(
-        refY_s[0], (PAD - m8, PAD - m8),
-        (refY_s.shape[1] - (PAD - m8), refY_s.shape[2] - (PAD - m8)))
+        refcatY, (PAD - m8, PAD - m8),
+        (refcatY.shape[0] - (PAD - m8), refcatY.shape[1] - (PAD - m8)))
+    xo4 = jnp.repeat(xoffL, 4)
     wy = jnp.repeat(dy.astype(jnp.int32), 4)
     wx = jnp.repeat(dx.astype(jnp.int32), 4)
     dy8, dx8, sad8, _ = jme.full_search_sad(
-        src8, ref_r8, by8 + wy + radius, bx8 + wx + radius, R8, block=8)
+        src8, ref_r8, by8 + wy + radius, bx8 + xo4 + wx + radius, R8,
+        block=8)
     mv8x = (dx8.astype(jnp.int32) + wx) * 4
     mv8y = (dy8.astype(jnp.int32) + wy) * 4
-    mv8x, mv8y, sad8 = jme.subpel_refine(planes, PAD, by8, bx8, mv8x, mv8y,
-                                         src8, step=2, size=8)
-    mv8x, mv8y, sad8, p8_y = jme.subpel_refine(planes, PAD, by8, bx8, mv8x,
+    mv8x, mv8y, sad8 = jme.subpel_refine(planes, PAD, by8, bx8 + xo4,
+                                         mv8x, mv8y, src8, step=2, size=8)
+    mv8x, mv8y, sad8, p8_y = jme.subpel_refine(planes, PAD, by8,
+                                               bx8 + xo4, mv8x,
                                                mv8y, src8, step=1, size=8,
                                                return_pred=True)
 
     # ---- P16x8 / P8x16 partition searches (2 partitions each) ----
+    xo2 = jnp.repeat(xoffL, 2)
     wy2 = jnp.repeat(dy.astype(jnp.int32), 2)
     wx2 = jnp.repeat(dx.astype(jnp.int32), 2)
     byh = (mby0[:, None] + jnp.asarray([0, 8])[None, :]).reshape(-1)
     bxh = jnp.repeat(mbx0, 2)
     srch = srcY_t.reshape(n * 2, 8, 16)
     dyh, dxh, sadh, _ = jme.full_search_sad(
-        srch, ref_r8, byh + wy2 + radius, bxh + wx2 + radius, R8,
+        srch, ref_r8, byh + wy2 + radius, bxh + xo2 + wx2 + radius, R8,
         block=(8, 16))
     mvhx = (dxh.astype(jnp.int32) + wx2) * 4
     mvhy = (dyh.astype(jnp.int32) + wy2) * 4
-    mvhx, mvhy, sadh = jme.subpel_refine(planes, PAD, byh, bxh, mvhx, mvhy,
+    mvhx, mvhy, sadh = jme.subpel_refine(planes, PAD, byh, bxh + xo2,
+                                         mvhx, mvhy,
                                          srch, step=2, size=(8, 16))
     mvhx, mvhy, sadh, ph_y = jme.subpel_refine(
-        planes, PAD, byh, bxh, mvhx, mvhy, srch, step=1, size=(8, 16),
-        return_pred=True)
+        planes, PAD, byh, bxh + xo2, mvhx, mvhy, srch, step=1,
+        size=(8, 16), return_pred=True)
     byv = jnp.repeat(mby0, 2)
     bxv = (mbx0[:, None] + jnp.asarray([0, 8])[None, :]).reshape(-1)
     srcv = srcY_t.reshape(n, 16, 2, 8).transpose(0, 2, 1, 3) \
         .reshape(n * 2, 16, 8)
     dyv, dxv, sadv, _ = jme.full_search_sad(
-        srcv, ref_r8, byv + wy2 + radius, bxv + wx2 + radius, R8,
+        srcv, ref_r8, byv + wy2 + radius, bxv + xo2 + wx2 + radius, R8,
         block=(16, 8))
     mvvx = (dxv.astype(jnp.int32) + wx2) * 4
     mvvy = (dyv.astype(jnp.int32) + wy2) * 4
-    mvvx, mvvy, sadv = jme.subpel_refine(planes, PAD, byv, bxv, mvvx, mvvy,
+    mvvx, mvvy, sadv = jme.subpel_refine(planes, PAD, byv, bxv + xo2,
+                                         mvvx, mvvy,
                                          srcv, step=2, size=(16, 8))
     mvvx, mvvy, sadv, pv_y = jme.subpel_refine(
-        planes, PAD, byv, bxv, mvvx, mvvy, srcv, step=1, size=(16, 8),
-        return_pred=True)
+        planes, PAD, byv, bxv + xo2, mvvx, mvvy, srcv, step=1,
+        size=(16, 8), return_pred=True)
 
     # partition decision: SAD + lambda * side-info bits per shape
     # (reference svc_base_layer_md.cpp inter partition MD)
-    lam = LAMBDA[qp]
     cost = jnp.stack([
         best_sad + lam * 4,                              # 0: P16x16
         sadh.reshape(n, 2).sum(axis=1) + lam * 11,       # 1: P16x8
@@ -505,12 +534,13 @@ def encode_inter_mbs(mb_w: int, mb_h: int, radius: int, Y, U, V, refY_s,
     # per 8x8 quadrant (bilinear chroma MC is split-invariant for one
     # translation, so larger partitions equal their quarter blocks)
     mv_sel = mvq.reshape(n * 4, 2)
-    pred_u = _asm4(jmc.mc_chroma_mbs(refU_s[0], PAD // 2, by8 // 2,
-                                     bx8 // 2, mv_sel[:, 0], mv_sel[:, 1],
-                                     size=4), 4)
-    pred_v = _asm4(jmc.mc_chroma_mbs(refV_s[0], PAD // 2, by8 // 2,
-                                     bx8 // 2, mv_sel[:, 0], mv_sel[:, 1],
-                                     size=4), 4)
+    xoc4 = jnp.repeat(xoffC, 4)
+    pred_u = _asm4(jmc.mc_chroma_mbs(refcatU, PAD // 2, by8 // 2,
+                                     bx8 // 2 + xoc4, mv_sel[:, 0],
+                                     mv_sel[:, 1], size=4), 4)
+    pred_v = _asm4(jmc.mc_chroma_mbs(refcatV, PAD // 2, by8 // 2,
+                                     bx8 // 2 + xoc4, mv_sel[:, 0],
+                                     mv_sel[:, 1], size=4), 4)
 
     resid = srcY_t - pred_y
     qp16 = jnp.broadcast_to(qp[:, None], (n, 16))
@@ -541,8 +571,8 @@ def encode_inter_mbs(mb_w: int, mb_h: int, radius: int, Y, U, V, refY_s,
 
     no_res = ((qac == 0).all(axis=(1, 2, 3)) &
               (cdc == 0).all(axis=(1, 2)) & (cac == 0).all(axis=(1, 2, 3)))
-    return (mvx, mvy, use_intra, part, mv8, mvq, jt.zigzag4(qac), cdc,
-            cac, tile_y, tiles_c[0], tiles_c[1], no_res)
+    return (mvx, mvy, use_intra, part, ref_sel, mv8, mvq, jt.zigzag4(qac),
+            cdc, cac, tile_y, tiles_c[0], tiles_c[1], no_res)
 
 
 # ---------------------------------------------------------------------------
@@ -595,14 +625,15 @@ def _pack_inter_only(qac_zz, cdc, cac):
 
 
 @jax.jit
-def _pack_meta(mvx, mvy, use_intra, no_res, part, mv8):
-    """meta columns: mvx mvy use_intra no_res part(0=16x16,1=16x8,
-    2=8x16,3=8x8) mv8[4][2] (partition slots)."""
+def _pack_meta(mvx, mvy, use_intra, no_res, part, mv8, ref_sel):
+    """meta columns (14): mvx mvy use_intra no_res part(0=16x16,
+    1=16x8,2=8x16,3=8x8) mv8[4][2] (partition slots) ref_idx."""
     n = mvx.shape[0]
     head = jnp.stack([mvx, mvy, use_intra.astype(jnp.int32),
                       no_res.astype(jnp.int32),
                       part.astype(jnp.int32)], axis=1)
-    return jnp.concatenate([head, mv8.reshape(n, 8)], axis=1) \
+    return jnp.concatenate([head, mv8.reshape(n, 8),
+                            ref_sel.astype(jnp.int32)[:, None]], axis=1) \
         .astype(jnp.int16)
 
 
@@ -640,7 +671,7 @@ def _finalize_inter(mb_w: int, mb_h: int, tile_y, tile_u, tile_v):
 
 @functools.partial(jax.jit, static_argnames=("mb_w", "mb_h"))
 def _deblock_recon(mb_w: int, mb_h: int, recY, recU, recV, cls, qp, nnz,
-                   mv_cells, slice_id, idc):
+                   mv_cells, slice_id, idc, ref_cells=None):
     """Run the shared in-loop filter over the encoder's recon planes.
 
     cls/qp/nnz/mv_cells/slice_id are decoder-layout symbol planes for the
@@ -655,10 +686,11 @@ def _deblock_recon(mb_w: int, mb_h: int, recY, recU, recV, cls, qp, nnz,
     Uw = jnp.pad(recU.astype(jnp.int32), WP)
     Vw = jnp.pad(recV.astype(jnp.int32), WP)
     zeros = jnp.zeros((n,), jnp.int32)
-    ref_cells = jnp.zeros((n, 16), jnp.int32)  # single-ref: all L0[0]
+    if ref_cells is None:
+        ref_cells = jnp.zeros((n, 16), jnp.int32)  # single-ref: all L0[0]
     Yw, Uw, Vw = jdb.deblock_frame(
         mb_w, mb_h, Yw, Uw, Vw, cls.astype(jnp.int32), qp.astype(jnp.int32),
-        nnz, mv_cells.astype(jnp.int32), ref_cells,
+        nnz, mv_cells.astype(jnp.int32), ref_cells.astype(jnp.int32),
         slice_id.astype(jnp.int32),
         jnp.full((n,), idc, jnp.int32), zeros, zeros, zeros, jnp.int32(0))
     return (Yw[WP:WP + H, WP:WP + W].astype(jnp.uint8),
@@ -668,9 +700,10 @@ def _deblock_recon(mb_w: int, mb_h: int, recY, recU, recV, cls, qp, nnz,
 
 @jax.jit
 def _pad_refs(recY, recU, recV):
-    return (jnp.pad(recY, PAD, mode="edge")[None],
-            jnp.pad(recU, PAD // 2, mode="edge")[None],
-            jnp.pad(recV, PAD // 2, mode="edge")[None])
+    """Edge-pad [R,H,W] reference stacks (R = number of refs)."""
+    def pad(pl, m):
+        return jnp.pad(pl, ((0, 0), (m, m), (m, m)), mode="edge")
+    return pad(recY, PAD), pad(recU, PAD // 2), pad(recV, PAD // 2)
 
 
 # ---------------------------------------------------------------------------
@@ -692,10 +725,10 @@ def _p_analyze(mb_w: int, mb_h: int, radius: int, buf, refY, refU, refV,
     array, and derive the deblock prep planes device-side."""
     Y, U, V = _split_src(mb_h, mb_w, buf)
     refY_s, refU_s, refV_s = _pad_refs(refY, refU, refV)
-    (mvx, mvy, use_intra, part, mv8, mvq, qac_zz, cdc, cac,
+    (mvx, mvy, use_intra, part, ref_sel, mv8, mvq, qac_zz, cdc, cac,
      tile_y, tile_u, tile_v, no_res) = encode_inter_mbs(
         mb_w, mb_h, radius, Y, U, V, refY_s, refU_s, refV_s, qp, qpc)
-    meta = _pack_meta(mvx, mvy, use_intra, no_res, part, mv8)
+    meta = _pack_meta(mvx, mvy, use_intra, no_res, part, mv8, ref_sel)
     nmb = mb_w * mb_h
     # inter frames carry only meta + qac/cdc/cac (no I16 DC, no mode
     # columns — those are constants the host re-materializes); coeffs
@@ -717,25 +750,26 @@ def _p_analyze(mb_w: int, mb_h: int, radius: int, buf, refY, refU, refV,
     nnz_d = (qac_zz != 0).any(-1)
     mvc = mvq[:, jnp.asarray(_CELL_PART8), :]  # quadrant mv -> 4x4 cells
     mvc = jnp.where(use_intra[:, None, None], 0, mvc)
+    refc = jnp.broadcast_to(ref_sel[:, None], (n, 16))  # bS ref compare
     return (packed8, packed, tile_y, tile_u, tile_v, Y, U, V, use_intra,
-            cls_d, nnz_d, mvc)
+            cls_d, nnz_d, mvc, refc)
 
 
 @functools.partial(jax.jit, static_argnames=("mb_w", "mb_h", "idc"))
 def _p_finish(mb_w: int, mb_h: int, idc: int, tile_y, tile_u, tile_v,
-              cls_d, nnz_d, mvc, qp_plane, slice_id):
+              cls_d, nnz_d, mvc, refc, qp_plane, slice_id):
     """Recon planes for an all-inter P frame + in-loop deblock."""
     recY, recU, recV = _finalize_inter(mb_w, mb_h, tile_y, tile_u, tile_v)
     if idc == 1:
         return recY, recU, recV
     return _deblock_recon(mb_w, mb_h, recY, recU, recV, cls_d, qp_plane,
-                          nnz_d, mvc, slice_id, idc)
+                          nnz_d, mvc, slice_id, idc, refc)
 
 
 @functools.partial(jax.jit, static_argnames=("mb_w", "mb_h", "idc"))
 def _p_intra_fixup(mb_w: int, mb_h: int, idc: int, packed, Y, U, V,
                    tile_y, tile_u, tile_v, use_intra, cls_d, nnz_d, mvc,
-                   qp, qpc, qp_plane, slice_id, diags, row_slice):
+                   refc, qp, qpc, qp_plane, slice_id, diags, row_slice):
     """Rare path: some P MBs fell back to intra. Runs the masked intra
     wavefront over the inter recon, merges symbols with the inter planes
     sliced back out of `packed`, and deblocks the merged recon."""
@@ -746,16 +780,17 @@ def _p_intra_fixup(mb_w: int, mb_h: int, idc: int, packed, Y, U, V,
         mb_w, mb_h, Y, U, V, jnp.where(m, tile_y, 0),
         jnp.where(m, tile_u, 0), jnp.where(m, tile_v, 0),
         use_intra, qp, qpc, diags, row_slice)
-    qac_zz = packed[:, 13:269].astype(jnp.int32).reshape(n, 16, 16)
-    cdc = packed[:, 269:277].astype(jnp.int32).reshape(n, 2, 4)
-    cac = packed[:, 277:405].astype(jnp.int32).reshape(n, 8, 16)
+    qac_zz = packed[:, 14:270].astype(jnp.int32).reshape(n, 16, 16)
+    cdc = packed[:, 270:278].astype(jnp.int32).reshape(n, 2, 4)
+    cac = packed[:, 278:406].astype(jnp.int32).reshape(n, 8, 16)
     syms = _pack_merge(use_intra, ldc_i, lac_i, cdc_i, cac_i, i16_mode,
                        chroma_mode, intra_cls, i4_modes, qac_zz, cdc, cac)
     if idc == 1:
         return syms, recY, recU, recV
     cls2 = jnp.where(use_intra, intra_cls, cls_d)
     recY, recU, recV = _deblock_recon(mb_w, mb_h, recY, recU, recV, cls2,
-                                      qp_plane, nnz_d, mvc, slice_id, idc)
+                                      qp_plane, nnz_d, mvc, slice_id, idc,
+                                      refc)
     return syms, recY, recU, recV
 
 
@@ -797,7 +832,7 @@ class JaxEncoder:
     def __init__(self, width, height, qp=28, gop=0, intra_only=False,
                  rc=None, scene_cut=False, aq=False, cabac=False,
                  slices=1, deblock=True, temporal_layers=1,
-                 gom_rc=False, ltr=False):
+                 gom_rc=False, ltr=False, refs=1):
         assert width % 2 == 0 and height % 2 == 0, "4:2:0 needs even dims"
         # arbitrary (even) resolutions: pad to whole MBs internally and
         # signal the true size via SPS frame cropping (7.4.2.1.1)
@@ -833,6 +868,14 @@ class JaxEncoder:
         self._ltr_ref = None      # device recon planes of the LTR
         self._mark_ltr_next = False
         self._use_ltr_next = False
+        # multi-reference ME: 2 short-term refs, per-MB choice coded as
+        # ref_idx (te), all partitions inherit the MB's reference
+        assert refs in (1, 2), "1 or 2 reference frames"
+        assert not (refs == 2 and ltr), "refs=2 and LTR are exclusive"
+        assert not (refs == 2 and (aq or gom_rc)), \
+            "refs=2 requires the fused (non-AQ) path"
+        self.refs = refs
+        self._ref2 = None         # second-newest ref recon (refs=2)
         self.frame_idx = 0
         self._frame_num = 0   # 7.4.3: increments after each ref frame
         self._idr_id = 0
@@ -852,7 +895,7 @@ class JaxEncoder:
     # -- helpers ----------------------------------------------------------
     def _write(self, slice_type, mb_class, mv, i16_mode, chroma_mode,
                luma_dc, luma_ac, chroma_dc, chroma_ac, mb_qp=None,
-               i4_modes=None, mv8=None):
+               i4_modes=None, mv8=None, n_refs=1, ref_plane=None):
         from . import encoder as _enc
         n = self.mb_w * self.mb_h
         if i4_modes is None:
@@ -877,7 +920,8 @@ class JaxEncoder:
             deblock_idc=self.deblock_idc, out_qp=self._out_qp,
             crop_r=self.pad_w // 2, crop_b=self.pad_h // 2,
             is_ref=self._cur_is_ref, frame_num=self._frame_num,
-            idr_id=self._idr_id, ltr_flags=self._ltr_flags(slice_type))
+            idr_id=self._idr_id, ltr_flags=self._ltr_flags(slice_type),
+            n_refs=n_refs, ref_plane=ref_plane)
         return data
 
     def _ltr_flags(self, slice_type):
@@ -952,7 +996,7 @@ class JaxEncoder:
         return (jnp.asarray(qp_map, jnp.int32),
                 jnp.asarray(qpc_map, jnp.int32))
 
-    def _mv_preds(self, mb_class, mv, mv8=None):
+    def _mv_preds(self, mb_class, mv, mv8=None, ref_plane=None):
         import ctypes
         n = self.mb_w * self.mb_h
         skip_pred = np.zeros((n, 2), np.int16)
@@ -963,9 +1007,12 @@ class JaxEncoder:
         mbc = np.ascontiguousarray(mb_class, np.uint8)
         if mv8 is not None:
             mv8 = np.ascontiguousarray(mv8, np.int16)
+        if ref_plane is not None:
+            ref_plane = np.ascontiguousarray(ref_plane, np.int8)
         rc = self._lib.pip_encode_mv_preds(
             self.mb_w, self.mb_h, self.slices, ptr(mbc), ptr(mv16),
             None if mv8 is None else ptr(mv8),
+            None if ref_plane is None else ptr(ref_plane),
             ptr(skip_pred), ptr(p16_pred), err, len(err))
         if rc != 0:
             raise RuntimeError(f"pip_encode_mv_preds: {err.value.decode()}")
@@ -1007,8 +1054,10 @@ class JaxEncoder:
         (ldc, lac, cdc, cac, i16m, cm, cls, m4) = _unpack(packed)
         mb_class = np.where(cls == 0, 0, 1).astype(np.uint8)
         mv = np.zeros((n, 2), np.int16)
+        # n_refs on an IDR only sizes the SPS DPB (max_num_ref_frames);
+        # IDR slices carry no ref-list syntax
         return self._write(1, mb_class, mv, i16m, cm, ldc, lac, cdc, cac,
-                           i4_modes=m4)
+                           i4_modes=m4, n_refs=self.refs)
 
     def _encode_p(self, Y, U, V):
         """P frame: fused analyze program, one packed fetch, recon+deblock
@@ -1019,20 +1068,29 @@ class JaxEncoder:
         buf = self._upload_buf(Y, U, V)
         qp_d = jnp.full((n,), self.qp, jnp.int32)
         qpc_d = jnp.full((n,), self.qpc, jnp.int32)
+        if self.refs == 2 and self._ref2 is not None:
+            n_refs = 2
+            stack = [jnp.stack([a, b])
+                     for a, b in zip(self.ref, self._ref2)]
+        else:
+            n_refs = 1
+            stack = [p[None] for p in self.ref]
         (packed8_d, packed_d, tile_y, tile_u, tile_v, Yd, Ud, Vd,
-         use_intra_d, cls_d, nnz_d, mvc_d) = _p_analyze(
-            self.mb_w, self.mb_h, self.ME_RADIUS, buf, *self.ref, qp_d,
+         use_intra_d, cls_d, nnz_d, mvc_d, refc_d) = _p_analyze(
+            self.mb_w, self.mb_h, self.ME_RADIUS, buf, *stack, qp_d,
             qpc_d)
         packed8 = np.asarray(packed8_d)  # the frame's one blocking fetch
-        if packed8[:, 405].any():  # rare wide coeffs: refetch as int16
+        if packed8[:, 406].any():  # rare wide coeffs: refetch as int16
             packed = np.asarray(packed_d)
         else:
-            packed = packed8[:, :405].astype(np.int16)
-        meta = packed[:, :13]
+            packed = packed8[:, :406].astype(np.int16)
+        meta = packed[:, :14]
         use_intra = meta[:, 2] != 0
         no_res = meta[:, 3] != 0
         part = meta[:, 4]
         mv8 = np.ascontiguousarray(meta[:, 5:13], np.int16)
+        ref_plane = np.ascontiguousarray(meta[:, 13], np.int8)
+        ref_plane[use_intra] = 0
         mv = np.zeros((n, 2), np.int16)
         mv[:, 0] = meta[:, 0]
         mv[:, 1] = meta[:, 1]
@@ -1041,9 +1099,10 @@ class JaxEncoder:
             fix = _p_intra_fixup(
                 self.mb_w, self.mb_h, self.deblock_idc, packed_d, Yd, Ud,
                 Vd, tile_y, tile_u, tile_v, use_intra_d, cls_d, nnz_d,
-                mvc_d, qp_d, qpc_d, qp_d, self._slice_id, self._diags,
-                self._row_slice)
+                mvc_d, refc_d, qp_d, qpc_d, qp_d, self._slice_id,
+                self._diags, self._row_slice)
             if self._cur_is_ref:
+                self._ref2 = self.ref if self.refs == 2 else None
                 self.ref = fix[1:]
             (ldc, lac, cdc, cac, i16m, cm, cls,
              m4) = _unpack(np.asarray(fix[0]))
@@ -1052,13 +1111,15 @@ class JaxEncoder:
                 # dispatched before the host write so it overlaps it
                 # (non-ref T1 frames never become references, so their
                 # recon+deblock is skipped entirely)
-                self.ref = _p_finish(
+                new_ref = _p_finish(
                     self.mb_w, self.mb_h, self.deblock_idc, tile_y,
-                    tile_u, tile_v, cls_d, nnz_d, mvc_d, qp_d,
+                    tile_u, tile_v, cls_d, nnz_d, mvc_d, refc_d, qp_d,
                     self._slice_id)
-            lac = packed[:, 13:269].reshape(n, 16, 16)
-            cdc = packed[:, 269:277].reshape(n, 2, 4)
-            cac = packed[:, 277:405].reshape(n, 8, 16)
+                self._ref2 = self.ref if self.refs == 2 else None
+                self.ref = new_ref
+            lac = packed[:, 14:270].reshape(n, 16, 16)
+            cdc = packed[:, 270:278].reshape(n, 2, 4)
+            cac = packed[:, 278:406].reshape(n, 8, 16)
             ldc = np.zeros((n, 16), np.int16)
             i16m = np.zeros(n, np.int16)
             cm = np.zeros(n, np.int16)
@@ -1066,14 +1127,15 @@ class JaxEncoder:
             m4 = np.full((n, 16), 2, np.int16)
         # part -> MbClass: 0/1/2/3 = P16x16/P16x8/P8x16/P8x8 (3/4/5/6)
         mb_class = np.where(use_intra, 1, 3 + part).astype(np.uint8)
-        skip_pred, _ = self._mv_preds(mb_class, mv, mv8)
-        is_skip = (no_res & ~use_intra & (part == 0)
+        skip_pred, _ = self._mv_preds(mb_class, mv, mv8, ref_plane)
+        is_skip = (no_res & ~use_intra & (part == 0) & (ref_plane == 0)
                    & (mv[:, 0] == skip_pred[:, 0])
                    & (mv[:, 1] == skip_pred[:, 1]))
         mb_class[is_skip] = 11
         mb_class[use_intra & (cls == 0)] = 0  # I4x4 fallback MBs
         return self._write(0, mb_class, mv, i16m, cm, ldc, lac, cdc, cac,
-                           i4_modes=m4, mv8=mv8)
+                           i4_modes=m4, mv8=mv8, n_refs=n_refs,
+                           ref_plane=ref_plane)
 
     def _encode_i_aq(self, Y, U, V):
         n = self.mb_w * self.mb_h
@@ -1102,16 +1164,18 @@ class JaxEncoder:
     def _encode_p_aq(self, Y, U, V):
         n = self.mb_w * self.mb_h
         Yd, Ud, Vd = self._upload(Y, U, V)
-        refY_s, refU_s, refV_s = _pad_refs(*self.ref)
+        refY_s, refU_s, refV_s = _pad_refs(
+            *(pl[None] for pl in self.ref))
         qp_d, qpc_d = self._qp_maps(Yd)
 
-        (mvx, mvy, use_intra_d, part_d, mv8_d, mvq_d, qac_zz, cdc_d,
-         cac_d, tile_y, tile_u, tile_v, no_res_d) = encode_inter_mbs(
+        (mvx, mvy, use_intra_d, part_d, ref_sel_d, mv8_d, mvq_d, qac_zz,
+         cdc_d, cac_d, tile_y, tile_u, tile_v,
+         no_res_d) = encode_inter_mbs(
             self.mb_w, self.mb_h, self.ME_RADIUS, Yd, Ud, Vd, refY_s,
             refU_s, refV_s, qp_d, qpc_d)
 
         meta = np.asarray(_pack_meta(mvx, mvy, use_intra_d, no_res_d,
-                                     part_d, mv8_d))
+                                     part_d, mv8_d, ref_sel_d))
         use_intra = meta[:, 2] != 0
         no_res = meta[:, 3] != 0
         part = meta[:, 4]
@@ -1183,6 +1247,7 @@ class JaxEncoder:
         if is_idr:
             self._frame_num = 0
             self._idr_id += 1
+            self._ref2 = None  # IDR empties the DPB
         if self._use_ltr_next and not is_idr:
             # predict this frame from the long-term reference; its own
             # recon then re-seeds the short-term chain (loss recovery)

@@ -274,13 +274,13 @@ void compute_p8x8_mvds(SliceCtx& sc, const i16 mv8[4][2], MbRecord& rec) {
   for (int i = 0; i < 4; ++i) {
     int bx0 = (i & 1) * 2, by0 = (i >> 1) * 2;
     i16 p[2];
-    mc.predict(bx0, by0, 2, 2, 0, 0, p);
+    mc.predict(bx0, by0, 2, 2, rec.ref_idx[i], 0, p);
     rec.mvd[4 * i][0] = i16(mv8[i][0] - p[0]);
     rec.mvd[4 * i][1] = i16(mv8[i][1] - p[1]);
     for (int y = by0; y < by0 + 2; ++y)
       for (int x = bx0; x < bx0 + 2; ++x) {
         int c = y * 4 + x;
-        ref_cells[c] = 0;
+        ref_cells[c] = rec.ref_idx[i];
         mv_cells[c][0] = mv8[i][0];
         mv_cells[c][1] = mv8[i][1];
         filled[c] = true;
@@ -299,13 +299,13 @@ void compute_p16x8_mvds(SliceCtx& sc, const i16 mv2[2][2], MbRecord& rec) {
   MvCtx mc{&sc, mv_cells, ref_cells, filled};
   for (int i = 0; i < 2; ++i) {
     i16 p[2];
-    mc.predict(0, i * 2, 4, 2, 0, 1 + i, p);
+    mc.predict(0, i * 2, 4, 2, rec.ref_idx[i], 1 + i, p);
     rec.mvd[i][0] = i16(mv2[i][0] - p[0]);
     rec.mvd[i][1] = i16(mv2[i][1] - p[1]);
     for (int y = i * 2; y < i * 2 + 2; ++y)
       for (int x = 0; x < 4; ++x) {
         int c = y * 4 + x;
-        ref_cells[c] = 0;
+        ref_cells[c] = rec.ref_idx[i];
         mv_cells[c][0] = mv2[i][0];
         mv_cells[c][1] = mv2[i][1];
         filled[c] = true;
@@ -321,13 +321,13 @@ void compute_p8x16_mvds(SliceCtx& sc, const i16 mv2[2][2], MbRecord& rec) {
   MvCtx mc{&sc, mv_cells, ref_cells, filled};
   for (int i = 0; i < 2; ++i) {
     i16 p[2];
-    mc.predict(i * 2, 0, 2, 4, 0, 3 + i, p);
+    mc.predict(i * 2, 0, 2, 4, rec.ref_idx[i], 3 + i, p);
     rec.mvd[i][0] = i16(mv2[i][0] - p[0]);
     rec.mvd[i][1] = i16(mv2[i][1] - p[1]);
     for (int y = 0; y < 4; ++y)
       for (int x = i * 2; x < i * 2 + 2; ++x) {
         int c = y * 4 + x;
-        ref_cells[c] = 0;
+        ref_cells[c] = rec.ref_idx[i];
         mv_cells[c][0] = mv2[i][0];
         mv_cells[c][1] = mv2[i][1];
         filled[c] = true;

@@ -140,10 +140,13 @@ int pip_encode_frame(int mb_w, int mb_h, int qp, int frame_num, int idr_id,
                      const i16* mv8 /* [n,4,2] P8x8 partition MVs */,
                      int include_params, int cabac, int n_slices,
                      int deblock_idc, int crop_r, int crop_b, int is_ref,
-                     int ltr_flags, u8* out_qp, u8** out,
+                     int ltr_flags, int n_refs,
+                     const i8* ref_plane /* per-MB L0 ref_idx (P16x16) */,
+                     u8* out_qp, u8** out,
                      size_t* out_size, char* err, size_t err_cap) {
   try {
     bool is_idr = slice_type != 0;
+    if (n_refs < 1) n_refs = 1;
     bool ltr_mode = (ltr_flags & 1) != 0;
     bool ltr_mark = (ltr_flags & 2) != 0 && is_ref && !is_idr;
     bool ltr_use = (ltr_flags & 4) != 0 && !is_idr;
@@ -151,7 +154,8 @@ int pip_encode_frame(int mb_w, int mb_h, int qp, int frame_num, int idr_id,
     if (n_slices > mb_h) n_slices = mb_h;
     std::vector<u8> stream;
     if (include_params) {
-      auto sps = write_sps(mb_w, mb_h, crop_r, crop_b, ltr_mode ? 2 : 1);
+      auto sps = write_sps(mb_w, mb_h, crop_r, crop_b,
+                           std::max(n_refs, ltr_mode ? 2 : 1));
       auto pps = write_pps(cabac != 0);
       stream.insert(stream.end(), sps.begin(), sps.end());
       stream.insert(stream.end(), pps.begin(), pps.end());
@@ -160,7 +164,7 @@ int pip_encode_frame(int mb_w, int mb_h, int qp, int frame_num, int idr_id,
     sps_s.pic_width_in_mbs = mb_w;
     sps_s.pic_height_in_map_units = mb_h;
     sps_s.log2_max_frame_num = 8;
-    sps_s.max_num_ref_frames = ltr_mode ? 2 : 1;
+    sps_s.max_num_ref_frames = std::max(n_refs, ltr_mode ? 2 : 1);
     Pps pps_s;
     if (cabac) pps_s.entropy_coding_mode = 1;
     PicState pic;
@@ -188,7 +192,12 @@ int pip_encode_frame(int mb_w, int mb_h, int qp, int frame_num, int idr_id,
       // in LTR mode the IDR itself becomes the initial long-term ref
       bw.put_bit(ltr_mode ? 1 : 0);   // long_term_reference_flag
     } else {
-      bw.put_bit(0);                  // num_ref_idx_active_override
+      if (n_refs > 1) {
+        bw.put_bit(1);                // num_ref_idx_active_override
+        bw.put_ue(u32(n_refs - 1));   // num_ref_idx_l0_active_minus1
+      } else {
+        bw.put_bit(0);                // num_ref_idx_active_override
+      }
       if (ltr_use) {
         bw.put_bit(1);                // ref_pic_list_modification_l0
         bw.put_ue(2);                 // idc 2: long_term_pic_num follows
@@ -227,6 +236,7 @@ int pip_encode_frame(int mb_w, int mb_h, int qp, int frame_num, int idr_id,
     sh.nal_ref_idc = is_idr ? 3 : (is_ref ? 2 : 0);
     sh.nal_type = is_idr ? 5 : 1;
     sh.frame_num = frame_num & 0xff;
+    sh.num_ref_idx_l0_active = is_idr ? 1 : n_refs;
     sh.disable_deblocking_idc = u8(deblock_idc);
     sh.header_bits = header_bits;
     sh.cabac_init_idc = 0;
@@ -274,15 +284,18 @@ int pip_encode_frame(int mb_w, int mb_h, int qp, int frame_num, int idr_id,
       memcpy(rec.chroma_dc, chroma_dc + addr * 8, 8 * 2);
       memcpy(rec.chroma_ac, chroma_ac + addr * 128, 128 * 2);
       if (cl == MB_P16x16) {
-        rec.ref_idx[0] = 0;
+        i8 r0 = ref_plane ? ref_plane[addr] : i8(0);
+        PIP_CHECK(r0 >= 0 && r0 < n_refs, "ref_idx out of range");
+        rec.ref_idx[0] = r0;
         i16 pred[2];
-        predict_mv_p16x16(sc, 0, pred);
+        predict_mv_p16x16(sc, r0, pred);
         rec.mvd[0][0] = i16(mv[addr * 2 + 0] - pred[0]);
         rec.mvd[0][1] = i16(mv[addr * 2 + 1] - pred[1]);
       } else if (cl == MB_P8x8) {
         PIP_CHECK(mv8 != nullptr, "P8x8 MB without mv8 plane");
+        i8 r0 = ref_plane ? ref_plane[addr] : i8(0);
         for (int i = 0; i < 4; ++i) {
-          rec.ref_idx[i] = 0;
+          rec.ref_idx[i] = r0;
           rec.sub_types[i] = 0;  // SUB_8x8
         }
         i16 pm[4][2];
@@ -290,7 +303,8 @@ int pip_encode_frame(int mb_w, int mb_h, int qp, int frame_num, int idr_id,
         compute_p8x8_mvds(sc, pm, rec);
       } else if (cl == MB_P16x8 || cl == MB_P8x16) {
         PIP_CHECK(mv8 != nullptr, "two-partition MB without mv plane");
-        rec.ref_idx[0] = rec.ref_idx[1] = 0;
+        i8 r0 = ref_plane ? ref_plane[addr] : i8(0);
+        rec.ref_idx[0] = rec.ref_idx[1] = r0;
         i16 pm[2][2];
         memcpy(pm, mv8 + addr * 8, sizeof(pm));  // partitions in slots 0,1
         if (cl == MB_P16x8)
@@ -362,7 +376,8 @@ int pip_encode_frame(int mb_w, int mb_h, int qp, int frame_num, int idr_id,
 // p16_pred[n*2].
 int pip_encode_mv_preds(int mb_w, int mb_h, int n_slices,
                         const u8* mb_class,
-                        const i16* mv, const i16* mv8, i16* skip_pred,
+                        const i16* mv, const i16* mv8, const i8* ref_plane,
+                        i16* skip_pred,
                         i16* p16_pred, char* err, size_t err_cap) {
   try {
     int n = mb_w * mb_h;
@@ -396,12 +411,16 @@ int pip_encode_mv_preds(int mb_w, int mb_h, int n_slices,
       MbRecord rec;
       rec.mb_class = MbClass(mb_class[addr]);
       if (rec.mb_class == MB_P16x16) {
-        rec.ref_idx[0] = 0;
-        rec.mvd[0][0] = i16(mv[addr * 2] - pp[0]);
-        rec.mvd[0][1] = i16(mv[addr * 2 + 1] - pp[1]);
+        rec.ref_idx[0] = ref_plane ? ref_plane[addr] : i8(0);
+        i16 ppr[2] = {pp[0], pp[1]};
+        if (rec.ref_idx[0] != 0)  // predictor is ref-idx dependent
+          predict_mv_p16x16(sc, rec.ref_idx[0], ppr);
+        rec.mvd[0][0] = i16(mv[addr * 2] - ppr[0]);
+        rec.mvd[0][1] = i16(mv[addr * 2 + 1] - ppr[1]);
       } else if (rec.mb_class == MB_P8x8 && mv8) {
+        i8 r0 = ref_plane ? ref_plane[addr] : i8(0);
         for (int i = 0; i < 4; ++i) {
-          rec.ref_idx[i] = 0;
+          rec.ref_idx[i] = r0;
           rec.sub_types[i] = 0;
         }
         i16 pm[4][2];
@@ -409,7 +428,8 @@ int pip_encode_mv_preds(int mb_w, int mb_h, int n_slices,
         compute_p8x8_mvds(sc, pm, rec);
       } else if ((rec.mb_class == MB_P16x8 || rec.mb_class == MB_P8x16)
                  && mv8) {
-        rec.ref_idx[0] = rec.ref_idx[1] = 0;
+        i8 r0 = ref_plane ? ref_plane[addr] : i8(0);
+        rec.ref_idx[0] = rec.ref_idx[1] = r0;
         i16 pm[2][2];
         memcpy(pm, mv8 + addr * 8, sizeof(pm));
         if (rec.mb_class == MB_P16x8)

@@ -432,3 +432,34 @@ def test_p16x8_p8x16_partitions():
     pip, st = native.compress(data, verify=False)
     out, _ = native.decompress(pip)
     assert out == data and st.n_fallback_slices == 0
+
+
+def test_two_reference_frames():
+    """refs=2: every MB picks its reference by ME cost (te-coded
+    ref_idx, partitions inherit it); alternating-occlusion content
+    collapses to near-zero P frames via the t-2 reference, recon stays
+    decoder-exact and the stream recompresses losslessly."""
+    rng = np.random.RandomState(4)
+    H, W = 48, 64
+    A = rng.randint(0, 255, (H, W)).astype(np.uint8)
+    B = rng.randint(0, 255, (H, W)).astype(np.uint8)
+    U = np.full((H // 2, W // 2), 100, np.uint8)
+    V = np.full((H // 2, W // 2), 200, np.uint8)
+    seq = [A, A, B, A, B, A]
+    enc = encoder_jax.JaxEncoder(W, H, qp=30, refs=2)
+    recs, sizes, data = [], [], b""
+    for Y in seq:
+        d = enc.encode_frame(Y, U, V)
+        data += d
+        sizes.append(len(d))
+        recs.append(enc.recon)
+    frames = list(native.SymbolDecoder(data))
+    assert (frames[3]["ref_idx"] == 1).any()      # t-2 reference used
+    assert sizes[3] < sizes[2] // 10              # and it pays off
+    dec = decoder_np.NpDecoder(data, error_concealment=False)
+    for i, fr in enumerate(dec.frames()):
+        for a, b in zip(fr, recs[i]):
+            np.testing.assert_array_equal(a, b)
+    pip, st = native.compress(data, verify=False)
+    out, _ = native.decompress(pip)
+    assert out == data and st.n_fallback_slices == 0
