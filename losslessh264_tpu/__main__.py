@@ -50,6 +50,10 @@ def main(argv=None):
                     help="encode with CABAC entropy coding")
     ap.add_argument("--aq", action="store_true",
                     help="encode with per-MB adaptive quantization")
+    ap.add_argument("--refs", type=int, default=1,
+                    help="encode with N reference frames (1 or 2)")
+    ap.add_argument("--slices", type=int, default=1,
+                    help="encode with N row-aligned slices per frame")
     ap.add_argument("--temporal-layers", type=int, default=1,
                     help="encode with N dyadic temporal layers (1 or 2; "
                          "T1 frames are droppable non-references)")
@@ -102,7 +106,8 @@ def main(argv=None):
                                      scene_cut=args.gop == 0,
                                      cabac=args.cabac, aq=args.aq,
                                      temporal_layers=args.temporal_layers,
-                                     gom_rc=rc is not None)
+                                     gom_rc=rc is not None,
+                                     refs=args.refs, slices=args.slices)
         t0 = time.perf_counter()
         out = b""
         for i in range(n_frames):

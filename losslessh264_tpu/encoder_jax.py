@@ -2,15 +2,24 @@
 
 The analysis half of the encoder as whole-frame JAX programs:
 
-- Inter path: exhaustive integer-pel ME (ops/me.py) + batched half/quarter
-  -pel refinement, then residual fDCT/quant/recon for every P MB as one
-  batched kernel chain — there is no per-MB host loop at all.
-- Intra path: I16x16 + chroma mode decision scheduled as a slope-2 MB
-  wavefront (lax.scan over anti-diagonals, vmap across the diagonal),
-  since intra prediction consumes reconstructed LEFT/ABOVE pixels.
+- Inter path: exhaustive integer-pel ME (ops/me.py; up to 2 reference
+  frames chosen per MB via width-concatenated reference planes) +
+  batched half/quarter-pel refinement that hands back the winning
+  prediction, 4-way partition decision (16x16/16x8/8x16/8x8), then
+  residual fDCT/quant/recon for every P MB as one batched kernel chain
+  — there is no per-MB host loop at all. Per frame the whole analysis
+  is ONE fused program (_p_analyze) with a single int8-packed
+  device->host fetch; recon + in-loop deblock (_p_finish, the Pallas
+  wavefront kernel) overlap the host entropy write.
+- Intra path: I16x16/I4x4 + chroma mode decision scheduled as a slope-2
+  MB wavefront (lax.scan over anti-diagonals, vmap across the
+  diagonal), since intra prediction consumes reconstructed LEFT/ABOVE
+  pixels.
 
 Entropy/NAL assembly stays in the native layer (pip_encode_frame) — the
-same CAVLC writer the recompression recode path uses.
+same CAVLC/CABAC writers the recompression recode path uses. Features:
+multi-slice, AQ, frame+GOM rate control, 2 temporal layers, LTR,
+2 reference frames, arbitrary even resolutions (SPS cropping).
 
 Reference parity (behavior, not structure): codec/encoder/core —
 svc_motion_estimate.cpp (ME; reference walks diamond/cross per MB, we
@@ -820,11 +829,11 @@ def _i_frame(mb_w: int, mb_h: int, idc: int, buf, qp, qpc, qp_plane,
 # host-side frame drivers
 # ---------------------------------------------------------------------------
 class JaxEncoder:
-    """IPPP fixed-QP encoder with the analysis half on TPU.
+    """IPPP encoder with the analysis half on TPU.
 
-    Drop-in equivalent of encoder.Encoder (same native entropy writer,
-    same stream constraints: single slice, disable_deblock=1), but every
-    per-MB loop is replaced by batched/wavefront JAX kernels.
+    Every per-MB loop of a classical encoder is a batched/wavefront JAX
+    kernel; entropy/NAL assembly is the native writer. See the module
+    docstring for the pipeline shape and the supported feature set.
     """
 
     ME_RADIUS = 16

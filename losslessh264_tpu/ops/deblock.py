@@ -367,7 +367,14 @@ def deblock_frame(mb_w, mb_h, Yw, Uw, Vw, cls, qp, nnz, mv, ref_idx,
 
 
 def _pallas_ok():
-    """Pallas TPU kernels only on a real TPU backend."""
+    """Pallas TPU kernels only on a real TPU backend.
+
+    PIP_FORCE_LAX_DEBLOCK=1 forces the lax path regardless — needed when
+    tracing for a CPU device mesh while a TPU backend is also loaded
+    (multi-chip dryrun on virtual host devices)."""
+    import os
+    if os.environ.get("PIP_FORCE_LAX_DEBLOCK"):
+        return False
     try:
         return jax.default_backend() not in ("cpu",)
     except Exception:
