@@ -395,149 +395,97 @@ def encode_inter_mbs(mb_w: int, mb_h: int, radius: int, Y, U, V, refY_s,
     refcatU = jnp.concatenate([refU_s[k] for k in range(R)], axis=1)
     refcatV = jnp.concatenate([refV_s[k] for k in range(R)], axis=1)
 
-    # integer-pel exhaustive search on the radius-padded window
-    ref_r = jax.lax.slice(
-        refcatY, (PAD - radius, PAD - radius),
-        (refcatY.shape[0] - (PAD - radius),
-         refcatY.shape[1] - (PAD - radius)))
-    dy, dx, best_sad, _zs = jme.full_search_sad(
-        srcY_t, ref_r, mby0, mbx0, radius)
+    # gather-free integer-pel search: one dense displacement scan per
+    # reference yields P16x16/P16x8/P8x16/P8x8 winners at the FULL
+    # radius (the per-MB-window formulation lowered each vmapped
+    # dynamic_slice to a serial while loop on TPU — it dominated the
+    # whole encoder)
+    Hf, Wf = Y.shape
+    dres = []
+    for k in range(R):
+        refp = jax.lax.slice(
+            refY_s[k], (PAD - radius, PAD - radius),
+            (PAD + Hf + radius, PAD + Wf + radius))
+        dres.append(jme.dense_full_search(Y.astype(jnp.int32), refp,
+                                          radius))
+    d16, dh, dv, d8 = dres[0]
     ref_sel = jnp.zeros((n,), jnp.int32)
     if R == 2:
-        dy1, dx1, sad1, _ = jme.full_search_sad(
-            srcY_t, ref_r, mby0, mbx0 + WpY, radius)
-        take1 = (sad1 + lam) < best_sad  # te(ref_idx) bit bias
-        dy = jnp.where(take1, dy1, dy)
-        dx = jnp.where(take1, dx1, dx)
-        best_sad = jnp.where(take1, sad1, best_sad)
+        take1 = (dres[1][0][2] + lam) < d16[2]  # te(ref_idx) bit bias
+
+        def _sel(a, b, t):
+            return tuple(jnp.where(t, y, x) for x, y in zip(a, b))
+
+        d16 = _sel(d16, dres[1][0], take1)
+        dh = _sel(dh, dres[1][1], jnp.repeat(take1, 2))
+        dv = _sel(dv, dres[1][2], jnp.repeat(take1, 2))
+        d8 = _sel(d8, dres[1][3], jnp.repeat(take1, 4))
         ref_sel = take1.astype(jnp.int32)
     xoffL = ref_sel * WpY
     xoffC = ref_sel * WpC
-    mvx = dx.astype(jnp.int32) * 4
-    mvy = dy.astype(jnp.int32) * 4
 
-    # subpel refinement on the precomputed half-pel planes: half (±2)
-    # then quarter (±1); the quarter round hands back the winning
-    # prediction so no separate final MC gather pass is needed
-    planes = jmc.halfpel_planes(refcatY)
-    mvx, mvy, best_sad = jme.subpel_refine(
-        planes, PAD, mby0, mbx0 + xoffL, mvx, mvy, srcY_t, step=2)
-    mvx, mvy, best_sad, pred16_y = jme.subpel_refine(
-        planes, PAD, mby0, mbx0 + xoffL, mvx, mvy, srcY_t, step=1,
-        return_pred=True)
+    # partition decision on the dense integer-pel SADs + lambda *
+    # side-info bits per shape (reference svc_base_layer_md.cpp inter
+    # partition MD; deciding before subpel lets the refinement run once,
+    # at quadrant granularity, instead of once per candidate shape)
+    cost = jnp.stack([
+        d16[2] + lam * 4,                                # 0: P16x16
+        dh[2].reshape(n, 2).sum(axis=1) + lam * 11,      # 1: P16x8
+        dv[2].reshape(n, 2).sum(axis=1) + lam * 11,      # 2: P8x16
+        d8[2].reshape(n, 4).sum(axis=1) + lam * 20,      # 3: P8x8
+    ], axis=1)
+    part = jnp.argmin(cost, axis=1).astype(jnp.int32)
 
-    intra_cost = jme.intra_sad_proxy(srcY_t)
-    use_intra = best_sad > intra_cost + 2048
+    # the chosen partition's integer MV per 8x8 quadrant
+    quad = jnp.arange(4)
+    pn = part[:, None]
 
-    # ---- P8x8 partition search: per-8x8 re-search at radius 8 around
-    # the MB's integer-pel winner (divergent-quadrant motion is local to
-    # the MB's dominant motion; a full re-search at the MB radius would
-    # double the whole ME cost for ~nothing) ----
-    R8 = 8
+    def _qsel(a16, ah, av, a8):
+        a = jnp.where(pn == 1, ah.reshape(n, 2)[:, quad // 2],
+                      jnp.broadcast_to(a16[:, None], (n, 4)))
+        a = jnp.where(pn == 2, av.reshape(n, 2)[:, quad % 2], a)
+        return jnp.where(pn == 3, a8.reshape(n, 4), a)
+
+    ivy_q = _qsel(d16[0], dh[0], dv[0], d8[0]).reshape(n * 4)
+    ivx_q = _qsel(d16[1], dh[1], dv[1], d8[1]).reshape(n * 4)
+
     blk4 = jnp.arange(4)
     by8 = (mby0[:, None] + (blk4 // 2)[None, :] * 8).reshape(-1)   # [4n]
     bx8 = (mbx0[:, None] + (blk4 % 2)[None, :] * 8).reshape(-1)
     src8 = srcY_t.reshape(n, 2, 8, 2, 8).transpose(0, 1, 3, 2, 4) \
         .reshape(n * 4, 8, 8)
-    # center the radius-8 window on the winner: shift block coords by the
-    # winner MV inside a ref slice carrying radius+R16 margin
-    m8 = R8 + radius
-    ref_r8 = jax.lax.slice(
-        refcatY, (PAD - m8, PAD - m8),
-        (refcatY.shape[0] - (PAD - m8), refcatY.shape[1] - (PAD - m8)))
     xo4 = jnp.repeat(xoffL, 4)
-    wy = jnp.repeat(dy.astype(jnp.int32), 4)
-    wx = jnp.repeat(dx.astype(jnp.int32), 4)
-    dy8, dx8, sad8, _ = jme.full_search_sad(
-        src8, ref_r8, by8 + wy + radius, bx8 + xo4 + wx + radius, R8,
-        block=8)
-    mv8x = (dx8.astype(jnp.int32) + wx) * 4
-    mv8y = (dy8.astype(jnp.int32) + wy) * 4
-    mv8x, mv8y, sad8 = jme.subpel_refine(planes, PAD, by8, bx8 + xo4,
-                                         mv8x, mv8y, src8, step=2, size=8)
-    mv8x, mv8y, sad8, p8_y = jme.subpel_refine(planes, PAD, by8,
-                                               bx8 + xo4, mv8x,
-                                               mv8y, src8, step=1, size=8,
-                                               return_pred=True)
 
-    # ---- P16x8 / P8x16 partition searches (2 partitions each) ----
-    xo2 = jnp.repeat(xoffL, 2)
-    wy2 = jnp.repeat(dy.astype(jnp.int32), 2)
-    wx2 = jnp.repeat(dx.astype(jnp.int32), 2)
-    byh = (mby0[:, None] + jnp.asarray([0, 8])[None, :]).reshape(-1)
-    bxh = jnp.repeat(mbx0, 2)
-    srch = srcY_t.reshape(n * 2, 8, 16)
-    dyh, dxh, sadh, _ = jme.full_search_sad(
-        srch, ref_r8, byh + wy2 + radius, bxh + xo2 + wx2 + radius, R8,
-        block=(8, 16))
-    mvhx = (dxh.astype(jnp.int32) + wx2) * 4
-    mvhy = (dyh.astype(jnp.int32) + wy2) * 4
-    mvhx, mvhy, sadh = jme.subpel_refine(planes, PAD, byh, bxh + xo2,
-                                         mvhx, mvhy,
-                                         srch, step=2, size=(8, 16))
-    mvhx, mvhy, sadh, ph_y = jme.subpel_refine(
-        planes, PAD, byh, bxh + xo2, mvhx, mvhy, srch, step=1,
-        size=(8, 16), return_pred=True)
-    byv = jnp.repeat(mby0, 2)
-    bxv = (mbx0[:, None] + jnp.asarray([0, 8])[None, :]).reshape(-1)
-    srcv = srcY_t.reshape(n, 16, 2, 8).transpose(0, 2, 1, 3) \
-        .reshape(n * 2, 16, 8)
-    dyv, dxv, sadv, _ = jme.full_search_sad(
-        srcv, ref_r8, byv + wy2 + radius, bxv + xo2 + wx2 + radius, R8,
-        block=(16, 8))
-    mvvx = (dxv.astype(jnp.int32) + wx2) * 4
-    mvvy = (dyv.astype(jnp.int32) + wy2) * 4
-    mvvx, mvvy, sadv = jme.subpel_refine(planes, PAD, byv, bxv + xo2,
-                                         mvvx, mvvy,
-                                         srcv, step=2, size=(16, 8))
-    mvvx, mvvy, sadv, pv_y = jme.subpel_refine(
-        planes, PAD, byv, bxv + xo2, mvvx, mvvy, srcv, step=1,
-        size=(16, 8), return_pred=True)
+    # joint quarter-pel refinement of the chosen partition (one window
+    # gather per quadrant; hands back the winning predictions so no
+    # separate MC pass is needed)
+    planes = jmc.halfpel_planes(refcatY)
+    mvqx, mvqy, best_sad, pred_q = jme.subpel_quad(
+        planes, PAD, by8, bx8 + xo4, ivx_q * 4, ivy_q * 4, src8, part)
 
-    # partition decision: SAD + lambda * side-info bits per shape
-    # (reference svc_base_layer_md.cpp inter partition MD)
-    cost = jnp.stack([
-        best_sad + lam * 4,                              # 0: P16x16
-        sadh.reshape(n, 2).sum(axis=1) + lam * 11,       # 1: P16x8
-        sadv.reshape(n, 2).sum(axis=1) + lam * 11,       # 2: P8x16
-        sad8.reshape(n, 4).sum(axis=1) + lam * 20,       # 3: P8x8
-    ], axis=1)
-    part = jnp.argmin(cost, axis=1).astype(jnp.int32)
+    intra_cost = jme.intra_sad_proxy(srcY_t)
+    use_intra = best_sad > intra_cost + 2048
     part = jnp.where(use_intra, 0, part)
 
     def _asm4(blocks, t):
         return blocks.reshape(n, 2, 2, t, t).transpose(0, 1, 3, 2, 4) \
             .reshape(n, 2 * t, 2 * t)
 
-    predL_h = ph_y.reshape(n, 16, 16)
-    predL_v = pv_y.reshape(n, 2, 16, 8).transpose(0, 2, 1, 3) \
-        .reshape(n, 16, 16)
-    stackp = jnp.stack([pred16_y, predL_h, predL_v, _asm4(p8_y, 8)])
-    pred_y = jnp.take_along_axis(
-        stackp, part[None, :, None, None], axis=0)[0]
+    pred_y = _asm4(pred_q, 8)
 
     # per-partition MVs: writer layout (partition slots) and per-8x8
     # quadrant (chroma MC + deblock cells)
-    mvh2 = jnp.stack([mvhx, mvhy], 1).reshape(n, 2, 2)
-    mvv2 = jnp.stack([mvvx, mvvy], 1).reshape(n, 2, 2)
-    mv8q = jnp.stack([mv8x, mv8y], 1).reshape(n, 4, 2)
-    mv16q = jnp.stack([mvx, mvy], 1)[:, None, :]
+    mvq = jnp.stack([mvqx, mvqy], 1).reshape(n, 4, 2)
+    mvx = mvq[:, 0, 0]
+    mvy = mvq[:, 0, 1]
+    p2 = part[:, None, None]
     zpad = jnp.zeros((n, 2, 2), jnp.int32)
-    mv_slots = jnp.stack([
-        jnp.broadcast_to(mv16q, (n, 4, 2)),
-        jnp.concatenate([mvh2, zpad], axis=1),
-        jnp.concatenate([mvv2, zpad], axis=1),
-        mv8q], axis=0)
-    mv8 = jnp.take_along_axis(mv_slots,
-                              part[None, :, None, None], axis=0)[0]
-    quad = jnp.arange(4)
-    mv_quads = jnp.stack([
-        jnp.broadcast_to(mv16q, (n, 4, 2)),
-        mvh2[:, quad // 2],
-        mvv2[:, quad % 2],
-        mv8q], axis=0)
-    mvq = jnp.take_along_axis(mv_quads,
-                              part[None, :, None, None], axis=0)[0]
+    mv16b = jnp.broadcast_to(mvq[:, :1], (n, 4, 2))
+    mv8 = jnp.where(
+        p2 == 1, jnp.concatenate([mvq[:, 0::2], zpad], axis=1), mv16b)
+    mv8 = jnp.where(
+        p2 == 2, jnp.concatenate([mvq[:, 0:2], zpad], axis=1), mv8)
+    mv8 = jnp.where(p2 == 3, mvq, mv8)
 
     # chroma MC once, at 4x4 partition granularity with the SELECTED MV
     # per 8x8 quadrant (bilinear chroma MC is split-invariant for one

@@ -136,21 +136,31 @@ def mc_luma_mbs(planes: jax.Array, pad: int, y0: jax.Array, x0: jax.Array,
     halfpel_planes() output for a pad-padded reference.
     Returns [n,size,size] int32, element-exact vs mc_luma_cells for MVs
     that stay inside the padded window (i.e. any ME-produced MV)."""
+    # one flat batched gather per tap (a vmapped dynamic_slice lowers to
+    # a serial per-block while loop on TPU); plane id + clamped window
+    # start fold into a single flattened index
     tab = jnp.asarray(QTAB)
+    y0 = y0.astype(jnp.int32)
+    x0 = x0.astype(jnp.int32)
+    mvx = mvx.astype(jnp.int32)
+    mvy = mvy.astype(jnp.int32)
+    _, Hp, Wp = planes.shape
+    flat = planes.reshape(-1)
+    e = tab[(mvy & 3) * 4 + (mvx & 3)]                     # [n,6]
+    by = pad - 2 + y0 + (mvy >> 2)
+    bx = pad - 2 + x0 + (mvx >> 2)
+    oy = jnp.arange(size)
 
-    def one(cy, cx, vx, vy):
-        k = (vy & 3) * 4 + (vx & 3)
-        e = tab[k]
-        by = pad - 2 + cy + (vy >> 2)
-        bx = pad - 2 + cx + (vx >> 2)
-        t1 = jax.lax.dynamic_slice(planes, (e[0], by + e[1], bx + e[2]),
-                                   (1, size, size))[0]
-        t2 = jax.lax.dynamic_slice(planes, (e[3], by + e[4], bx + e[5]),
-                                   (1, size, size))[0]
-        return (t1 + t2 + 1) >> 1
+    def samp(p, dy, dx):
+        yy = jnp.clip(by + dy, 0, Hp - size)   # dynamic_slice clamp
+        xx = jnp.clip(bx + dx, 0, Wp - size)
+        idx = ((p * Hp + yy)[:, None, None] + oy[None, :, None]) * Wp \
+            + xx[:, None, None] + oy[None, None, :]
+        return flat[idx]
 
-    return jax.vmap(one)(y0.astype(jnp.int32), x0.astype(jnp.int32),
-                         mvx.astype(jnp.int32), mvy.astype(jnp.int32))
+    t1 = samp(e[:, 0], e[:, 1], e[:, 2])
+    t2 = samp(e[:, 3], e[:, 4], e[:, 5])
+    return (t1 + t2 + 1) >> 1
 
 
 def mc_chroma_mbs(ref_pad_c: jax.Array, pad: int, cy0: jax.Array,
@@ -160,23 +170,27 @@ def mc_chroma_mbs(ref_pad_c: jax.Array, pad: int, cy0: jax.Array,
     per-2x2 cells; MV uniform across the block; size 8 = MB chroma,
     4 = P8x8 partition chroma). Element-exact vs mc_chroma_cells for
     in-window MVs."""
+    # one batched window gather (vmapped dynamic_slice lowers serially)
     S = size
-
-    def one(cy, cx, vx, vy):
-        win = jax.lax.dynamic_slice(
-            ref_pad_c, (pad + cy + (vy >> 3), pad + cx + (vx >> 3)),
-            (S + 1, S + 1)).astype(jnp.int32)
-        fx = vx & 7
-        fy = vy & 7
-        A = win[0:S, 0:S]
-        B = win[0:S, 1:S + 1]
-        C = win[1:S + 1, 0:S]
-        D = win[1:S + 1, 1:S + 1]
-        return ((8 - fx) * (8 - fy) * A + fx * (8 - fy) * B +
-                (8 - fx) * fy * C + fx * fy * D + 32) >> 6
-
-    return jax.vmap(one)(cy0.astype(jnp.int32), cx0.astype(jnp.int32),
-                         mvx.astype(jnp.int32), mvy.astype(jnp.int32))
+    Hc, Wc = ref_pad_c.shape
+    cy0 = cy0.astype(jnp.int32)
+    cx0 = cx0.astype(jnp.int32)
+    mvx = mvx.astype(jnp.int32)
+    mvy = mvy.astype(jnp.int32)
+    iy = jnp.clip(pad + cy0 + (mvy >> 3), 0, Hc - (S + 1))
+    ix = jnp.clip(pad + cx0 + (mvx >> 3), 0, Wc - (S + 1))
+    o = jnp.arange(S + 1)
+    win = ref_pad_c[iy[:, None, None] + o[None, :, None],
+                    ix[:, None, None] + o[None, None, :]] \
+        .astype(jnp.int32)
+    fx = (mvx & 7)[:, None, None]
+    fy = (mvy & 7)[:, None, None]
+    A = win[:, 0:S, 0:S]
+    B = win[:, 0:S, 1:S + 1]
+    C = win[:, 1:S + 1, 0:S]
+    D = win[:, 1:S + 1, 1:S + 1]
+    return ((8 - fx) * (8 - fy) * A + fx * (8 - fy) * B +
+            (8 - fx) * fy * C + fx * fy * D + 32) >> 6
 
 
 def mc_chroma_cells(ref_stack: jax.Array, pad: int, ref_idx: jax.Array,

@@ -128,6 +128,222 @@ def subpel_refine(planes: jax.Array, pad: int, mb_y: jax.Array,
                          cur_mbs)
 
 
+@partial(jax.jit, static_argnames=("radius",))
+def dense_full_search(cur: jax.Array, ref_pad: jax.Array, radius: int):
+    """Exhaustive integer-pel search, displacement-major and gather-free.
+
+    The per-MB window formulation (full_search_sad) lowers each vmapped
+    dynamic_slice to a serial XLA while-loop on TPU — the dominant cost
+    of the whole encoder. Here the loop is over DISPLACEMENTS instead:
+    for each (dy, dx) one dense |cur - shift(ref)| plane is pooled to
+    per-8x8 SADs, and P16x16/P16x8/P8x16/P8x8 costs all fall out of the
+    same pass as progressive 2x pools, so every partition shape gets the
+    FULL search radius (the reference re-searches sub-partitions only
+    locally, svc_motion_estimate.cpp).
+
+    cur: [H, W] int source luma (16 | H, W). ref_pad: [H+2R, W+2R]
+    edge-padded reference. Returns four (dy, dx, sad) triples, flattened
+    raster-MB-major: 16x16 [n], 16x8 [2n] (top,bottom), 8x16 [2n]
+    (left,right), 8x8 [4n] (row-major quadrants).
+    """
+    H, W = cur.shape
+    span = 2 * radius + 1
+    h8, w8 = H // 8, W // 8
+    mbh, mbw = h8 // 2, w8 // 2
+    cur16 = cur.astype(jnp.int16)
+    ref16 = ref_pad.astype(jnp.int16)
+    INF = jnp.int32(1 << 30)
+
+    # derive the scan-carry init from the inputs (a constant init is
+    # "unvarying" under shard_map and trips the scan vma check)
+    d0 = jnp.abs(cur16 - jax.lax.slice(ref16, (radius, radius),
+                                       (radius + H, radius + W)))
+    z8 = d0.reshape(h8, 8, w8, 8).sum((1, 3), dtype=jnp.int32) * 0
+
+    def init(z):
+        return (z + INF, z)
+
+    def body(best, dy):
+        slab = jax.lax.dynamic_slice(ref16, (dy, 0), (H, W + 2 * radius))
+        b16, bh, bv, b8 = best
+        for dx in range(span):
+            shft = jax.lax.slice(slab, (0, dx), (H, dx + W))
+            d = jnp.abs(cur16 - shft)
+            # pool with the lane (last) dim kept wide: a sublane-group
+            # reduce, then lane-strided adds — reshaping 8 into the lane
+            # dim forces a relayout per displacement and dominated the
+            # whole scan
+            rp = d.reshape(h8, 8, W).sum(1, dtype=jnp.int32)  # [h8, W]
+            s8 = sum(rp[:, j::8] for j in range(8))           # [h8, w8]
+            sh2 = s8[:, 0::2] + s8[:, 1::2]               # 16 wide, 8 high
+            sv2 = s8[0::2] + s8[1::2]                     # 8 wide, 16 high
+            s16 = sh2[0::2] + sh2[1::2]
+            idx = dy * span + dx
+
+            def upd(b, s):
+                sad, bi = b
+                better = s < sad
+                return (jnp.where(better, s, sad),
+                        jnp.where(better, idx, bi))
+
+            b16 = upd(b16, s16)
+            bh = upd(bh, sh2)
+            bv = upd(bv, sv2)
+            b8 = upd(b8, s8)
+        return (b16, bh, bv, b8), None
+
+    best0 = (init(z8.reshape(mbh, 2, mbw, 2).sum((1, 3))),
+             init(z8.reshape(h8, mbw, 2).sum(-1)),
+             init(z8.reshape(mbh, 2, w8).sum(1)),
+             init(z8))
+    best, _ = jax.lax.scan(body, best0, jnp.arange(span))
+
+    def unpack(b, flat):
+        sad, idx = b
+        return (flat(idx // span - radius), flat(idx % span - radius),
+                flat(sad))
+
+    f16 = lambda a: a.reshape(-1)                                # noqa: E731
+    fh = lambda a: a.reshape(mbh, 2, mbw).transpose(0, 2, 1) \
+        .reshape(-1)                                             # noqa: E731
+    fv = lambda a: a.reshape(-1)                                 # noqa: E731
+    f8 = lambda a: a.reshape(mbh, 2, mbw, 2).transpose(0, 2, 1, 3) \
+        .reshape(-1)                                             # noqa: E731
+    return (unpack(best[0], f16), unpack(best[1], fh),
+            unpack(best[2], fv), unpack(best[3], f8))
+
+
+@partial(jax.jit, static_argnames=("pad", "size"))
+def subpel_full(planes: jax.Array, pad: int, mb_y: jax.Array,
+                mb_x: jax.Array, mvx: jax.Array, mvy: jax.Array,
+                cur_blks: jax.Array, size=16):
+    """Full 7x7 quarter-pel refinement around an integer-pel winner.
+
+    ONE batched window gather per partition shape (the hierarchical
+    half-then-quarter subpel_refine gathers twice per shape and its
+    vmapped dynamic_slice lowers serially); all 49 candidate predictions
+    are static slices of the [4, SH+3, SW+3] window and the argmin runs
+    vectorized. Searching the full quarter grid also dominates the
+    reference's hierarchical refinement in quality.
+
+    mvx/mvy: integer-pel winners in quarter units (frac == 0).
+    Returns (mvx, mvy, sad, pred) with pred the exact spec-8.4.2.2.1
+    prediction for the winning MV (so no separate MC pass is needed).
+    """
+    from .mc import QTAB
+    SH, SW = (size, size) if isinstance(size, int) else size
+    n = cur_blks.shape[0]
+    p16 = planes.astype(jnp.int16)
+    cur16 = cur_blks.astype(jnp.int16)
+
+    ys = pad - 4 + mb_y + (mvy >> 2)                  # [n]
+    xs = pad - 4 + mb_x + (mvx >> 2)
+    oy = jnp.arange(SH + 3)
+    ox = jnp.arange(SW + 3)
+    win = p16[:, ys[:, None, None] + oy[None, :, None],
+              xs[:, None, None] + ox[None, None, :]]  # [4,n,SH+3,SW+3]
+
+    best_sad = jnp.full((n,), jnp.int32(1 << 30))
+    best_t = jnp.zeros((n,), jnp.int32)
+    best_pred = jnp.zeros((n, SH, SW), jnp.int16)
+    for ty in range(-3, 4):
+        for tx in range(-3, 4):
+            k = (ty & 3) * 4 + (tx & 3)
+            p1, dy1, dx1, p2, dy2, dx2 = (int(v) for v in QTAB[k])
+            ry = 2 + (ty >> 2)
+            rx = 2 + (tx >> 2)
+            t1 = win[p1, :, ry + dy1:ry + dy1 + SH, rx + dx1:rx + dx1 + SW]
+            t2 = win[p2, :, ry + dy2:ry + dy2 + SH, rx + dx2:rx + dx2 + SW]
+            pred = (t1 + t2 + 1) >> 1
+            sad = jnp.abs(pred - cur16).sum((1, 2), dtype=jnp.int32)
+            better = sad < best_sad
+            best_sad = jnp.where(better, sad, best_sad)
+            best_t = jnp.where(better, (ty + 3) * 7 + (tx + 3), best_t)
+            best_pred = jnp.where(better[:, None, None], pred, best_pred)
+    return (mvx + best_t % 7 - 3, mvy + best_t // 7 - 3, best_sad,
+            best_pred.astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("pad",))
+def subpel_quad(planes: jax.Array, pad: int, by8: jax.Array,
+                bx8: jax.Array, mvx: jax.Array, mvy: jax.Array,
+                src8: jax.Array, part: jax.Array):
+    """Quadrant-granular joint quarter-pel refinement.
+
+    Every partition shape's prediction decomposes into its 8x8 quadrant
+    predictions (mvq), and a block SAD is the sum of its quadrant SADs —
+    so ONE [4,11,11] window gather per quadrant serves every shape:
+    candidate SADs are computed per quadrant for the full 7x7 quarter
+    grid and pooled per partition UNIT of the chosen shape (16x16 pools
+    all 4 quadrants, 16x8 the top/bottom pairs, ...), which makes the
+    joint refinement bit-identical to refining the whole partition while
+    gathering 3.5x fewer window elements than per-shape windows.
+
+    by8/bx8: [4n] quadrant pixel coords (row-major within raster MBs).
+    mvx/mvy: [4n] integer-pel winners (quarter units, frac == 0) of the
+    CHOSEN partition per quadrant. part: [n] 0/1/2/3 =
+    P16x16/P16x8/P8x16/P8x8. Returns (mvqx, mvqy, sad_tot, pred_q):
+    refined per-quadrant MVs [4n], per-MB total SAD of the chosen
+    partition [n], and exact spec-8.4.2.2.1 quadrant predictions
+    [4n,8,8] int32.
+    """
+    from .mc import QTAB
+    m = src8.shape[0]
+    n = m // 4
+    p16 = planes.astype(jnp.int16)
+    # block-axis-LAST layout so every candidate's abs/avg/reduce runs
+    # over m full lanes (a [m,8,8] layout reduces over 8-lane rows)
+    cur16 = src8.astype(jnp.int16).transpose(1, 2, 0)   # [8,8,m]
+
+    ys = pad - 4 + by8 + (mvy >> 2)
+    xs = pad - 4 + bx8 + (mvx >> 2)
+    oy = jnp.arange(11)
+    win = p16[:, ys[None, None, :] + oy[:, None, None],
+              xs[None, None, :] + oy[None, :, None]]    # [4,11,11,m]
+
+    def cand(ty, tx):
+        k = (ty & 3) * 4 + (tx & 3)
+        p1, dy1, dx1, p2, dy2, dx2 = (int(v) for v in QTAB[k])
+        ry = 2 + (ty >> 2)
+        rx = 2 + (tx >> 2)
+        t1 = win[p1, ry + dy1:ry + dy1 + 8, rx + dx1:rx + dx1 + 8]
+        t2 = win[p2, ry + dy2:ry + dy2 + 8, rx + dx2:rx + dx2 + 8]
+        return (t1 + t2 + 1) >> 1                       # [8,8,m]
+
+    offs = [(ty, tx) for ty in range(-3, 4) for tx in range(-3, 4)]
+    sadt = jnp.stack([
+        jnp.abs(cand(ty, tx) - cur16).sum((0, 1), dtype=jnp.int32)
+        for ty, tx in offs]).reshape(49, n, 4)
+
+    def unit_min(s):                       # [49, n, u] -> (min, argmin)
+        return s.min(0), s.argmin(0).astype(jnp.int32)
+
+    s16m, t16 = unit_min(sadt.sum(-1, keepdims=True))
+    shm, th = unit_min(sadt.reshape(49, n, 2, 2).sum(-1))
+    svm, tv = unit_min(sadt.reshape(49, n, 2, 2).sum(-2))
+    s8m, t8 = unit_min(sadt)
+
+    q = jnp.arange(4)
+    pn = part[:, None]
+    t_q = jnp.where(pn == 1, th[:, q // 2], jnp.broadcast_to(t16, (n, 4)))
+    t_q = jnp.where(pn == 2, tv[:, q % 2], t_q)
+    t_q = jnp.where(pn == 3, t8, t_q)
+    t_q = t_q.reshape(m)
+    sad_tot = jnp.where(part == 0, s16m[:, 0],
+                        jnp.where(part == 1, shm.sum(1),
+                                  jnp.where(part == 2, svm.sum(1),
+                                            s8m.sum(1))))
+
+    pred_q = jnp.zeros((8, 8, m), jnp.int16)
+    for i, (ty, tx) in enumerate(offs):
+        pred_q = jnp.where((t_q == i)[None, None, :], cand(ty, tx),
+                           pred_q)
+    tys = jnp.asarray([o[0] for o in offs], jnp.int32)
+    txs = jnp.asarray([o[1] for o in offs], jnp.int32)
+    return (mvx + txs[t_q], mvy + tys[t_q], sad_tot,
+            pred_q.transpose(2, 0, 1).astype(jnp.int32))
+
+
 @partial(jax.jit, static_argnames=())
 def intra_sad_proxy(cur_mbs: jax.Array):
     """Cheap intra cost proxy: SAD to the MB mean (DC prediction bound).
