@@ -60,6 +60,9 @@ def main(argv=None):
     ap.add_argument("--jax", action="store_true",
                     help="decode mode: use the TPU (JAX) pixel pipeline "
                          "instead of the numpy oracle")
+    ap.add_argument("--shards", type=int, default=1,
+                    help="compress GOP-sharded into N independent model/"
+                         "stream sets (parallel; the multi-host unit)")
     args = ap.parse_args(argv)
 
     if args.input == "decode":
@@ -131,7 +134,10 @@ def main(argv=None):
             ap.error("roundtrip mode requires an input file")
         data = open(path, "rb").read()
         t0 = time.perf_counter()
-        pip, st = native.compress(data, verify=False)
+        if args.shards > 1:
+            pip, st = native.compress_sharded(data, args.shards)
+        else:
+            pip, st = native.compress(data, verify=False)
         t1 = time.perf_counter()
         out, _ = native.decompress(pip)
         t2 = time.perf_counter()
@@ -159,12 +165,24 @@ def main(argv=None):
     if not args.output:
         ap.error("output file required")
     data = open(args.input, "rb").read()
-    if data[:4] == b"PIPT":
+    if data[:4] in (b"PIPT", b"PIPS"):
         out, st = native.decompress(data)
         open(args.output, "wb").write(out)
         if args.stats:
             print(f"decompressed {len(data)} -> {len(out)} bytes, "
                   f"{st.n_frames} frames", file=sys.stderr)
+    elif args.shards > 1:
+        out, st = native.compress_sharded(data, args.shards,
+                                          verify=not args.no_verify)
+        open(args.output, "wb").write(out)
+        if args.stats:
+            ratio = 100.0 * (1 - len(out) / len(data))
+            print(
+                f"compressed {len(data)} -> {len(out)} bytes "
+                f"({ratio:.1f}% saved), {st.n_frames} frames, "
+                f"{args.shards} shards",
+                file=sys.stderr,
+            )
     else:
         out, st = native.compress(data, verify=not args.no_verify)
         open(args.output, "wb").write(out)

@@ -163,6 +163,44 @@ def gop_starts(data: bytes) -> list[int]:
     return [int(buf[i]) for i in range(min(n.value, cap))]
 
 
+def shard_plan(data: bytes, n_shards: int) -> list[tuple[int, int, bytes]]:
+    """The exact shard decomposition compress_sharded uses:
+    [(start, end, sps_pps_context_bytes), ...] — whole-GOP groups,
+    byte-balanced into <= n_shards shards. A multi-host driver compresses
+    a disjoint subset per host (losslessh264_tpu.parallel)."""
+    lib = load()
+    if not hasattr(lib.pip_shard_plan_c, "_cfg"):
+        lib.pip_shard_plan_c.restype = ctypes.c_int
+        lib.pip_shard_plan_c.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.c_size_t, ctypes.POINTER(ctypes.c_size_t),
+            ctypes.c_char_p, ctypes.c_size_t,
+        ]
+        lib.pip_shard_plan_c._cfg = True
+    cap = 4096
+    starts = (ctypes.c_uint64 * cap)()
+    ends = (ctypes.c_uint64 * cap)()
+    ctx_lens = (ctypes.c_uint64 * cap)()
+    ctx_cap = 1 << 22
+    ctx_buf = ctypes.create_string_buffer(ctx_cap)
+    n = ctypes.c_size_t()
+    err = ctypes.create_string_buffer(512)
+    rc = lib.pip_shard_plan_c(data, len(data), n_shards, starts, ends,
+                              ctx_lens, ctx_buf, ctx_cap, cap,
+                              ctypes.byref(n), err, len(err))
+    if rc != 0:
+        raise RuntimeError(f"pip_shard_plan failed: {err.value.decode()}")
+    out = []
+    off = 0
+    for i in range(n.value):
+        clen = int(ctx_lens[i])
+        out.append((int(starts[i]), int(ends[i]), ctx_buf.raw[off:off + clen]))
+        off += clen
+    return out
+
+
 def compress(data: bytes, verify: bool = True,
              context: bytes = b"") -> tuple[bytes, Stats]:
     """Compress an Annex-B .264 stream to the .pip container format.

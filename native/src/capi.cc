@@ -86,6 +86,42 @@ int pip_compress_sharded_c(const u8* data, size_t size, int n_shards,
   }
 }
 
+// Shard decomposition for multi-host compression: writes up to
+// max_shards [start,end) byte ranges plus each shard's SPS/PPS context
+// bytes (concatenated into ctx_buf, per-shard lengths in ctx_lens).
+// Matches pip_compress_sharded's grouping exactly.
+int pip_shard_plan_c(const u8* data, size_t size, int n_shards,
+                     u64* starts, u64* ends, u64* ctx_lens, u8* ctx_buf,
+                     size_t ctx_cap, size_t max_shards, size_t* n_out,
+                     char* err, size_t err_cap) {
+  try {
+    ShardPlan plan = pip_shard_plan(data, size, n_shards);
+    size_t S = plan.ranges.size();
+    if (S > max_shards) {
+      set_err(err, err_cap, "shard plan larger than caller capacity");
+      return 1;
+    }
+    size_t ctx_off = 0;
+    for (size_t i = 0; i < S; ++i) {
+      starts[i] = plan.ranges[i].first;
+      ends[i] = plan.ranges[i].second;
+      const auto& c = plan.contexts[i];
+      if (ctx_off + c.size() > ctx_cap) {
+        set_err(err, err_cap, "shard contexts larger than caller capacity");
+        return 1;
+      }
+      if (!c.empty()) memcpy(ctx_buf + ctx_off, c.data(), c.size());
+      ctx_lens[i] = c.size();
+      ctx_off += c.size();
+    }
+    *n_out = S;
+    return 0;
+  } catch (const std::exception& e) {
+    set_err(err, err_cap, e.what());
+    return 1;
+  }
+}
+
 int pip_decompress_c(const u8* data, size_t size, u8** out, size_t* out_size,
                      PipStats* stats_out, char* err, size_t err_cap) {
   try {

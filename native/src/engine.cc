@@ -753,19 +753,18 @@ std::vector<size_t> pip_gop_starts(const u8* data, size_t size) {
   return out;
 }
 
-std::vector<u8> pip_compress_sharded(const u8* data, size_t size,
-                                     int n_shards, bool verify,
-                                     EngineStats* stats) {
+ShardPlan pip_shard_plan(const u8* data, size_t size, int n_shards) {
   GopSegments segs = find_gop_segments(data, size);
   size_t n_gops = segs.ranges.size();
+  ShardPlan plan;
   if (n_shards <= 1 || n_gops <= 1) {
-    return pip_compress(data, size, verify, stats);
+    plan.ranges.push_back({0, size});
+    plan.contexts.push_back({});
+    return plan;
   }
   // group whole GOPs into <= n_shards byte-balanced shards
   size_t total = size;
   size_t target = (total + n_shards - 1) / n_shards;
-  std::vector<std::pair<size_t, size_t>> shard_ranges;   // gop index ranges
-  std::vector<std::vector<u8>> shard_ctx;
   size_t g = 0;
   while (g < n_gops) {
     size_t start_g = g;
@@ -775,10 +774,22 @@ std::vector<u8> pip_compress_sharded(const u8* data, size_t size,
       bytes += segs.ranges[g].second - segs.ranges[g].first;
       ++g;
     }
-    shard_ranges.push_back({segs.ranges[start_g].first,
-                            segs.ranges[g - 1].second});
-    shard_ctx.push_back(segs.contexts[start_g]);
+    plan.ranges.push_back({segs.ranges[start_g].first,
+                           segs.ranges[g - 1].second});
+    plan.contexts.push_back(segs.contexts[start_g]);
   }
+  return plan;
+}
+
+std::vector<u8> pip_compress_sharded(const u8* data, size_t size,
+                                     int n_shards, bool verify,
+                                     EngineStats* stats) {
+  ShardPlan plan = pip_shard_plan(data, size, n_shards);
+  if (plan.ranges.size() <= 1) {
+    return pip_compress(data, size, verify, stats);
+  }
+  const auto& shard_ranges = plan.ranges;
+  const auto& shard_ctx = plan.contexts;
   size_t S = shard_ranges.size();
   std::vector<std::vector<u8>> payloads(S);
   std::vector<EngineStats> sstats(S);
@@ -838,14 +849,20 @@ static std::vector<u8> decompress_sharded(const u8* data, size_t size,
   PIP_CHECK(S >= 1 && S <= 4096, "bad shard count");
   std::vector<size_t> lens(S);
   for (u64 i = 0; i < S; ++i) lens[i] = size_t(get_varint(data, size, &pos));
+  // validate every shard extent BEFORE spawning threads: a throw while
+  // std::thread objects are joinable is std::terminate, not an exception
+  std::vector<size_t> offs(S);
+  size_t off = pos;
+  for (u64 i = 0; i < S; ++i) {
+    offs[i] = off;
+    PIP_CHECK(lens[i] <= size - off, "sharded container truncated");
+    off += lens[i];
+  }
   std::vector<std::vector<u8>> outs(S);
   std::vector<std::string> errors(S);
   std::vector<std::thread> threads;
-  size_t off = pos;
   for (u64 i = 0; i < S; ++i) {
-    size_t o = off;
-    off += lens[i];
-    PIP_CHECK(off <= size, "sharded container truncated");
+    size_t o = offs[i];
     threads.emplace_back([&, i, o] {
       try {
         EngineStats ss;

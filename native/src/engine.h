@@ -77,6 +77,18 @@ std::vector<u8> pip_compress_sharded(const u8* data, size_t size,
                                      int n_shards, bool verify,
                                      EngineStats* stats);
 
+// The exact shard decomposition pip_compress_sharded uses: byte ranges
+// [start,end) of whole-GOP groups byte-balanced into <= n_shards
+// shards, plus the SPS/PPS context bytes each shard's compressor must
+// absorb. Exposed so a multi-host driver can compress a disjoint shard
+// subset per host and assemble a container byte-identical to the
+// single-host one (losslessh264_tpu/parallel).
+struct ShardPlan {
+  std::vector<std::pair<size_t, size_t>> ranges;
+  std::vector<std::vector<u8>> contexts;
+};
+ShardPlan pip_shard_plan(const u8* data, size_t size, int n_shards);
+
 // Reconstruct the original .264 byte stream from a .pip container
 // (plain "PIPT" or sharded "PIPS"; sharded segments decode in parallel).
 std::vector<u8> pip_decompress(const u8* data, size_t size,
