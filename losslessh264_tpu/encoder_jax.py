@@ -48,9 +48,16 @@ from .ops import wavefront as jwf
 
 PAD = 32          # reference-plane padding (matches decoder_jax)
 WPAD = 8          # working-plane padding for wavefront gathers
-BIG = jnp.int32(1 << 30)
 
-CHROMA_QP = jnp.asarray(dn.CHROMA_QP)
+# Module-level lookup tables stay NUMPY: numpy closures bake into the
+# compiled program as constants at trace time, while a captured jax
+# Array becomes an extra runtime buffer argument bound to a live device
+# allocation (and on the axon tunnel backend, running such a program
+# forces the runtime out of its deferred-dispatch mode). Convert with
+# jnp.asarray at the traced-index use site only.
+BIG = 1 << 30
+
+CHROMA_QP = np.asarray(dn.CHROMA_QP)
 
 
 def _diagonals(mb_w, mb_h):
@@ -105,13 +112,13 @@ def _assemble8(blocks):
         .reshape(s + (8, 8))
 
 
-FLAT4 = jnp.full((4, 4), 16, jnp.int32)
+FLAT4 = np.full((4, 4), 16, np.int32)
 
 # SAD-domain Lagrange multiplier per QP (JM-style sqrt(lambda_mode) =
 # 0.92 * 2^((qp-12)/6); reference md.cpp uses the same exponential family)
-LAMBDA = jnp.asarray(
+LAMBDA = np.asarray(
     [max(1, round(0.92 * 2.0 ** ((q - 12) / 6.0))) for q in range(52)],
-    jnp.int32)
+    np.int32)
 
 # 4x4 block coding order within an MB and the top-right availability kind
 # per raster block (0 never, 1 always, 2 = MB aT, 3 = MB aTR) — same
@@ -168,7 +175,7 @@ def _encode_i4_mb(loc, src, qp, aL, aT, aTR):
     The mode-bit cost uses the 8.3.1.1 most-probable-mode rule with
     cross-MB neighbors approximated as DC (affects only the RD estimate,
     never conformance — the writer computes the true predictor)."""
-    lam = LAMBDA[qp]
+    lam = jnp.asarray(LAMBDA)[qp]
     loc_buf = loc
     grid = jnp.full((5, 5), 2, jnp.int32)   # chosen modes, border = DC
     modes = jnp.zeros(16, jnp.int32)
@@ -223,7 +230,7 @@ def _encode_luma_mb(loc, src, qp, aL, aT, aTR):
     (cls 0/1, i16_mode, i4_modes[16], qdc_zz[16], qac[16,4,4], tile)."""
     mode16, qdc, qac16, tile16, sad16 = _encode_i16_mb(loc, src, qp, aL, aT)
     modes4, qac4, cost4, tile4 = _encode_i4_mb(loc, src, qp, aL, aT, aTR)
-    lam = LAMBDA[qp]
+    lam = jnp.asarray(LAMBDA)[qp]
     use4 = cost4 < sad16 + lam * 6   # I16 header/mode-bit allowance
     cls = jnp.where(use4, 0, 1).astype(jnp.int32)
     return (cls, mode16, modes4,
@@ -383,7 +390,7 @@ def encode_inter_mbs(mb_w: int, mb_h: int, radius: int, Y, U, V, refY_s,
     R = refY_s.shape[0]
     WpY = refY_s.shape[2]
     WpC = refU_s.shape[2]
-    lam = LAMBDA[qp]
+    lam = jnp.asarray(LAMBDA)[qp]
     srcY_t = _mb_tiles(Y.astype(jnp.int32), mb_h, mb_w, 16)
     srcU_t = _mb_tiles(U.astype(jnp.int32), mb_h, mb_w, 8)
     srcV_t = _mb_tiles(V.astype(jnp.int32), mb_h, mb_w, 8)

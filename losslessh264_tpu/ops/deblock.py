@@ -20,10 +20,13 @@ import numpy as np
 from .. import decoder_np as _dn
 from .wavefront import scatter_tiles
 
-ALPHA = jnp.asarray(_dn.ALPHA_TABLE)
-BETA = jnp.asarray(_dn.BETA_TABLE)
-TC0 = jnp.asarray(_dn.TC0_TABLE)
-CHROMA_QP = jnp.asarray(_dn.CHROMA_QP)
+# numpy at module scope: numpy closures bake in as trace-time program
+# constants; captured jax Arrays become runtime buffer arguments pinned
+# to live device allocations. jnp.asarray at the traced-index use site.
+ALPHA = np.asarray(_dn.ALPHA_TABLE)
+BETA = np.asarray(_dn.BETA_TABLE)
+TC0 = np.asarray(_dn.TC0_TABLE)
+CHROMA_QP = np.asarray(_dn.CHROMA_QP)
 
 
 # ---------------------------------------------------------------------------
@@ -196,34 +199,39 @@ def _edge_params(mb_w, mb_h, cls, qp, nnz, mv, ref_idx, slice_id,
     bs_v = jnp.where(t8f[:, :, None] & kmask[None, :, None], 0, bs_v)
     bs_h = jnp.where(t8f[:, :, None] & kmask[None, :, None], 0, bs_h)
 
+    alpha_t = jnp.asarray(ALPHA)
+    beta_t = jnp.asarray(BETA)
+    tc0_t = jnp.asarray(TC0)
+    cqp_t = jnp.asarray(CHROMA_QP)
+
     def luma_dir(nbr):
         pmb = jnp.stack([nbr, mbi, mbi, mbi], axis=1)      # [n,4]
         qpa = (qps[pmb] + qps[:, None] + 1) >> 1
         ia = jnp.clip(qpa + aoff[:, None], 0, 51)
         ib = jnp.clip(qpa + boff[:, None], 0, 51)
-        return ALPHA[ia], BETA[ib], ia
+        return alpha_t[ia], beta_t[ib], ia
 
     def chroma_dir(nbr):
         pmb = jnp.stack([nbr, mbi], axis=1)                # [n,2]
-        qcp = CHROMA_QP[jnp.clip(qps[pmb] + coff, 0, 51)]
-        qcq = CHROMA_QP[jnp.clip(qps[:, None] + coff, 0, 51)]
+        qcp = cqp_t[jnp.clip(qps[pmb] + coff, 0, 51)]
+        qcq = cqp_t[jnp.clip(qps[:, None] + coff, 0, 51)]
         qpa = (qcp + qcq + 1) >> 1
         ia = jnp.clip(qpa + aoff[:, None], 0, 51)
         ib = jnp.clip(qpa + boff[:, None], 0, 51)
-        return ALPHA[ia], BETA[ib], ia
+        return alpha_t[ia], beta_t[ib], ia
 
     p = {"bs_v": bs_v, "bs_h": bs_h}
     for d, nbr, bs in (("v", left_mb, bs_v), ("h", top_mb, bs_h)):
         al, be, ia = luma_dir(nbr)
         p["alpha_" + d] = al
         p["beta_" + d] = be
-        p["tc0_" + d] = TC0[ia[:, :, None], jnp.clip(bs, 1, 3) - 1]
+        p["tc0_" + d] = tc0_t[ia[:, :, None], jnp.clip(bs, 1, 3) - 1]
         bs_c = bs[:, ::2, ::2]                             # [n,2,8]
         alc, bec, iac = chroma_dir(nbr)
         p["bs_c" + d] = bs_c
         p["alpha_c" + d] = alc
         p["beta_c" + d] = bec
-        p["tc0_c" + d] = TC0[iac[:, :, None], jnp.clip(bs_c, 1, 3) - 1]
+        p["tc0_c" + d] = tc0_t[iac[:, :, None], jnp.clip(bs_c, 1, 3) - 1]
     return p
 
 

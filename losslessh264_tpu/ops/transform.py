@@ -19,10 +19,13 @@ import numpy as np
 
 from .. import decoder_np as _np_ref
 
-# dequant scale tables (host constants)
-DEQ4_V = jnp.asarray(_np_ref._V4[:, _np_ref._POS4])          # [6,4,4]
-DEQ8_V = jnp.asarray(_np_ref._V8[:, _np_ref._POS8])          # [6,8,8]
-CHROMA_QP = jnp.asarray(_np_ref.CHROMA_QP)
+# dequant scale tables — NUMPY at module scope: numpy closures bake in
+# as trace-time program constants; captured jax Arrays become runtime
+# buffer arguments pinned to live device allocations. Convert with
+# jnp.asarray at the traced-index use sites.
+DEQ4_V = np.asarray(_np_ref._V4[:, _np_ref._POS4])           # [6,4,4]
+DEQ8_V = np.asarray(_np_ref._V8[:, _np_ref._POS8])           # [6,8,8]
+CHROMA_QP = np.asarray(_np_ref.CHROMA_QP)
 
 
 def dequant4(coeff: jax.Array, qp: jax.Array, weights: jax.Array) -> jax.Array:
@@ -31,7 +34,7 @@ def dequant4(coeff: jax.Array, qp: jax.Array, weights: jax.Array) -> jax.Array:
     Returns dequantized int32 levels (spec 8.5.9 general form).
     """
     qp = qp.astype(jnp.int32)
-    ls = weights * DEQ4_V[qp % 6]
+    ls = weights * jnp.asarray(DEQ4_V)[qp % 6]
     c = coeff.astype(jnp.int32) * ls
     qdiv = (qp // 6)[..., None, None]
     hi = c << jnp.maximum(qdiv - 4, 0)
@@ -42,7 +45,7 @@ def dequant4(coeff: jax.Array, qp: jax.Array, weights: jax.Array) -> jax.Array:
 
 def dequant8(coeff: jax.Array, qp: jax.Array, weights: jax.Array) -> jax.Array:
     qp = qp.astype(jnp.int32)
-    ls = weights * DEQ8_V[qp % 6]
+    ls = weights * jnp.asarray(DEQ8_V)[qp % 6]
     c = coeff.astype(jnp.int32) * ls
     qdiv = (qp // 6)[..., None, None]
     hi = c << jnp.maximum(qdiv - 6, 0)
@@ -119,7 +122,7 @@ def idct8x8(blocks: jax.Array) -> jax.Array:
 def luma_dc_dequant(dc_t: jax.Array, qp: jax.Array, w00: jax.Array) -> jax.Array:
     """Post-Hadamard I16 DC dequant (8.5.10). dc_t [..,4,4], qp [..]."""
     qp = qp.astype(jnp.int32)
-    scale = (w00 * DEQ4_V[qp % 6][..., 0, 0])[..., None, None]
+    scale = (w00 * jnp.asarray(DEQ4_V)[qp % 6][..., 0, 0])[..., None, None]
     qdiv = (qp // 6)[..., None, None]
     hi = (dc_t * scale) << jnp.maximum(qdiv - 6, 0)
     shift = jnp.maximum(6 - qdiv, 0)
@@ -137,7 +140,7 @@ def chroma_dc_transform_dequant(dc: jax.Array, qpc: jax.Array,
     t = jnp.stack([jnp.stack([a + b + c + d, a - b + c - d], -1),
                    jnp.stack([a + b - c - d, a - b - c + d], -1)], -2)
     qpc = qpc.astype(jnp.int32)
-    scale = (w00 * DEQ4_V[qpc % 6][..., 0, 0])[..., None, None]
+    scale = (w00 * jnp.asarray(DEQ4_V)[qpc % 6][..., 0, 0])[..., None, None]
     return ((t * scale) << (qpc // 6)[..., None, None]) >> 5
 
 
@@ -197,7 +200,7 @@ def chroma_residuals(mb_class, qp, cbp_chroma, chroma_ac, chroma_dc,
     outs = []
     for c in range(2):
         off = chroma_qp_offset if c == 0 else second_chroma_qp_offset
-        qpc = CHROMA_QP[jnp.clip(qp + off, 0, 51)]
+        qpc = jnp.asarray(CHROMA_QP)[jnp.clip(qp + off, 0, 51)]
         w = jnp.where(is_intra[:, None, None],
                       w4_u_intra if c == 0 else w4_v_intra,
                       w4_u_inter if c == 0 else w4_v_inter)
@@ -232,14 +235,14 @@ def recon_residual_frame(coeff_blocks: jax.Array, qp: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 # quant multipliers MF[qp%6] expanded per coefficient position (same
 # positional-class layout as the dequant _POS4 table)
-MF4_V = jnp.asarray(
-    np.array([[13107, 5243, 8066],
-              [11916, 4660, 7490],
-              [10082, 4194, 6554],
-              [9362, 3647, 5825],
-              [8192, 3355, 5243],
-              [7282, 2893, 4559]], np.int64)[:, _np_ref._POS4])  # [6,4,4]
-ZZ4 = jnp.asarray(_np_ref._ZZ4)  # [16] raster index per zigzag position
+MF4_V = np.array([[13107, 5243, 8066],
+                  [11916, 4660, 7490],
+                  [10082, 4194, 6554],
+                  [9362, 3647, 5825],
+                  [8192, 3355, 5243],
+                  [7282, 2893, 4559]],
+                 np.int64)[:, _np_ref._POS4]  # [6,4,4] (numpy, see above)
+ZZ4 = np.asarray(_np_ref._ZZ4)  # [16] raster index per zigzag position
 
 
 def fdct4x4(blocks: jax.Array) -> jax.Array:
@@ -265,7 +268,7 @@ def quant4(W: jax.Array, qp: jax.Array, intra, skip_dc: bool = False):
     qbits = 15 + qp // 6
     base = jnp.left_shift(1, qbits)
     f = jnp.where(jnp.asarray(intra), base // 3, base // 6)
-    mf = MF4_V[qp % 6]  # [..,4,4]
+    mf = jnp.asarray(MF4_V)[qp % 6]  # [..,4,4]
     Wl = W.astype(jnp.int64)
     Z = jnp.right_shift(jnp.abs(Wl) * mf + f[..., None, None].astype(jnp.int64),
                         qbits[..., None, None]).astype(jnp.int32)
@@ -296,7 +299,7 @@ def quant_dc4(Yd: jax.Array, qp: jax.Array) -> jax.Array:
     qp = jnp.asarray(qp, jnp.int32)
     qbits = 15 + qp // 6
     f = jnp.left_shift(1, qbits) // 3
-    mf = MF4_V[qp % 6][..., 0, 0]  # [..] scalar class-0 multiplier
+    mf = jnp.asarray(MF4_V)[qp % 6][..., 0, 0]  # [..] class-0 multiplier
     num = (jnp.abs(Yd.astype(jnp.int64)) * mf[..., None, None].astype(jnp.int64)
            + 2 * f[..., None, None].astype(jnp.int64))
     Z = jnp.right_shift(num, (qbits + 1)[..., None, None]).astype(jnp.int32)
