@@ -81,11 +81,10 @@ def _bench_encode_720p():
         V = np.ascontiguousarray(scene[1:H // 2 + 1, 1:W // 2 + 1])
         frames.append((Y, U, V))
     enc = encoder_jax.JaxEncoder(W, H, qp=28)
-    enc.encode_frame(*frames[0])   # compile I
-    enc.encode_frame(*frames[1])   # compile P
+    enc.encode_frame(*frames[0])    # compile I
+    enc.encode_frames(frames[1:9], batch=8)   # compile the K=8 P program
     t0 = time.perf_counter()
-    for f in frames[2:]:
-        enc.encode_frame(*f)
+    enc.encode_frames(frames[1:9], batch=8)
     t1 = time.perf_counter()
     return round(8 / (t1 - t0), 2)
 

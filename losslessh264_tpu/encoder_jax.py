@@ -758,6 +758,74 @@ def _p_intra_fixup(mb_w: int, mb_h: int, idc: int, packed, Y, U, V,
     return syms, recY, recU, recV
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("mb_w", "mb_h", "radius", "idc"))
+def _p_batch(mb_w: int, mb_h: int, radius: int, idc: int, bufs, refY,
+             refU, refV, qp, qpc, slice_id, diags, row_slice):
+    """K consecutive P frames in ONE program: lax.scan chains the
+    recon+deblock reference carry, so a whole batch rides one source
+    upload, one dispatch, and one packed symbol fetch. The axon tunnel
+    pays ~30 ms latency per dispatch and ~20 MB/s per transfer, which
+    makes per-frame dispatch count — not FLOPs — the unbatched
+    pipeline's bound.
+
+    bufs: [K, H+H/2, W] uint8 source buffers (_upload_buf layout).
+    refY/refU/refV: unpadded uint8 recon planes of the preceding frame.
+    Returns (packed8 [K,n,442] int8, packed16 [K,n,441] int16, recon*3):
+    per frame, 14 meta columns (_pack_meta) ++ PACK_W symbol columns
+    (_pack_merge layout) ++ a wide-coeff flag; packed16 stays device-side
+    as the rare wide-value fallback."""
+    n = mb_w * mb_h
+
+    def step(carry, buf):
+        rY0, rU0, rV0 = carry
+        Y, U, V = _split_src(mb_h, mb_w, buf)
+        refY_s, refU_s, refV_s = _pad_refs(rY0[None], rU0[None], rV0[None])
+        (mvx, mvy, use_intra, part, ref_sel, mv8, mvq, qac_zz, cdc, cac,
+         tile_y, tile_u, tile_v, no_res) = encode_inter_mbs(
+            mb_w, mb_h, radius, Y, U, V, refY_s, refU_s, refV_s, qp, qpc)
+        meta = _pack_meta(mvx, mvy, use_intra, no_res, part, mv8, ref_sel)
+        cls_d = jnp.where(use_intra, 1, 3 + part).astype(jnp.int32)
+        nnz_d = (qac_zz != 0).any(-1)
+        mvc = mvq[:, jnp.asarray(_CELL_PART8), :]
+        mvc = jnp.where(use_intra[:, None, None], 0, mvc)
+        refc = jnp.broadcast_to(ref_sel[:, None], (n, 16))
+
+        def fix(_):
+            m = (~use_intra)[:, None, None]
+            (i16_mode, intra_cls, i4_modes, chroma_mode, ldc_i, lac_i,
+             cdc_i, cac_i, rY, rU, rV) = intra_wavefront(
+                mb_w, mb_h, Y, U, V, jnp.where(m, tile_y, 0),
+                jnp.where(m, tile_u, 0), jnp.where(m, tile_v, 0),
+                use_intra, qp, qpc, diags, row_slice)
+            syms = _pack_merge(use_intra, ldc_i, lac_i, cdc_i, cac_i,
+                               i16_mode, chroma_mode, intra_cls, i4_modes,
+                               qac_zz, cdc, cac)
+            return syms, rY, rU, rV, jnp.where(use_intra, intra_cls, cls_d)
+
+        def plain(_):
+            rY, rU, rV = _finalize_inter(mb_w, mb_h, tile_y, tile_u,
+                                         tile_v)
+            return _pack_inter_only(qac_zz, cdc, cac), rY, rU, rV, cls_d
+
+        syms, rY, rU, rV, cls2 = jax.lax.cond(use_intra.any(), fix, plain,
+                                              None)
+        if idc != 1:
+            rY, rU, rV = _deblock_recon(mb_w, mb_h, rY, rU, rV, cls2, qp,
+                                        nnz_d, mvc, slice_id, idc, refc)
+        packed = jnp.concatenate([meta, syms], axis=1)      # [n,441] i16
+        clip8 = jnp.clip(packed, -128, 127)
+        wide = (clip8 != packed).any(axis=1)
+        packed8 = jnp.concatenate(
+            [clip8, wide[:, None].astype(jnp.int16)],
+            axis=1).astype(jnp.int8)
+        return (rY, rU, rV), (packed8, packed)
+
+    (refY, refU, refV), (p8, p16) = jax.lax.scan(
+        step, (refY, refU, refV), bufs)
+    return p8, p16, refY, refU, refV
+
+
 @functools.partial(jax.jit, static_argnames=("mb_w", "mb_h", "idc"))
 def _i_frame(mb_w: int, mb_h: int, idc: int, buf, qp, qpc, qp_plane,
              slice_id, diags, row_slice):
@@ -983,9 +1051,9 @@ class JaxEncoder:
         return skip_pred, p16_pred
 
     # -- frame paths ------------------------------------------------------
-    def _upload_buf(self, Y, U, V):
-        """Single H2D transfer: Y on top, U|V side by side below (source
-        edge-padded to whole MBs when the display size isn't)."""
+    def _host_buf(self, Y, U, V):
+        """Packed host frame buffer: Y on top, U|V side by side below
+        (source edge-padded to whole MBs when the display size isn't)."""
         if self.pad_w or self.pad_h:
             Y = np.pad(Y, ((0, self.pad_h), (0, self.pad_w)), mode="edge")
             U = np.pad(U, ((0, self.pad_h // 2), (0, self.pad_w // 2)),
@@ -997,7 +1065,11 @@ class JaxEncoder:
         buf[:H] = Y
         buf[H:, :W // 2] = U
         buf[H:, W // 2:] = V
-        return jnp.asarray(buf)
+        return buf
+
+    def _upload_buf(self, Y, U, V):
+        """Single H2D transfer of the packed frame buffer."""
+        return jnp.asarray(self._host_buf(Y, U, V))
 
     def _upload(self, Y, U, V):
         return _split_src(self.mb_h, self.mb_w, self._upload_buf(Y, U, V))
@@ -1100,6 +1172,99 @@ class JaxEncoder:
         return self._write(0, mb_class, mv, i16m, cm, ldc, lac, cdc, cac,
                            i4_modes=m4, mv8=mv8, n_refs=n_refs,
                            ref_plane=ref_plane)
+
+    def _write_p_packed(self, packed):
+        """Host entropy tail for the batched P path: `packed` is one
+        frame's [n, 441] int16 array (14 meta ++ 427 symbol columns)."""
+        n = self.mb_w * self.mb_h
+        meta = packed[:, :14]
+        use_intra = meta[:, 2] != 0
+        no_res = meta[:, 3] != 0
+        part = meta[:, 4]
+        mv8 = np.ascontiguousarray(meta[:, 5:13], np.int16)
+        ref_plane = np.ascontiguousarray(meta[:, 13], np.int8)
+        ref_plane[use_intra] = 0
+        mv = np.zeros((n, 2), np.int16)
+        mv[:, 0] = meta[:, 0]
+        mv[:, 1] = meta[:, 1]
+        mv[use_intra] = 0
+        (ldc, lac, cdc, cac, i16m, cm, cls, m4) = _unpack(packed[:, 14:])
+        mb_class = np.where(use_intra, 1, 3 + part).astype(np.uint8)
+        skip_pred, _ = self._mv_preds(mb_class, mv, mv8, ref_plane)
+        is_skip = (no_res & ~use_intra & (part == 0) & (ref_plane == 0)
+                   & (mv[:, 0] == skip_pred[:, 0])
+                   & (mv[:, 1] == skip_pred[:, 1]))
+        mb_class[is_skip] = 11
+        mb_class[use_intra & (cls == 0)] = 0  # I4x4 fallback MBs
+        return self._write(0, mb_class, mv, i16m, cm, ldc, lac, cdc, cac,
+                           i4_modes=m4, mv8=mv8, n_refs=1,
+                           ref_plane=ref_plane)
+
+    def _encode_p_run(self, frames):
+        """K consecutive P frames through the scanned `_p_batch` program:
+        one H2D upload, one dispatch, and one packed D2H fetch for the
+        whole run (the axon tunnel charges ~30 ms per dispatch/sync, so
+        per-run rather than per-frame dispatch is the throughput lever)."""
+        n = self.mb_w * self.mb_h
+        bufs = jnp.asarray(np.stack([self._host_buf(*f) for f in frames]))
+        qp_d = jnp.full((n,), self.qp, jnp.int32)
+        qpc_d = jnp.full((n,), self.qpc, jnp.int32)
+        p8_d, p16_d, recY, recU, recV = _p_batch(
+            self.mb_w, self.mb_h, self.ME_RADIUS, self.deblock_idc, bufs,
+            *self.ref, qp_d, qpc_d, self._slice_id, self._diags,
+            self._row_slice)
+        self.ref = (recY, recU, recV)
+        p8 = np.asarray(p8_d)  # the run's one blocking fetch
+        out = []
+        for k in range(len(frames)):
+            if p8[k, :, 441].any():  # rare wide coeffs: refetch as int16
+                packed = np.asarray(p16_d[k])
+            else:
+                packed = p8[k, :, :441].astype(np.int16)
+            out.append(self._write_p_packed(packed))
+            self._frame_num = (self._frame_num + 1) & 0xff
+            self.frame_idx += 1
+        return out
+
+    @property
+    def _batchable(self):
+        """Configurations the scanned multi-frame P program covers: the
+        plain fused path (flat QP, single short-term reference, every
+        frame a reference) with no per-frame host decisions in between."""
+        return (not self.intra_only and not self.aq and not self.gom_rc
+                and self.rc is None and not self.scene_cut
+                and self.refs == 1 and self.temporal_layers == 1
+                and not self.ltr)
+
+    def encode_frames(self, frames, batch=8):
+        """Encode a sequence of (Y, U, V) frames. When the configuration
+        allows, full runs of `batch` consecutive P frames ride one
+        scanned device program (`_p_batch`); output bytes are identical
+        to per-frame encode_frame() calls. Shorter runs (GOP tails, odd
+        counts) fall back to the already-compiled per-frame path so only
+        one batched program shape ever compiles."""
+        frames = list(frames)
+        out = []
+        i = 0
+        while i < len(frames):
+            is_idr = (self.ref is None or self.intra_only
+                      or (self.gop and self.frame_idx % self.gop == 0))
+            if is_idr or not self._batchable:
+                out.append(self.encode_frame(*frames[i]))
+                i += 1
+                continue
+            k = 1
+            while (i + k < len(frames) and k < batch
+                   and not (self.gop
+                            and (self.frame_idx + k) % self.gop == 0)):
+                k += 1
+            if k < batch:
+                for f in frames[i:i + k]:
+                    out.append(self.encode_frame(*f))
+            else:
+                out.extend(self._encode_p_run(frames[i:i + k]))
+            i += k
+        return out
 
     def _encode_i_aq(self, Y, U, V):
         n = self.mb_w * self.mb_h
@@ -1237,7 +1402,4 @@ class JaxEncoder:
 
 def encode_yuv(frames, width, height, qp=28, gop=0, intra_only=False):
     enc = JaxEncoder(width, height, qp=qp, gop=gop, intra_only=intra_only)
-    out = b""
-    for (Y, U, V) in frames:
-        out += enc.encode_frame(Y, U, V)
-    return out
+    return b"".join(enc.encode_frames(list(frames)))

@@ -463,3 +463,43 @@ def test_two_reference_frames():
     pip, st = native.compress(data, verify=False)
     out, _ = native.decompress(pip)
     assert out == data and st.n_fallback_slices == 0
+
+
+def test_batched_p_run_bitexact():
+    """encode_frames batches runs of P frames through one scanned device
+    program (_p_batch); output must be byte-identical to per-frame
+    encode_frame calls, recon must stay decoder-exact, and the stream
+    must recompress losslessly."""
+    frames = _moving_frames(n=10, W=64, H=48, seed=11)
+    # force some intra-fallback MBs mid-run: a hard scene change
+    rng = np.random.RandomState(12)
+    Y6 = rng.randint(0, 255, (48, 64)).astype(np.uint8)
+    frames[6] = (Y6, frames[6][1], frames[6][2])
+    W, H = 64, 48
+    ref = encoder_jax.JaxEncoder(W, H, qp=30)
+    want = b"".join(ref.encode_frame(*f) for f in frames)
+    enc = encoder_jax.JaxEncoder(W, H, qp=30)
+    got = b"".join(enc.encode_frames(frames, batch=4))
+    assert got == want
+    for a, b in zip(ref.recon, enc.recon):
+        np.testing.assert_array_equal(a, b)
+    dec = decoder_np.NpDecoder(got, error_concealment=False)
+    last = None
+    for fr in dec.frames():
+        last = fr
+    for a, b in zip(last, enc.recon):
+        np.testing.assert_array_equal(a, b)
+    pip, st = native.compress(got, verify=False)
+    out, _ = native.decompress(pip)
+    assert out == got and st.n_fallback_slices == 0
+
+
+def test_batched_p_run_gop_boundaries():
+    """Batched runs must respect GOP IDR placement and frame_num
+    sequencing exactly as the per-frame path."""
+    frames = _moving_frames(n=9, W=48, H=48, seed=13)
+    ref = encoder_jax.JaxEncoder(48, 48, qp=32, gop=4)
+    want = b"".join(ref.encode_frame(*f) for f in frames)
+    enc = encoder_jax.JaxEncoder(48, 48, qp=32, gop=4)
+    got = b"".join(enc.encode_frames(frames, batch=3))
+    assert got == want
