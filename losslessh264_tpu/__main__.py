@@ -111,8 +111,7 @@ def main(argv=None):
                                      temporal_layers=args.temporal_layers,
                                      gom_rc=rc is not None,
                                      refs=args.refs, slices=args.slices)
-        t0 = time.perf_counter()
-        out = b""
+        frames = []
         for i in range(n_frames):
             o = i * fsz
             Y = np.frombuffer(raw, np.uint8, W * H, o).reshape(H, W)
@@ -120,7 +119,10 @@ def main(argv=None):
                               o + W * H).reshape(H // 2, W // 2)
             V = np.frombuffer(raw, np.uint8, W * H // 4,
                               o + W * H * 5 // 4).reshape(H // 2, W // 2)
-            out += enc.encode_frame(Y, U, V)
+            frames.append((Y, U, V))
+        t0 = time.perf_counter()
+        # runs of P frames batch into scanned multi-frame device programs
+        out = b"".join(enc.encode_frames(frames))
         t1 = time.perf_counter()
         open(out_path, "wb").write(out)
         if args.stats:

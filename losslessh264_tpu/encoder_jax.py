@@ -1200,11 +1200,14 @@ class JaxEncoder:
                            i4_modes=m4, mv8=mv8, n_refs=1,
                            ref_plane=ref_plane)
 
-    def _encode_p_run(self, frames):
-        """K consecutive P frames through the scanned `_p_batch` program:
-        one H2D upload, one dispatch, and one packed D2H fetch for the
-        whole run (the axon tunnel charges ~30 ms per dispatch/sync, so
-        per-run rather than per-frame dispatch is the throughput lever)."""
+    def _dispatch_p_run(self, frames):
+        """Queue K consecutive P frames as one scanned `_p_batch` program:
+        one H2D upload and one dispatch for the whole run (the axon
+        tunnel charges ~30 ms per dispatch/sync, so per-run rather than
+        per-frame dispatch is the throughput lever). Returns the device
+        handles; `self.ref` advances to the run's final recon without a
+        sync, so the next run can be queued behind this one while the
+        host is still writing earlier frames' entropy."""
         n = self.mb_w * self.mb_h
         bufs = jnp.asarray(np.stack([self._host_buf(*f) for f in frames]))
         qp_d = jnp.full((n,), self.qp, jnp.int32)
@@ -1214,9 +1217,14 @@ class JaxEncoder:
             *self.ref, qp_d, qpc_d, self._slice_id, self._diags,
             self._row_slice)
         self.ref = (recY, recU, recV)
+        return p8_d, p16_d, len(frames)
+
+    def _drain_p_run(self, p8_d, p16_d, K):
+        """Host half of a dispatched run: one packed D2H fetch, then the
+        per-frame entropy writes and frame bookkeeping."""
         p8 = np.asarray(p8_d)  # the run's one blocking fetch
         out = []
-        for k in range(len(frames)):
+        for k in range(K):
             if p8[k, :, 441].any():  # rare wide coeffs: refetch as int16
                 packed = np.asarray(p16_d[k])
             else:
@@ -1242,28 +1250,48 @@ class JaxEncoder:
         scanned device program (`_p_batch`); output bytes are identical
         to per-frame encode_frame() calls. Shorter runs (GOP tails, odd
         counts) fall back to the already-compiled per-frame path so only
-        one batched program shape ever compiles."""
+        one batched program shape ever compiles. Back-to-back runs are
+        double-buffered: run N+1 is queued on the device before run N's
+        symbols are fetched, so device analysis of the next run overlaps
+        the host entropy writing of the current one."""
         frames = list(frames)
+        if not self._batchable:
+            return [self.encode_frame(*f) for f in frames]
         out = []
+        pending = []   # dispatched-but-unwritten runs (at most one deep)
+        fidx = self.frame_idx   # segmentation-time frame counter
+        have_ref = self.ref is not None
+
+        def drain():
+            while pending:
+                out.extend(self._drain_p_run(*pending.pop(0)))
+
         i = 0
         while i < len(frames):
-            is_idr = (self.ref is None or self.intra_only
-                      or (self.gop and self.frame_idx % self.gop == 0))
-            if is_idr or not self._batchable:
+            is_idr = (not have_ref
+                      or (self.gop and fidx % self.gop == 0))
+            if is_idr:
+                drain()
                 out.append(self.encode_frame(*frames[i]))
+                fidx += 1
+                have_ref = True
                 i += 1
                 continue
             k = 1
             while (i + k < len(frames) and k < batch
-                   and not (self.gop
-                            and (self.frame_idx + k) % self.gop == 0)):
+                   and not (self.gop and (fidx + k) % self.gop == 0)):
                 k += 1
             if k < batch:
+                drain()
                 for f in frames[i:i + k]:
                     out.append(self.encode_frame(*f))
             else:
-                out.extend(self._encode_p_run(frames[i:i + k]))
+                pending.append(self._dispatch_p_run(frames[i:i + k]))
+                if len(pending) > 1:
+                    out.extend(self._drain_p_run(*pending.pop(0)))
+            fidx += k
             i += k
+        drain()
         return out
 
     def _encode_i_aq(self, Y, U, V):
