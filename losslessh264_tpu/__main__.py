@@ -50,6 +50,8 @@ def main(argv=None):
                     help="encode with CABAC entropy coding")
     ap.add_argument("--aq", action="store_true",
                     help="encode with per-MB adaptive quantization")
+    ap.add_argument("--denoise", action="store_true",
+                    help="encode with luma denoise preprocessing")
     ap.add_argument("--refs", type=int, default=1,
                     help="encode with N reference frames (1 or 2)")
     ap.add_argument("--slices", type=int, default=1,
@@ -110,7 +112,8 @@ def main(argv=None):
                                      cabac=args.cabac, aq=args.aq,
                                      temporal_layers=args.temporal_layers,
                                      gom_rc=rc is not None,
-                                     refs=args.refs, slices=args.slices)
+                                     refs=args.refs, slices=args.slices,
+                                     denoise=args.denoise)
         frames = []
         for i in range(n_frames):
             o = i * fsz

@@ -864,7 +864,7 @@ class JaxEncoder:
     def __init__(self, width, height, qp=28, gop=0, intra_only=False,
                  rc=None, scene_cut=False, aq=False, cabac=False,
                  slices=1, deblock=True, temporal_layers=1,
-                 gom_rc=False, ltr=False, refs=1):
+                 gom_rc=False, ltr=False, refs=1, denoise=False):
         assert width % 2 == 0 and height % 2 == 0, "4:2:0 needs even dims"
         # arbitrary (even) resolutions: pad to whole MBs internally and
         # signal the true size via SPS frame cropping (7.4.2.1.1)
@@ -907,6 +907,10 @@ class JaxEncoder:
         assert not (refs == 2 and (aq or gom_rc)), \
             "refs=2 requires the fused (non-AQ) path"
         self.refs = refs
+        # luma denoise preprocess (reference denoise.cpp flat-region
+        # filter, applied by CWelsPreProcess before analysis)
+        self.denoise = bool(denoise)
+        self._force_idr = False   # ISVCEncoder::ForceIntraFrame analog
         self._ref2 = None         # second-newest ref recon (refs=2)
         self.frame_idx = 0
         self._frame_num = 0   # 7.4.3: increments after each ref frame
@@ -1054,6 +1058,9 @@ class JaxEncoder:
     def _host_buf(self, Y, U, V):
         """Packed host frame buffer: Y on top, U|V side by side below
         (source edge-padded to whole MBs when the display size isn't)."""
+        if self.denoise:
+            from . import processing as proc
+            Y = np.asarray(proc.denoise(jnp.asarray(Y)))
         if self.pad_w or self.pad_h:
             Y = np.pad(Y, ((0, self.pad_h), (0, self.pad_w)), mode="edge")
             U = np.pad(U, ((0, self.pad_h // 2), (0, self.pad_w // 2)),
@@ -1268,7 +1275,9 @@ class JaxEncoder:
 
         i = 0
         while i < len(frames):
-            is_idr = (not have_ref
+            # _force_idr only affects the next encode_frame call, which
+            # consumes (clears) it
+            is_idr = (not have_ref or self._force_idr
                       or (self.gop and fidx % self.gop == 0))
             if is_idr:
                 drain()
@@ -1379,10 +1388,16 @@ class JaxEncoder:
         self._apply_deblock(mb_class, lac, mv, mv8)
         return data
 
+    def force_intra_frame(self):
+        """Make the next encoded frame an IDR (the reference's
+        ISVCEncoder::ForceIntraFrame, codec_api.h)."""
+        self._force_idr = True
+
     def encode_frame(self, Y, U, V):
         from . import processing as proc
-        is_idr = (self.ref is None or self.intra_only
+        is_idr = (self.ref is None or self.intra_only or self._force_idr
                   or (self.gop and self.frame_idx % self.gop == 0))
+        self._force_idr = False
         # temporal layer of this frame (T1 = odd frames, non-reference)
         t1 = (self.temporal_layers == 2 and not is_idr
               and self.frame_idx % 2 == 1)

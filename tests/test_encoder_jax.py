@@ -503,3 +503,46 @@ def test_batched_p_run_gop_boundaries():
     enc = encoder_jax.JaxEncoder(48, 48, qp=32, gop=4)
     got = b"".join(enc.encode_frames(frames, batch=3))
     assert got == want
+
+
+def test_force_intra_and_denoise():
+    """force_intra_frame() (ISVCEncoder::ForceIntraFrame analog) inserts
+    an IDR mid-stream; denoise=True preprocesses luma (denoise.cpp
+    flat-region filter) and the stream still decodes/recompresses."""
+    frames = _moving_frames(n=6, W=64, H=48, seed=21)
+    enc = encoder_jax.JaxEncoder(64, 48, qp=30, denoise=True)
+    data = b""
+    for i, f in enumerate(frames):
+        if i == 3:
+            enc.force_intra_frame()
+        data += enc.encode_frame(*f)
+    # NAL type 5 (IDR slice) count: frame 0 and frame 3
+    idr_nals = 0
+    i = 0
+    while True:
+        i = data.find(b"\x00\x00\x01", i)
+        if i < 0:
+            break
+        if data[i + 3] & 0x1F == 5:
+            idr_nals += 1
+        i += 3
+    assert idr_nals == 2
+    dec = decoder_np.NpDecoder(data, error_concealment=False)
+    assert sum(1 for _ in dec.frames()) == 6
+    pip, st = native.compress(data, verify=False)
+    out, _ = native.decompress(pip)
+    assert out == data and st.n_fallback_slices == 0
+    # denoise=True must encode exactly what the flat-region filter
+    # produces: equal bytes to a plain encode of the pre-filtered source
+    from losslessh264_tpu import processing as proc
+    rng = np.random.RandomState(22)
+    noisy = (np.full((48, 64), 90) + rng.randint(-8, 9, (48, 64))) \
+        .astype(np.uint8)
+    U = np.full((24, 32), 100, np.uint8)
+    V = np.full((24, 32), 200, np.uint8)
+    den = encoder_jax.JaxEncoder(64, 48, qp=30,
+                                 denoise=True).encode_frame(noisy, U, V)
+    pre = np.asarray(proc.denoise(noisy))
+    assert not np.array_equal(pre, noisy)  # the filter actually acted
+    want = encoder_jax.JaxEncoder(64, 48, qp=30).encode_frame(pre, U, V)
+    assert den == want
