@@ -57,8 +57,9 @@ def main(argv=None):
     ap.add_argument("--slices", type=int, default=1,
                     help="encode with N row-aligned slices per frame")
     ap.add_argument("--temporal-layers", type=int, default=1,
-                    help="encode with N dyadic temporal layers (1 or 2; "
-                         "T1 frames are droppable non-references)")
+                    help="encode with N dyadic temporal layers (1-4; "
+                         "top-layer frames are droppable non-references; "
+                         "3/4 use hierarchical-P with RPLR/MMCO)")
     ap.add_argument("--jax", action="store_true",
                     help="decode mode: use the TPU (JAX) pixel pipeline "
                          "instead of the numpy oracle")

@@ -213,7 +213,8 @@ def _cfg_lib():
     if not hasattr(lib.pip_encode_frame, "_cfg"):
         lib.pip_encode_frame.restype = ctypes.c_int
         lib.pip_encode_frame.argtypes = [ctypes.c_int] * 6 + \
-            [ctypes.c_void_p] * 11 + [ctypes.c_int] * 9 + \
+            [ctypes.c_void_p] * 11 + [ctypes.c_int] * 11 + \
+            [ctypes.c_void_p, ctypes.c_int] + \
             [ctypes.c_void_p] * 2 + \
             [ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
              ctypes.POINTER(ctypes.c_size_t), ctypes.c_char_p,
@@ -279,7 +280,8 @@ def _write_frame(lib, mw, mh, qp, frame_idx, slice_type, mb_class, mv,
                  cabac=False, n_slices=1, mv8=None, deblock_idc=1,
                  out_qp=None, crop_r=0, crop_b=0, is_ref=True,
                  frame_num=None, idr_id=0, ltr_flags=0, n_refs=1,
-                 ref_plane=None):
+                 ref_plane=None, sps_refs=0, rplr_diff=0,
+                 mmco_drops=None):
     out = ctypes.POINTER(ctypes.c_uint8)()
     out_size = ctypes.c_size_t()
     err = ctypes.create_string_buffer(512)
@@ -297,6 +299,8 @@ def _write_frame(lib, mw, mh, qp, frame_idx, slice_type, mb_class, mv,
         ref_plane = np.ascontiguousarray(ref_plane, np.int8)
     if frame_num is None:
         frame_num = frame_idx
+    mmco_arr = (None if mmco_drops is None or not len(mmco_drops)
+                else np.ascontiguousarray(mmco_drops, np.intc))
     rc = lib.pip_encode_frame(
         mw, mh, qp, frame_num, idr_id & 1, slice_type,
         ptr(mb_class), ptr(mv16), ptr(i16_mode), ptr(chroma_mode),
@@ -305,7 +309,9 @@ def _write_frame(lib, mw, mh, qp, frame_idx, slice_type, mb_class, mv,
         None if mv8 is None else ptr(mv8),
         1 if include_params else 0, 1 if cabac else 0, int(n_slices),
         int(deblock_idc), int(crop_r), int(crop_b), 1 if is_ref else 0,
-        int(ltr_flags), int(n_refs),
+        int(ltr_flags), int(n_refs), int(sps_refs), int(rplr_diff),
+        None if mmco_arr is None else ptr(mmco_arr),
+        0 if mmco_arr is None else len(mmco_arr),
         None if ref_plane is None else ptr(ref_plane),
         None if out_qp is None else ptr(out_qp),
         ctypes.byref(out), ctypes.byref(out_size), err, len(err))

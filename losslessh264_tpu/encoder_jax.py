@@ -886,12 +886,24 @@ class JaxEncoder:
         # in-loop filter: idc 0 filters everything; 2 keeps slices
         # independent (multi-slice); 1 = filter off (deblock=False)
         self.deblock_idc = (0 if self.slices == 1 else 2) if deblock else 1
-        # dyadic temporal scalability: with temporal_layers=2, odd frames
-        # are non-reference (nal_ref_idc 0) and predict from the last T0
-        # frame — droppable without breaking the T0 chain (the reference
-        # encoder's temporal-layer feature, ref_list_mgr_svc.cpp)
-        assert temporal_layers in (1, 2), "1 or 2 temporal layers"
+        # dyadic temporal scalability (the reference encoder supports up
+        # to 4 layers, ref_list_mgr_svc.cpp). L=2: odd frames are
+        # droppable non-references predicting from the last T0 frame.
+        # L=3/4: full hierarchical-P — each frame predicts from its
+        # dyadic parent; the DPB keeps one reference per lower layer,
+        # RPLR (idc 0) brings the parent to L0[0] when it isn't the
+        # newest reference, and MMCO 1 evicts same-or-higher-layer
+        # references no future frame predicts from.
+        assert temporal_layers in (1, 2, 3, 4), "1..4 temporal layers"
+        assert temporal_layers <= 2 or (refs == 1 and not ltr
+                                        and not aq and not gom_rc), \
+            "hierarchical layers need the plain single-ref path"
         self.temporal_layers = temporal_layers
+        self._gop_pos = 0     # frames since the last IDR (hierarchical-P)
+        self._dpb = []        # [{pos, fn, layer, recon}] for L >= 3
+        self._sps_refs = temporal_layers - 1 if temporal_layers >= 3 else 0
+        self._rplr_diff = 0
+        self._mmco_drops = None
         # long-term reference (reference LTR feature): the SPS keeps a
         # second DPB slot; IDRs seed the LTR, mark_ltr() re-marks it,
         # recover_from_ltr() makes the next P frame predict from it
@@ -957,7 +969,8 @@ class JaxEncoder:
             crop_r=self.pad_w // 2, crop_b=self.pad_h // 2,
             is_ref=self._cur_is_ref, frame_num=self._frame_num,
             idr_id=self._idr_id, ltr_flags=self._ltr_flags(slice_type),
-            n_refs=n_refs, ref_plane=ref_plane)
+            n_refs=n_refs, ref_plane=ref_plane, sps_refs=self._sps_refs,
+            rplr_diff=self._rplr_diff, mmco_drops=self._mmco_drops)
         return data
 
     def _ltr_flags(self, slice_type):
@@ -1402,6 +1415,31 @@ class JaxEncoder:
         t1 = (self.temporal_layers == 2 and not is_idr
               and self.frame_idx % 2 == 1)
         self._cur_is_ref = not t1
+        self._rplr_diff, self._mmco_drops = 0, None
+        hier = self.temporal_layers >= 3
+        layer = 0
+        if hier and not is_idr:
+            # dyadic position: layer from trailing zeros, parent = the
+            # previous frame of the next-lower layer (pos - lowest bit)
+            p = self._gop_pos
+            layer = self.temporal_layers - 1 - min(
+                (p & -p).bit_length() - 1, self.temporal_layers - 1)
+            self._cur_is_ref = layer < self.temporal_layers - 1
+            parent = next(e for e in self._dpb
+                          if e["pos"] == p - (p & -p))
+            self.ref = parent["recon"]
+            newest = max(e["fn"] for e in self._dpb)
+            if parent["fn"] != newest:
+                # parent isn't the default L0[0]: reorder it to front
+                self._rplr_diff = (self._frame_num - parent["fn"]) & 0xff
+            if self._cur_is_ref:
+                stale = [e for e in self._dpb if e["layer"] >= layer]
+                if stale:
+                    self._mmco_drops = [
+                        ((self._frame_num - e["fn"]) & 0xff) - 1
+                        for e in stale]
+                    self._dpb = [e for e in self._dpb
+                                 if e["layer"] < layer]
         cur_src = None
         if self.scene_cut or self.rc or self.aq:
             Yp = (np.pad(Y, ((0, self.pad_h), (0, self.pad_w)), mode="edge")
@@ -1425,6 +1463,16 @@ class JaxEncoder:
             # recon then re-seeds the short-term chain (loss recovery)
             self.ref = self._ltr_ref
         data = self._encode_i(Y, U, V) if is_idr else self._encode_p(Y, U, V)
+        if hier:
+            if is_idr:
+                self._gop_pos = 0
+                self._dpb = [{"pos": 0, "fn": self._frame_num,
+                              "layer": 0, "recon": self.ref}]
+            elif self._cur_is_ref:
+                self._dpb.append({"pos": self._gop_pos,
+                                  "fn": self._frame_num,
+                                  "layer": layer, "recon": self.ref})
+            self._gop_pos += 1
         self._use_ltr_next = False
         if self.ltr and self._cur_is_ref and (is_idr or self._mark_ltr_next):
             self._ltr_ref = self.ref  # this frame's recon is the LTR

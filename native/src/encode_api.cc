@@ -141,6 +141,14 @@ int pip_encode_frame(int mb_w, int mb_h, int qp, int frame_num, int idr_id,
                      int include_params, int cabac, int n_slices,
                      int deblock_idc, int crop_r, int crop_b, int is_ref,
                      int ltr_flags, int n_refs,
+                     int sps_refs /* SPS max_num_ref_frames override, 0 = derive */,
+                     int rplr_diff /* >0: RPLR idc0 abs_diff_pic_num putting
+                                      that short-term pic first in L0
+                                      (hierarchical-P temporal layers) */,
+                     const int* mmco_drops /* MMCO 1 diff_of_pic_nums_minus1
+                                              values: evict stale short-term
+                                              refs (hierarchical-P) */,
+                     int n_mmco,
                      const i8* ref_plane /* per-MB L0 ref_idx (P16x16) */,
                      u8* out_qp, u8** out,
                      size_t* out_size, char* err, size_t err_cap) {
@@ -150,12 +158,14 @@ int pip_encode_frame(int mb_w, int mb_h, int qp, int frame_num, int idr_id,
     bool ltr_mode = (ltr_flags & 1) != 0;
     bool ltr_mark = (ltr_flags & 2) != 0 && is_ref && !is_idr;
     bool ltr_use = (ltr_flags & 4) != 0 && !is_idr;
+    int sps_max_refs = sps_refs > 0
+                           ? sps_refs
+                           : std::max(n_refs, ltr_mode ? 2 : 1);
     if (n_slices < 1) n_slices = 1;
     if (n_slices > mb_h) n_slices = mb_h;
     std::vector<u8> stream;
     if (include_params) {
-      auto sps = write_sps(mb_w, mb_h, crop_r, crop_b,
-                           std::max(n_refs, ltr_mode ? 2 : 1));
+      auto sps = write_sps(mb_w, mb_h, crop_r, crop_b, sps_max_refs);
       auto pps = write_pps(cabac != 0);
       stream.insert(stream.end(), sps.begin(), sps.end());
       stream.insert(stream.end(), pps.begin(), pps.end());
@@ -164,7 +174,7 @@ int pip_encode_frame(int mb_w, int mb_h, int qp, int frame_num, int idr_id,
     sps_s.pic_width_in_mbs = mb_w;
     sps_s.pic_height_in_map_units = mb_h;
     sps_s.log2_max_frame_num = 8;
-    sps_s.max_num_ref_frames = std::max(n_refs, ltr_mode ? 2 : 1);
+    sps_s.max_num_ref_frames = sps_max_refs;
     Pps pps_s;
     if (cabac) pps_s.entropy_coding_mode = 1;
     PicState pic;
@@ -203,6 +213,13 @@ int pip_encode_frame(int mb_w, int mb_h, int qp, int frame_num, int idr_id,
         bw.put_ue(2);                 // idc 2: long_term_pic_num follows
         bw.put_ue(0);                 // long_term_pic_num = 0
         bw.put_ue(3);                 // idc 3: end of modifications
+      } else if (rplr_diff > 0) {
+        // hierarchical-P: bring the dyadic parent (an older short-term
+        // pic) to L0[0] (8.2.4.3.1 idc 0: pred -= abs_diff_pic_num)
+        bw.put_bit(1);                // ref_pic_list_modification_l0
+        bw.put_ue(0);                 // idc 0: subtract abs_diff_pic_num
+        bw.put_ue(u32(rplr_diff - 1));  // abs_diff_pic_num_minus1
+        bw.put_ue(3);                 // idc 3: end of modifications
       } else {
         bw.put_bit(0);                // ref_pic_list_modification
       }
@@ -213,6 +230,15 @@ int pip_encode_frame(int mb_w, int mb_h, int qp, int frame_num, int idr_id,
           bw.put_ue(1);               //   plus1 = 1 (idx 0 allowed)
           bw.put_ue(6);               // MMCO 6: current -> LT idx 0
           bw.put_ue(0);
+          bw.put_ue(0);               // MMCO 0: end
+        } else if (n_mmco > 0) {
+          // hierarchical-P: evict short-term refs whose temporal layer
+          // is >= this frame's — no future frame predicts from them
+          bw.put_bit(1);              // adaptive marking
+          for (int m = 0; m < n_mmco; ++m) {
+            bw.put_ue(1);             // MMCO 1: drop short-term
+            bw.put_ue(u32(mmco_drops[m]));  // diff_of_pic_nums_minus1
+          }
           bw.put_ue(0);               // MMCO 0: end
         } else {
           bw.put_bit(0);

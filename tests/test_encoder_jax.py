@@ -546,3 +546,70 @@ def test_force_intra_and_denoise():
     assert not np.array_equal(pre, noisy)  # the filter actually acted
     want = encoder_jax.JaxEncoder(64, 48, qp=30).encode_frame(pre, U, V)
     assert den == want
+
+
+def test_hierarchical_temporal_layers():
+    """temporal_layers=4 hierarchical-P (reference ref_list_mgr_svc up to
+    4 dyadic layers): every frame predicts from its dyadic parent via
+    RPLR reordering, MMCO 1 evicts stale refs, T3 frames are droppable,
+    recon is decoder-exact and the stream recompresses losslessly."""
+    frames = _moving_frames(n=10, W=64, H=48, seed=31)
+    enc = encoder_jax.JaxEncoder(64, 48, qp=30, temporal_layers=4)
+    data, recs, ref_flags = b"", [], []
+    for f in frames:
+        data += enc.encode_frame(*f)
+        recs.append(enc.recon if enc._cur_is_ref else None)
+        ref_flags.append(enc._cur_is_ref)
+    # dyadic layering: odd frames (T3) are non-references
+    assert ref_flags == [True, False, True, False, True, False, True,
+                         False, True, False]
+    dec = decoder_np.NpDecoder(data, error_concealment=False)
+    outs = list(dec.frames())
+    assert len(outs) == 10
+    for i, rec in enumerate(recs):
+        if rec is None:
+            continue
+        for a, b in zip(outs[i], rec):
+            np.testing.assert_array_equal(a, b, err_msg=f"frame {i}")
+    pip, st = native.compress(data, verify=False)
+    out, _ = native.decompress(pip)
+    assert out == data and st.n_fallback_slices == 0
+    # droppability: strip all nal_ref_idc==0 slices -> T0..T2 stream
+    # still decodes (frames 0,2,4,6,8)
+    nals, i = [], 0
+    while True:
+        j = data.find(b"\x00\x00\x00\x01", i + 1)
+        nals.append(data[i:j if j > 0 else len(data)])
+        if j < 0:
+            break
+        i = j
+    kept = b"".join(n for n in nals
+                    if (n[4] >> 5) != 0 or (n[4] & 0x1F) not in (1, 5))
+    dec2 = decoder_np.NpDecoder(kept, error_concealment=False)
+    outs2 = list(dec2.frames())
+    assert len(outs2) == 5
+    for k, i in enumerate(range(0, 10, 2)):
+        for a, b in zip(outs2[k], recs[i]):
+            np.testing.assert_array_equal(a, b, err_msg=f"T0-T2 frame {i}")
+
+
+def test_hierarchical_layers_l3_gop():
+    """temporal_layers=3 with a GOP: IDRs reset the dyadic chain; parity
+    with the numpy decoder on every reference frame."""
+    frames = _moving_frames(n=9, W=48, H=48, seed=32)
+    enc = encoder_jax.JaxEncoder(48, 48, qp=32, temporal_layers=3, gop=6)
+    data, recs = b"", []
+    for f in frames:
+        data += enc.encode_frame(*f)
+        recs.append(enc.recon if enc._cur_is_ref else None)
+    dec = decoder_np.NpDecoder(data, error_concealment=False)
+    outs = list(dec.frames())
+    assert len(outs) == 9
+    for i, rec in enumerate(recs):
+        if rec is None:
+            continue
+        for a, b in zip(outs[i], rec):
+            np.testing.assert_array_equal(a, b, err_msg=f"frame {i}")
+    pip, _ = native.compress(data, verify=False)
+    out, _ = native.decompress(pip)
+    assert out == data
