@@ -52,6 +52,10 @@ def main(argv=None):
                     help="encode with per-MB adaptive quantization")
     ap.add_argument("--denoise", action="store_true",
                     help="encode with luma denoise preprocessing")
+    ap.add_argument("--spatial-layers", type=int, default=1,
+                    help="encode N dyadic spatial simulcast layers "
+                         "(each an independent AVC stream with its own "
+                         "SPS/PPS id, interleaved low-res first)")
     ap.add_argument("--refs", type=int, default=1,
                     help="encode with N reference frames (1 or 2)")
     ap.add_argument("--slices", type=int, default=1,
@@ -108,13 +112,21 @@ def main(argv=None):
             ap.error(f"input smaller than one {dims} I420 frame")
         rc = (ratectl.RateControl(args.bitrate, args.fps, qp_init=args.qp)
               if args.bitrate else None)
-        enc = encoder_jax.JaxEncoder(W, H, qp=args.qp, gop=args.gop, rc=rc,
-                                     scene_cut=args.gop == 0,
-                                     cabac=args.cabac, aq=args.aq,
-                                     temporal_layers=args.temporal_layers,
-                                     gom_rc=rc is not None,
-                                     refs=args.refs, slices=args.slices,
-                                     denoise=args.denoise)
+        enc_kw = dict(qp=args.qp, gop=args.gop, rc=rc,
+                      scene_cut=args.gop == 0,
+                      cabac=args.cabac, aq=args.aq,
+                      temporal_layers=args.temporal_layers,
+                      gom_rc=rc is not None,
+                      refs=args.refs, slices=args.slices,
+                      denoise=args.denoise)
+        if args.spatial_layers > 1:
+            from .simulcast import SimulcastEncoder
+            # one RateControl instance cannot be shared across layers
+            enc_kw.update(rc=None, gom_rc=False)
+            enc = SimulcastEncoder(W, H, spatial_layers=args.spatial_layers,
+                                   **enc_kw)
+        else:
+            enc = encoder_jax.JaxEncoder(W, H, **enc_kw)
         frames = []
         for i in range(n_frames):
             o = i * fsz

@@ -214,7 +214,7 @@ def _cfg_lib():
         lib.pip_encode_frame.restype = ctypes.c_int
         lib.pip_encode_frame.argtypes = [ctypes.c_int] * 6 + \
             [ctypes.c_void_p] * 11 + [ctypes.c_int] * 11 + \
-            [ctypes.c_void_p, ctypes.c_int] + \
+            [ctypes.c_void_p, ctypes.c_int, ctypes.c_int] + \
             [ctypes.c_void_p] * 2 + \
             [ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
              ctypes.POINTER(ctypes.c_size_t), ctypes.c_char_p,
@@ -281,7 +281,7 @@ def _write_frame(lib, mw, mh, qp, frame_idx, slice_type, mb_class, mv,
                  out_qp=None, crop_r=0, crop_b=0, is_ref=True,
                  frame_num=None, idr_id=0, ltr_flags=0, n_refs=1,
                  ref_plane=None, sps_refs=0, rplr_diff=0,
-                 mmco_drops=None):
+                 mmco_drops=None, param_id=0):
     out = ctypes.POINTER(ctypes.c_uint8)()
     out_size = ctypes.c_size_t()
     err = ctypes.create_string_buffer(512)
@@ -311,7 +311,7 @@ def _write_frame(lib, mw, mh, qp, frame_idx, slice_type, mb_class, mv,
         int(deblock_idc), int(crop_r), int(crop_b), 1 if is_ref else 0,
         int(ltr_flags), int(n_refs), int(sps_refs), int(rplr_diff),
         None if mmco_arr is None else ptr(mmco_arr),
-        0 if mmco_arr is None else len(mmco_arr),
+        0 if mmco_arr is None else len(mmco_arr), int(param_id),
         None if ref_plane is None else ptr(ref_plane),
         None if out_qp is None else ptr(out_qp),
         ctypes.byref(out), ctypes.byref(out_size), err, len(err))

@@ -864,7 +864,8 @@ class JaxEncoder:
     def __init__(self, width, height, qp=28, gop=0, intra_only=False,
                  rc=None, scene_cut=False, aq=False, cabac=False,
                  slices=1, deblock=True, temporal_layers=1,
-                 gom_rc=False, ltr=False, refs=1, denoise=False):
+                 gom_rc=False, ltr=False, refs=1, denoise=False,
+                 param_id=0):
         assert width % 2 == 0 and height % 2 == 0, "4:2:0 needs even dims"
         # arbitrary (even) resolutions: pad to whole MBs internally and
         # signal the true size via SPS frame cropping (7.4.2.1.1)
@@ -919,6 +920,9 @@ class JaxEncoder:
         assert not (refs == 2 and (aq or gom_rc)), \
             "refs=2 requires the fused (non-AQ) path"
         self.refs = refs
+        # SPS/PPS id carried by this stream (spatial simulcast layers
+        # use distinct ids so their parameter sets coexist)
+        self.param_id = int(param_id)
         # luma denoise preprocess (reference denoise.cpp flat-region
         # filter, applied by CWelsPreProcess before analysis)
         self.denoise = bool(denoise)
@@ -970,7 +974,8 @@ class JaxEncoder:
             is_ref=self._cur_is_ref, frame_num=self._frame_num,
             idr_id=self._idr_id, ltr_flags=self._ltr_flags(slice_type),
             n_refs=n_refs, ref_plane=ref_plane, sps_refs=self._sps_refs,
-            rplr_diff=self._rplr_diff, mmco_drops=self._mmco_drops)
+            rplr_diff=self._rplr_diff, mmco_drops=self._mmco_drops,
+            param_id=self.param_id)
         return data
 
     def _ltr_flags(self, slice_type):

@@ -36,7 +36,7 @@ std::vector<u8> make_nal(int ref_idc, int type, const std::vector<u8>& rbsp) {
 }
 
 std::vector<u8> write_sps(int mb_w, int mb_h, int crop_r, int crop_b,
-                          int num_refs) {
+                          int num_refs, int sps_id = 0) {
   // crop_r/crop_b in crop units (2 luma samples each: 4:2:0
   // frame_mbs_only, 7.4.2.1.1) — non-multiple-of-16 sources are padded
   // to whole MBs and cropped back here
@@ -44,7 +44,7 @@ std::vector<u8> write_sps(int mb_w, int mb_h, int crop_r, int crop_b,
   bw.put(66, 8);   // profile: baseline
   bw.put(0xc0, 8); // constraint set 0+1
   bw.put(30, 8);   // level 3.0
-  bw.put_ue(0);    // sps id
+  bw.put_ue(u32(sps_id));
   bw.put_ue(4);    // log2_max_frame_num = 8
   bw.put_ue(2);    // pic_order_cnt_type 2 (decode order)
   bw.put_ue(u32(num_refs));  // max_num_ref_frames (2 with an LTR slot)
@@ -67,10 +67,10 @@ std::vector<u8> write_sps(int mb_w, int mb_h, int crop_r, int crop_b,
   return make_nal(3, 7, bw.bytes());
 }
 
-std::vector<u8> write_pps(bool cabac) {
+std::vector<u8> write_pps(bool cabac, int param_id = 0) {
   BitWriter bw;
-  bw.put_ue(0);  // pps id
-  bw.put_ue(0);  // sps id
+  bw.put_ue(u32(param_id));  // pps id
+  bw.put_ue(u32(param_id));  // sps id
   bw.put_bit(cabac ? 1 : 0);  // entropy_coding_mode_flag
   bw.put_bit(0); // bottom_field_pic_order
   bw.put_ue(0);  // num_slice_groups - 1
@@ -149,6 +149,8 @@ int pip_encode_frame(int mb_w, int mb_h, int qp, int frame_num, int idr_id,
                                               values: evict stale short-term
                                               refs (hierarchical-P) */,
                      int n_mmco,
+                     int param_id /* SPS/PPS id for this stream (spatial
+                                     simulcast layers carry distinct ids) */,
                      const i8* ref_plane /* per-MB L0 ref_idx (P16x16) */,
                      u8* out_qp, u8** out,
                      size_t* out_size, char* err, size_t err_cap) {
@@ -165,8 +167,9 @@ int pip_encode_frame(int mb_w, int mb_h, int qp, int frame_num, int idr_id,
     if (n_slices > mb_h) n_slices = mb_h;
     std::vector<u8> stream;
     if (include_params) {
-      auto sps = write_sps(mb_w, mb_h, crop_r, crop_b, sps_max_refs);
-      auto pps = write_pps(cabac != 0);
+      auto sps = write_sps(mb_w, mb_h, crop_r, crop_b, sps_max_refs,
+                           param_id);
+      auto pps = write_pps(cabac != 0, param_id);
       stream.insert(stream.end(), sps.begin(), sps.end());
       stream.insert(stream.end(), pps.begin(), pps.end());
     }
@@ -194,7 +197,7 @@ int pip_encode_frame(int mb_w, int mb_h, int qp, int frame_num, int idr_id,
     BitWriter bw;
     bw.put_ue(u32(first_mb));         // first_mb_in_slice
     bw.put_ue(is_idr ? 7 : 5);        // slice_type (I / P, all slices)
-    bw.put_ue(0);                     // pps id
+    bw.put_ue(u32(param_id));         // pps id
     bw.put(frame_num & 0xff, 8);      // frame_num
     if (is_idr) {
       bw.put_ue(u32(idr_id));         // idr_pic_id

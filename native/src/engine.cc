@@ -124,6 +124,14 @@ struct WalkState {
   bool have_prev_vcl = false;
   PicState pic;
   FreqImage fi;
+  // Per-resolution parked FreqImages: a resolution switch stashes the
+  // current temporal-prior state and restores the one for the new size,
+  // so streams interleaving several resolutions (spatial simulcast
+  // layers) keep their PAST priors per layer instead of resetting every
+  // frame (the reference invalidates on any switch,
+  // decode_slice.cpp:3035-3046 — pure modeling state, identical on both
+  // walks, so the roundtrip contract is unaffected).
+  std::map<long long, FreqImage> fi_pool;
   std::unique_ptr<Model> model{new Model()};
   u64 n_frames = 0;
 
@@ -133,7 +141,16 @@ struct WalkState {
     if (newpic) {
       int w = sps.mb_width(), h = sps.mb_height();
       if (fi.w != w || fi.h != h) {
-        fi.reset(w, h);
+        if (fi.w)
+          fi_pool[(long long)fi.w << 20 | fi.h] = std::move(fi);
+        auto it = fi_pool.find((long long)w << 20 | h);
+        if (it != fi_pool.end()) {
+          fi = std::move(it->second);
+          fi_pool.erase(it);
+          fi.advance_frame();
+        } else {
+          fi.reset(w, h);
+        }
       } else {
         fi.advance_frame();
       }
