@@ -98,27 +98,40 @@ inline int cls_bucket(u8 c) {  // 0 intra4/8, 1 I16, 2 inter, 3 skip/pcm
 }
 
 struct Model {
-  BranchPrior<4> mb_type[31][2];
+  BranchPrior<4> mb_type[31][2];  // [left-else-above class + past class]
+                                  // (full 2D left x past and bucketed
+                                  // left x above x past were both measured
+                                  // WORSE — the sum shares statistics)
   SkipRunPrior skip_run[65];
   DynProb end_bit[2048];
   DynProb end_bit_skip[2048];
   BranchPrior<2> cbp_c[4][MB_NUM_CLASSES];
   BranchPrior<4> cbp_l[17][MB_NUM_CLASSES];
   DynProb qp_delta[2][3][128];  // [isFirst][sign(lastDelta)+1] zero+tree<7>
+                                // (5-bucket lastDelta and past-|dqp|
+                                // contexts were both measured a wash)
   DynProb i16_mode[8][8];       // [past-pref] zero+tree<3>
   DynProb chroma_mode[8][8];
-  BranchPrior<4> pred_mode[2][8][9];  // [is8x8][availIdx][predMode]
+  BranchPrior<4> pred_mode[2][8][9][10];  // [is8x8][availIdx][min(A,B)]
+                                          // [max(A,B), 9=unavail] — the full
+                                          // neighbor-mode pair, not just the
+                                          // 8.3.1.1 min() the bitstream uses
   BranchPrior<2> sub_mb[4];           // [position]
   UnaryPrior<4> ref_idx[3][4];        // [past refidx clamp 2][partition]
-  MvdPrior mvd[4][16][2][3];          // [class bucket][slot][xy][past-mvd
+  MvdPrior mvd[4][16][2][3][3];       // [class bucket][slot][xy][past-mvd
                                       //  magnitude bucket 0/small/large]
+                                      // [max(left,above) same-component
+                                      //  mvd magnitude bucket]
   DynProb t8x8_flag[MB_NUM_CLASSES][64];
   DcPrior luma_dc[16][3];  // [coef idx][past-dc bucket: 0,|1|,>1]
   DcPrior chroma_dc[8][3];
-  NzPrior nz_4x4[3][3][3][3][3];  // [color][clsb(<=2)][past][left][above]
-  NzPrior nz_8x8[3][3][3];        // [past][left][above]
+  NzPrior nz_4x4[3][3][4][4][4];  // [color][clsb(<=2)][past][left][above]
+  NzPrior nz_8x8[4][4][4];        // [past][left][above]
   AcPrior ac_4x4[3][2][16][5][5][6];  // [color][intra][scan][nzleft][prev]
                                       // [pastnz*2 + (prev2 != 0)]
+                                      // (a 0/|1|/>=2 past-magnitude bucket
+                                      // was measured WORSE: QP changes
+                                      // make past magnitudes misleading)
   AcPrior ac_8x8[16][5][5][6];        // [scan>>2][nzleft][prev][same]
   BranchPrior<8> pcm_byte[3];         // [plane]
 
@@ -198,24 +211,24 @@ void code_block(IO& io, ModelCtx& mc, int color, int blk, i16* coeff,
   int pastc, leftc, abovec;
   if (IS8x8) {
     int bx = blk & 1, by = blk >> 1;
-    pastc = std::min(2, rec_block8_nnz(mc.past, blk));
-    leftc = std::min(2, bx > 0 ? rec_block8_nnz(rec, blk - 1)
+    pastc = std::min(3, rec_block8_nnz(mc.past, blk));
+    leftc = std::min(3, bx > 0 ? rec_block8_nnz(rec, blk - 1)
                                : rec_block8_nnz(mc.left, blk + 1));
-    abovec = std::min(2, by > 0 ? rec_block8_nnz(rec, blk - 2)
+    abovec = std::min(3, by > 0 ? rec_block8_nnz(rec, blk - 2)
                                 : rec_block8_nnz(mc.above, blk + 2));
   } else if (color == 0) {
     int bx = blk & 3, by = blk >> 2;
-    pastc = std::min(2, rec_block_nnz(mc.past, 0, blk));
-    leftc = std::min(2, bx > 0 ? rec_block_nnz(rec, 0, blk - 1)
+    pastc = std::min(3, rec_block_nnz(mc.past, 0, blk));
+    leftc = std::min(3, bx > 0 ? rec_block_nnz(rec, 0, blk - 1)
                                : rec_block_nnz(mc.left, 0, by * 4 + 3));
-    abovec = std::min(2, by > 0 ? rec_block_nnz(rec, 0, blk - 4)
+    abovec = std::min(3, by > 0 ? rec_block_nnz(rec, 0, blk - 4)
                                 : rec_block_nnz(mc.above, 0, 12 + bx));
   } else {
     int bx = blk & 1, by = blk >> 1;
-    pastc = std::min(2, rec_block_nnz(mc.past, color, blk));
-    leftc = std::min(2, bx > 0 ? rec_block_nnz(rec, color, blk - 1)
+    pastc = std::min(3, rec_block_nnz(mc.past, color, blk));
+    leftc = std::min(3, bx > 0 ? rec_block_nnz(rec, color, blk - 1)
                                : rec_block_nnz(mc.left, color, by * 2 + 1));
-    abovec = std::min(2, by > 0 ? rec_block_nnz(rec, color, blk - 2)
+    abovec = std::min(3, by > 0 ? rec_block_nnz(rec, color, blk - 2)
                                 : rec_block_nnz(mc.above, color, 2 + bx));
   }
   io.set_tag(color == 0 ? BILL_LUMA_AC : BILL_CHROMA_AC);
@@ -244,7 +257,7 @@ void code_block(IO& io, ModelCtx& mc, int color, int blk, i16* coeff,
   // for the whole high-frequency tail; forward stops at the last
   // nonzero, and the nzleft context recovers the magnitude cue.)
   for (int i = 0; i < n && nzleft > 0; ++i) {
-    int pastnz = 2;
+    int pastmag = 3;
     if (past) {
       i16 pv = 0;
       if (IS8x8) {
@@ -254,10 +267,10 @@ void code_block(IO& io, ModelCtx& mc, int color, int blk, i16* coeff,
       } else {
         pv = past->chroma_ac[(color - 1) * 4 + blk][start + i];
       }
-      pastnz = pv ? 1 : 0;
+      pastmag = pv ? 1 : 0;
     }
     int prevb = std::max(-2, std::min(2, int(prev))) + 2;
-    int ctx2 = pastnz * 2 + (prev2 != 0 ? 1 : 0);
+    int ctx2 = pastmag * 2 + (prev2 != 0 ? 1 : 0);
     AcPrior* ap;
     if (IS8x8) {
       ap = &M.ac_8x8[(start + i) >> 2][std::min(4, nzleft)][prevb][ctx2];
@@ -408,7 +421,10 @@ void code_mb_symbols(IO& io, ModelCtx& mc) {
     for (int d = 0; d < 16; ++d) {
       int r = kBlk4x4DecodeOrder[d];
       int bx = r & 3, by = r >> 2;
-      int pred = sc.pred_intra_4x4_mode(r);
+      int ma, mb;
+      sc.intra_4x4_ab(r, &ma, &mb);
+      int pred = (ma < 0 || mb < 0) ? 2 : std::min(ma, mb);
+      int second = (ma < 0 || mb < 0) ? 9 : std::max(ma, mb);
       int availL = bx > 0 || sc.left_avail();
       int availT = by > 0 || sc.above_avail();
       int availIdx = (availL << 2) | (availT << 1) |
@@ -418,7 +434,7 @@ void code_mb_symbols(IO& io, ModelCtx& mc) {
                           ? 1
                           : 0);
       u32 v = code_branch<IO, 4>(io, rec.i4_modes[d],
-                                 &M.pred_mode[0][availIdx][pred]);
+                                 &M.pred_mode[0][availIdx][pred][second]);
       if (!IO::kIsWriter) {
         PIP_CHECK(v <= 8, "bad i4 mode");
         rec.i4_modes[d] = u8(v);
@@ -430,9 +446,13 @@ void code_mb_symbols(IO& io, ModelCtx& mc) {
   } else if (rec.mb_class == MB_I8x8) {
     static const int kTopLeft[4] = {0, 2, 8, 10};
     for (int b = 0; b < 4; ++b) {
-      int pred = sc.pred_intra_8x8_mode(b);
+      int ma, mb;
+      sc.intra_8x8_ab(b, &ma, &mb);
+      int pred = (ma < 0 || mb < 0) ? 2 : std::min(ma, mb);
+      int second = (ma < 0 || mb < 0) ? 9 : std::max(ma, mb);
       u32 v = code_branch<IO, 4>(io, rec.i4_modes[b],
-                                 &M.pred_mode[1][(b & 1) | ((b >> 1) << 1)][pred]);
+                                 &M.pred_mode[1][(b & 1) | ((b >> 1) << 1)][pred]
+                                             [second]);
       if (!IO::kIsWriter) {
         PIP_CHECK(v <= 8, "bad i8 mode");
         rec.i4_modes[b] = u8(v);
@@ -462,6 +482,13 @@ void code_mb_symbols(IO& io, ModelCtx& mc) {
     }
     int cb = cls_bucket(rec.mb_class);
     io.set_tag(BILL_MVD);
+    // spatial motion-residual coherence: neighbor MBs with large MVDs
+    // (median predictor misses) cluster around moving-object boundaries
+    auto nbr_mvd_bucket = [](const MbRecord* n, int xy) -> int {
+      if (!n || !mb_is_inter(n->mb_class)) return 0;
+      int a = std::abs(int(n->mvd[0][xy]));
+      return a == 0 ? 0 : (a <= 3 ? 1 : 2);
+    };
     auto code_mv = [&](int slot) {
       for (int xy = 0; xy < 2; ++xy) {
         // temporal motion-coherence context: the co-located (PAST) MB's
@@ -472,12 +499,15 @@ void code_mb_symbols(IO& io, ModelCtx& mc) {
           int a = std::abs(int(mc.past->mvd[slot][xy]));
           pm = a == 0 ? 0 : (a <= 3 ? 1 : 2);
         }
+        int sp = slot == 0 ? std::max(nbr_mvd_bucket(mc.left, xy),
+                                      nbr_mvd_bucket(mc.above, xy))
+                           : 0;
         // (measured: the reference's delta-vs-past-MVD coding
         // [decode_slice.cpp:2128] LOSES to direct coding here — the
         // spatial median predictor already whitens the field; the PAST
         // MVD magnitude survives only as a context bucket)
         i32 v = code_uegk(io, IO::kIsWriter ? i32(rec.mvd[slot][xy]) : 0,
-                          &M.mvd[cb][slot][xy][pm], /*hasZero=*/true);
+                          &M.mvd[cb][slot][xy][pm][sp], /*hasZero=*/true);
         if (!IO::kIsWriter) rec.mvd[slot][xy] = i16(v);
       }
     };

@@ -61,40 +61,48 @@ static int nbr_block_mode(const SliceCtx& ctx, const MbState* m, int blk) {
   return m->i4_modes[blk];
 }
 
-int SliceCtx::pred_intra_4x4_mode(int blk) const {
+void SliceCtx::intra_4x4_ab(int blk, int* a, int* b) const {
   int bx = blk & 3, by = blk >> 2;
-  int modeA, modeB;
   if (bx > 0) {
-    modeA = cur.i4_modes[blk - 1] < 0 ? 2 : cur.i4_modes[blk - 1];
+    *a = cur.i4_modes[blk - 1] < 0 ? 2 : cur.i4_modes[blk - 1];
   } else {
-    modeA = nbr_block_mode(*this, nbr(addr_left()), by * 4 + 3);
+    *a = nbr_block_mode(*this, nbr(addr_left()), by * 4 + 3);
   }
   if (by > 0) {
-    modeB = cur.i4_modes[blk - 4] < 0 ? 2 : cur.i4_modes[blk - 4];
+    *b = cur.i4_modes[blk - 4] < 0 ? 2 : cur.i4_modes[blk - 4];
   } else {
-    modeB = nbr_block_mode(*this, nbr(addr_above()), 12 + bx);
+    *b = nbr_block_mode(*this, nbr(addr_above()), 12 + bx);
   }
+}
+
+int SliceCtx::pred_intra_4x4_mode(int blk) const {
+  int modeA, modeB;
+  intra_4x4_ab(blk, &modeA, &modeB);
   if (modeA < 0 || modeB < 0) return 2;  // dcPredModePredictedFlag
   return std::min(modeA, modeB);
 }
 
-int SliceCtx::pred_intra_8x8_mode(int blk8) const {
+void SliceCtx::intra_8x8_ab(int blk8, int* a, int* b) const {
   // 8x8 blocks map onto the 4x4 grid: blk8 (2x2 raster) covers 4x4 blocks
   // with top-left raster index:
   static const int kTopLeft[4] = {0, 2, 8, 10};
   int tl = kTopLeft[blk8];
   int bx = blk8 & 1, by = blk8 >> 1;
-  int modeA, modeB;
   if (bx > 0) {
-    modeA = cur.i4_modes[tl - 1] < 0 ? 2 : cur.i4_modes[tl - 1];
+    *a = cur.i4_modes[tl - 1] < 0 ? 2 : cur.i4_modes[tl - 1];
   } else {
-    modeA = nbr_block_mode(*this, nbr(addr_left()), (by * 2) * 4 + 3);
+    *a = nbr_block_mode(*this, nbr(addr_left()), (by * 2) * 4 + 3);
   }
   if (by > 0) {
-    modeB = cur.i4_modes[tl - 4] < 0 ? 2 : cur.i4_modes[tl - 4];
+    *b = cur.i4_modes[tl - 4] < 0 ? 2 : cur.i4_modes[tl - 4];
   } else {
-    modeB = nbr_block_mode(*this, nbr(addr_above()), 12 + bx * 2);
+    *b = nbr_block_mode(*this, nbr(addr_above()), 12 + bx * 2);
   }
+}
+
+int SliceCtx::pred_intra_8x8_mode(int blk8) const {
+  int modeA, modeB;
+  intra_8x8_ab(blk8, &modeA, &modeB);
   if (modeA < 0 || modeB < 0) return 2;
   return std::min(modeA, modeB);
 }

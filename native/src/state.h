@@ -75,6 +75,10 @@ struct SliceCtx {
   // --- intra prediction mode prediction (8.3.1.1 / 8.3.2.1) ---
   // blk: raster 4x4 index. Returns predicted mode (DC=2 fallbacks applied).
   int pred_intra_4x4_mode(int blk_raster) const;
+  // neighbor modes (A=left, B=above) feeding the 8.3.1.1 predictor;
+  // -1 when the covering MB is unavailable
+  void intra_4x4_ab(int blk_raster, int* a, int* b) const;
+  void intra_8x8_ab(int blk8, int* a, int* b) const;
   // 8x8: blk8 in 0..3 (2x2 raster)
   int pred_intra_8x8_mode(int blk8) const;
   // neighbor availability of the current MB's A/B/C/D for intra etc.
