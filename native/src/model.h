@@ -105,8 +105,8 @@ struct Model {
   SkipRunPrior skip_run[65];
   DynProb end_bit[2048];
   DynProb end_bit_skip[2048];
-  BranchPrior<2> cbp_c[4][MB_NUM_CLASSES];
-  BranchPrior<4> cbp_l[17][MB_NUM_CLASSES];
+  BranchPrior<2> cbp_c[4][4][MB_NUM_CLASSES];   // [past][left/above nz pair]
+  BranchPrior<4> cbp_l[17][4][MB_NUM_CLASSES];  // [past][left/above nz pair]
   DynProb qp_delta[2][3][128];  // [isFirst][sign(lastDelta)+1] zero+tree<7>
                                 // (5-bucket lastDelta and past-|dqp|
                                 // contexts were both measured a wash)
@@ -117,7 +117,8 @@ struct Model {
                                           // neighbor-mode pair, not just the
                                           // 8.3.1.1 min() the bitstream uses
   BranchPrior<2> sub_mb[4];           // [position]
-  UnaryPrior<4> ref_idx[3][4];        // [past refidx clamp 2][partition]
+  UnaryPrior<4> ref_idx[3][4][4];     // [past refidx clamp 2]
+                                      // [left/above ref>0 pair][partition]
   MvdPrior mvd[4][16][2][3][3];       // [class bucket][slot][xy][past-mvd
                                       //  magnitude bucket 0/small/large]
                                       // [max(left,above) same-component
@@ -127,12 +128,12 @@ struct Model {
   DcPrior chroma_dc[8][3];
   NzPrior nz_4x4[3][3][4][4][4];  // [color][clsb(<=2)][past][left][above]
   NzPrior nz_8x8[4][4][4];        // [past][left][above]
-  AcPrior ac_4x4[3][2][16][5][5][6];  // [color][intra][scan][nzleft][prev]
+  AcPrior ac_4x4[3][2][16][12][5][6];  // [color][intra][scan][nzleft][prev]
                                       // [pastnz*2 + (prev2 != 0)]
                                       // (a 0/|1|/>=2 past-magnitude bucket
                                       // was measured WORSE: QP changes
                                       // make past magnitudes misleading)
-  AcPrior ac_8x8[16][5][5][6];        // [scan>>2][nzleft][prev][same]
+  AcPrior ac_8x8[32][12][5][6];        // [scan>>2][nzleft][prev][same]
   BranchPrior<8> pcm_byte[3];         // [plane]
 
   Model() = default;
@@ -273,9 +274,9 @@ void code_block(IO& io, ModelCtx& mc, int color, int blk, i16* coeff,
     int ctx2 = pastmag * 2 + (prev2 != 0 ? 1 : 0);
     AcPrior* ap;
     if (IS8x8) {
-      ap = &M.ac_8x8[(start + i) >> 2][std::min(4, nzleft)][prevb][ctx2];
+      ap = &M.ac_8x8[(start + i) >> 1][std::min(11, nzleft)][prevb][ctx2];
     } else {
-      ap = &M.ac_4x4[color][intra ? 1 : 0][start + i][std::min(4, nzleft)]
+      ap = &M.ac_4x4[color][intra ? 1 : 0][start + i][std::min(11, nzleft)]
                     [prevb][ctx2];
     }
     i32 c = code_uegk(io, IO::kIsWriter ? i32(coeff[start + i]) : 0, ap,
@@ -344,13 +345,18 @@ void code_mb_symbols(IO& io, ModelCtx& mc) {
   io.set_tag(BILL_CBP);
   {
     int pc = mc.past ? std::min(3, int(mc.past->cbp_chroma)) : 0;
-    u32 v = code_branch<IO, 2>(io, rec.cbp_chroma, &M.cbp_c[pc][rec.mb_class]);
+    int spc = (mc.left && mc.left->cbp_chroma ? 1 : 0) +
+              (mc.above && mc.above->cbp_chroma ? 2 : 0);
+    u32 v = code_branch<IO, 2>(io, rec.cbp_chroma,
+                               &M.cbp_c[pc][spc][rec.mb_class]);
     if (!IO::kIsWriter) {
       PIP_CHECK(v <= 2, "bad cbp_chroma");
       rec.cbp_chroma = u8(v);
     }
     int pl = mc.past ? int(mc.past->cbp_luma) : 16;
-    v = code_branch<IO, 4>(io, rec.cbp_luma, &M.cbp_l[pl][rec.mb_class]);
+    int spl = (mc.left && mc.left->cbp_luma ? 1 : 0) +
+              (mc.above && mc.above->cbp_luma ? 2 : 0);
+    v = code_branch<IO, 4>(io, rec.cbp_luma, &M.cbp_l[pl][spl][rec.mb_class]);
     if (!IO::kIsWriter) rec.cbp_luma = u8(v);
     if (rec.mb_class == MB_I16x16) {
       PIP_CHECK(rec.cbp_luma == 0 || rec.cbp_luma == 15, "bad I16 cbp_luma");
@@ -401,7 +407,13 @@ void code_mb_symbols(IO& io, ModelCtx& mc) {
   // 5. intra modes
   io.set_tag(BILL_INTRA_MODE);
   if (rec.mb_class == MB_I16x16) {
-    u32 pref = mc.past ? std::min<u32>(6, mc.past->i16_mode) : 7;
+    u32 pref = mc.past && mc.past->mb_class == MB_I16x16
+                   ? std::min<u32>(6, mc.past->i16_mode)
+               : mc.left && mc.left->mb_class == MB_I16x16
+                   ? std::min<u32>(6, mc.left->i16_mode)
+               : mc.above && mc.above->mb_class == MB_I16x16
+                   ? std::min<u32>(6, mc.above->i16_mode)
+                   : 7;
     u32 v = code_zero_pow2<IO, 3>(io, rec.i16_mode, M.i16_mode[pref], pref);
     if (!IO::kIsWriter) {
       PIP_CHECK(v <= 3, "bad i16 mode");
@@ -409,7 +421,13 @@ void code_mb_symbols(IO& io, ModelCtx& mc) {
     }
   }
   if (mb_is_intra(rec.mb_class) && sc.sps->chroma_format_idc != 0) {
-    u32 pref = mc.past ? std::min<u32>(6, mc.past->chroma_mode) : 7;
+    u32 pref = mc.past && mb_is_intra(mc.past->mb_class)
+                   ? std::min<u32>(6, mc.past->chroma_mode)
+               : mc.left && mb_is_intra(mc.left->mb_class)
+                   ? std::min<u32>(6, mc.left->chroma_mode)
+               : mc.above && mb_is_intra(mc.above->mb_class)
+                   ? std::min<u32>(6, mc.above->chroma_mode)
+                   : 7;
     u32 v = code_zero_pow2<IO, 3>(io, rec.chroma_mode, M.chroma_mode[pref], pref);
     if (!IO::kIsWriter) {
       PIP_CHECK(v <= 3, "bad chroma mode");
@@ -472,11 +490,15 @@ void code_mb_symbols(IO& io, ModelCtx& mc) {
     int num_ref = sc.sh->num_ref_idx_l0_active;
     io.set_tag(BILL_REF);
     if (num_ref > 1 && rec.mb_class != MB_P8x8REF0) {
+      auto nref = [](const MbRecord* n) {
+        return n && mb_is_inter(n->mb_class) && n->ref_idx[0] > 0 ? 1 : 0;
+      };
+      int spr = nref(mc.left) + 2 * nref(mc.above);
       for (int p = 0; p < nparts; ++p) {
         int pastref = mc.past ? std::max(0, std::min(2, int(mc.past->ref_idx[p])))
                               : 0;
         int v = code_unary(io, IO::kIsWriter ? rec.ref_idx[p] : 0,
-                           &M.ref_idx[pastref][p], num_ref - 1);
+                           &M.ref_idx[pastref][spr][p], num_ref - 1);
         if (!IO::kIsWriter) rec.ref_idx[p] = i8(v);
       }
     }
@@ -585,7 +607,9 @@ inline int code_skip_run(IO& io, Model& M, FreqImage& fi, int mbx, int mby,
                          int run) {
   io.set_tag(BILL_SKIP);
   int pr = fi.past_skip_run(mbx, mby);
-  int bucket = std::min(64, (pr + 7) / 8);
+  // log-spaced buckets: fine resolution at short runs (where most of the
+  // probability mass lives), coarse at long ones
+  int bucket = pr <= 4 ? pr : std::min(12, 3 + ilog2_floor(u32(pr)));
   return code_int(io, run, &M.skip_run[bucket], /*hasZero=*/true,
                   /*hasSign=*/false);
 }
