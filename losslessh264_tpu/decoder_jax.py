@@ -340,6 +340,7 @@ class JaxDecoder:
         self.ref_v = None
         self.next_slot = 0
         self.out_idx = 0
+        self.concealed = 0
         self._diag_cache = {}
 
     def _prep_refs(self, mb_w, mb_h):
@@ -411,6 +412,28 @@ class JaxDecoder:
                                   jnp.asarray(self.ref_u),
                                   jnp.asarray(self.ref_v), diags)
             Y, U, V = np.asarray(Y), np.asarray(U), np.asarray(V)
+            if f.get("lost_slices", 0) > 0 or not bool(f["decoded"].all()):
+                # slice-copy concealment (reference ERROR_CON_SLICE_COPY):
+                # undecoded MBs take co-located pixels of the previous frame
+                self.concealed += 1
+                Y, U, V = Y.copy(), U.copy(), V.copy()
+                prev = self.slot_of.get(self.out_idx - 1)
+                cp = PAD // 2
+                for mbi in np.flatnonzero(f["decoded"] == 0):
+                    my, mx = divmod(int(mbi), mb_w)
+                    sy, sx = my * 16, mx * 16
+                    cy, cx = sy // 2, sx // 2
+                    if prev is not None:
+                        Y[sy:sy + 16, sx:sx + 16] = self.ref_y[prev][
+                            PAD + sy:PAD + sy + 16, PAD + sx:PAD + sx + 16]
+                        U[cy:cy + 8, cx:cx + 8] = self.ref_u[prev][
+                            cp + cy:cp + cy + 8, cp + cx:cp + cx + 8]
+                        V[cy:cy + 8, cx:cx + 8] = self.ref_v[prev][
+                            cp + cy:cp + cy + 8, cp + cx:cp + cx + 8]
+                    else:
+                        Y[sy:sy + 16, sx:sx + 16] = 128
+                        U[cy:cy + 8, cx:cx + 8] = 128
+                        V[cy:cy + 8, cx:cx + 8] = 128
             # store as reference (host-side ring)
             slot = self.next_slot
             self.next_slot = (self.next_slot + 1) % self.MAX_REFS

@@ -657,6 +657,12 @@ class NpDecoder:
                 yield self.outputs[-1]
                 return
             self.crop_px = f.get("crop_px", (0, 0, 0, 0))
+            damaged = (f.get("lost_slices", 0) > 0
+                       or not bool(f["decoded"].all()))
+            if damaged and not self._conceal:
+                raise RuntimeError(
+                    "slice parse error (%d lost slices, %d MBs undecoded)"
+                    % (f.get("lost_slices", 0), int((f["decoded"] == 0).sum())))
             try:
                 yuv = self._recon_frame(f)
             except Exception:
@@ -664,8 +670,35 @@ class NpDecoder:
                     raise
                 self.concealed += 1
                 yuv = self.outputs[-1]
+            else:
+                if damaged:
+                    self.concealed += 1
+                    yuv = self._conceal_undecoded(f, yuv)
             self.outputs.append(yuv)
             yield yuv
+
+    def _conceal_undecoded(self, f, yuv):
+        """Per-MB slice-copy concealment (reference ERROR_CON_SLICE_COPY,
+        error_concealment.cpp): each MB whose slice failed to parse takes
+        the co-located pixels of the previous output frame; mid-gray when
+        no previous frame of the same size exists."""
+        Y, U, V = (a.copy() for a in yuv)
+        prev = self.outputs[-1] if self.outputs else None
+        if prev is not None and prev[0].shape != Y.shape:
+            prev = None
+        for mbi in np.flatnonzero(f["decoded"] == 0):
+            my, mx = divmod(int(mbi), f["mb_w"])
+            sy, sx = my * 16, mx * 16
+            cy, cx = sy // 2, sx // 2
+            if prev is not None:
+                Y[sy:sy + 16, sx:sx + 16] = prev[0][sy:sy + 16, sx:sx + 16]
+                U[cy:cy + 8, cx:cx + 8] = prev[1][cy:cy + 8, cx:cx + 8]
+                V[cy:cy + 8, cx:cx + 8] = prev[2][cy:cy + 8, cx:cx + 8]
+            else:
+                Y[sy:sy + 16, sx:sx + 16] = 128
+                U[cy:cy + 8, cx:cx + 8] = 128
+                V[cy:cy + 8, cx:cx + 8] = 128
+        return Y, U, V
 
     # -- helpers ---------------------------------------------------------
     def _recon_frame(self, f):

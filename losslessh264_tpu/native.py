@@ -320,7 +320,7 @@ class SymbolDecoder:
                 ctypes.POINTER(ctypes.c_int), ctypes.c_char_p, ctypes.c_size_t,
             ]
             lib.pip_sym_planes.restype = ctypes.c_int
-            lib.pip_sym_planes.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 27
+            lib.pip_sym_planes.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 28
             lib.pip_sym_close.argtypes = [ctypes.c_void_p]
             lib.pip_sym_open._configured = True
         self._lib = lib
@@ -382,6 +382,7 @@ class SymbolDecoder:
             # raw ref_idx per cell (-1 intra); deblock bS compares these
             # (reference semantics), not resolved output frames
             "ref_idx": np.zeros((n, 16), np.int8),
+            "decoded": np.zeros(n, np.uint8),
         }
         meta = np.zeros(12, np.int32)
         scaling = np.zeros(96 + 384, np.uint8)
@@ -395,7 +396,7 @@ class SymbolDecoder:
             ptr(f["pcm"]), ptr(f["slice_id"]), ptr(f["deblock_idc"]),
             ptr(f["alpha_off"]), ptr(f["beta_off"]), ptr(meta), ptr(scaling),
             ptr(f["wp_luma"]), ptr(f["wp_cb"]), ptr(f["wp_cr"]),
-            ptr(f["wp_cmask"]), ptr(f["ref_idx"]),
+            ptr(f["wp_cmask"]), ptr(f["ref_idx"]), ptr(f["decoded"]),
         )
         if rc != 0:
             raise RuntimeError("pip_sym_planes failed")
@@ -408,6 +409,7 @@ class SymbolDecoder:
         # SPS frame cropping in luma samples (4:2:0 frame_mbs_only:
         # CropUnitX = CropUnitY = 2, spec 7.4.2.1.1)
         f["crop_px"] = tuple(int(meta[6 + i]) * 2 for i in range(4))
+        f["lost_slices"] = int(meta[10])
         f["scaling4"] = scaling[:96].reshape(6, 16)
         f["scaling8"] = scaling[96:].reshape(6, 64)
         return f

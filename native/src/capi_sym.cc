@@ -56,7 +56,7 @@ int pip_sym_planes(void* hv, u8* mb_class, u8* qp, u8* cbp_l, u8* cbp_c,
                    i16* mv, i16* ref_frame, u8* pcm, u8* slice_id,
                    u8* deblock_idc, i8* aoff, i8* boff, i32* meta,
                    u8* scaling, i16* wp_luma, i16* wp_cb, i16* wp_cr,
-                   u8* wp_cmask, i8* ref_idx) {
+                   u8* wp_cmask, i8* ref_idx, u8* decoded) {
   SymHandle* h = static_cast<SymHandle*>(hv);
   const FramePlanes& f = h->cur;
   size_t n = size_t(f.mb_w) * f.mb_h;
@@ -88,6 +88,7 @@ int pip_sym_planes(void* hv, u8* mb_class, u8* qp, u8* cbp_l, u8* cbp_c,
   meta[4] = f.is_idr ? 1 : 0;
   meta[5] = f.intra_avail_mode;
   for (int i = 0; i < 4; ++i) meta[6 + i] = f.crop[i];
+  meta[10] = f.lost_slices;
   memcpy(scaling, f.scaling4, 6 * 16);
   memcpy(scaling + 96, f.scaling8, 6 * 64);
   memcpy(wp_luma, f.wp_luma.data(), n * 48 * 2);
@@ -95,6 +96,7 @@ int pip_sym_planes(void* hv, u8* mb_class, u8* qp, u8* cbp_l, u8* cbp_c,
   memcpy(wp_cr, f.wp_cr.data(), n * 48 * 2);
   memcpy(wp_cmask, f.wp_cmask.data(), n * 64);
   memcpy(ref_idx, f.ref_idx.data(), n * 16);
+  memcpy(decoded, f.decoded.data(), n);
   return 0;
 }
 

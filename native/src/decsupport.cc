@@ -645,6 +645,8 @@ bool SymbolDecoder::next_frame(FramePlanes* out) {
     out->pcm.assign(n * 384, 0);
     out->slice_id.assign(n, 0xff);
     out->deblock_idc.assign(n, 1);
+    out->decoded.assign(n, 0);
+    out->lost_slices = 0;
     out->alpha_off.assign(n, 0);
     out->beta_off.assign(n, 0);
     out->wp_luma.assign(n * 48, 0);
@@ -775,6 +777,7 @@ bool SymbolDecoder::next_frame(FramePlanes* out) {
     out->deblock_idc[n] = u8(sh.disable_deblocking_idc);
     out->alpha_off[n] = i8(sh.alpha_c0_offset);
     out->beta_off[n] = i8(sh.beta_offset);
+    out->decoded[n] = 1;
   };
 
   auto process_slice = [&](const std::vector<u8>& rbsp, const SliceHeader& sh) {
@@ -914,7 +917,14 @@ bool SymbolDecoder::next_frame(FramePlanes* out) {
       if (type != 1 && type != 5) continue;
       rbsp = ebsp_to_rbsp(payload + 1, plen - 1);
       BitReader br(rbsp.data(), rbsp.size());
-      sh = parse_slice_header(br, ref_idc, type, im.sps_map, im.pps_map);
+      // a slice whose header cannot be parsed is dropped (error
+      // resilience: reference ParseSliceHeaderSyntaxs error paths)
+      try {
+        sh = parse_slice_header(br, ref_idc, type, im.sps_map, im.pps_map);
+      } catch (const std::exception&) {
+        if (frame_open) ++out->lost_slices;
+        continue;
+      }
       have_slice = true;
     }
     if (!have_slice) break;
@@ -929,7 +939,18 @@ bool SymbolDecoder::next_frame(FramePlanes* out) {
     }
     im.prev_sh = sh;
     im.have_prev = true;
-    process_slice(rbsp, sh);
+    // tolerate mid-slice parse failures: MBs recorded before the error
+    // stay valid (decoded=1); the rest of the slice is concealed by the
+    // pixel layer (reference: ERROR_CON_SLICE_* modes keep going)
+    try {
+      process_slice(rbsp, sh);
+    } catch (const std::exception&) {
+      if (frame_open) {
+        ++out->lost_slices;
+      } else {
+        throw;  // first slice of the stream: nothing to conceal against
+      }
+    }
   }
 
   if (!frame_open) return false;

@@ -43,6 +43,11 @@ struct FramePlanes {
   std::vector<u8> pcm;           // n*384
   std::vector<u8> slice_id;      // per MB
   std::vector<u8> deblock_idc;   // per MB (from its slice)
+  // Error resilience (reference: error_concealment.cpp): MBs whose slice
+  // failed to parse keep decoded=0; the pixel layer conceals them
+  // (frame/slice/MV copy) instead of failing the frame.
+  std::vector<u8> decoded;       // per MB, 1 = parsed OK
+  int lost_slices = 0;           // slices dropped by parse errors
   std::vector<i8> alpha_off, beta_off;
   // Explicit weighted prediction (spec 7.3.3.2 / 8.4.2.3), resolved per
   // cell from the slice's pred_weight_table and the cell's ref_idx.

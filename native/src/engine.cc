@@ -19,8 +19,14 @@ struct NalSpan {
   size_t payload_end;
 };
 
+// leading_end: when non-null, bytes [0, *leading_end) that precede the
+// first start code (or the whole input when none exists) are reported to
+// the caller for verbatim RAW passthrough instead of failing — the
+// lossless contract must hold for arbitrary byte strings. When null the
+// scan is strict (used for the SPS/PPS context framing we emit ourselves).
 static std::vector<NalSpan> scan_annexb(const u8* d, size_t n,
-                                        size_t* trailing_start) {
+                                        size_t* trailing_start,
+                                        size_t* leading_end = nullptr) {
   std::vector<NalSpan> out;
   *trailing_start = n;
   // find all start codes
@@ -37,7 +43,13 @@ static std::vector<NalSpan> scan_annexb(const u8* d, size_t n,
       ++i;
     }
   }
-  PIP_CHECK(!sc_pos.empty(), "no start code found");
+  if (leading_end) *leading_end = 0;
+  if (sc_pos.empty()) {
+    PIP_CHECK(leading_end != nullptr, "no start code found");
+    *leading_end = n;
+    *trailing_start = n;
+    return {};
+  }
   for (size_t k = 0; k < sc_pos.size(); ++k) {
     NalSpan s;
     size_t q = sc_pos[k];
@@ -57,6 +69,11 @@ static std::vector<NalSpan> scan_annexb(const u8* d, size_t n,
       while (e > s.payload_start && d[e - 1] == 0) --e;
       s.payload_end = e;
       *trailing_start = e;
+    }
+    if (k == 0 && s.prefix_start != prev_payload_open && leading_end) {
+      // nonzero junk before the first start code: RAW passthrough
+      *leading_end = s.prefix_start;
+      prev_payload_open = s.prefix_start;
     }
     PIP_CHECK(s.prefix_start == (k == 0 ? prev_payload_open : out.back().payload_end),
               "annexb gap not zeros");
@@ -437,7 +454,9 @@ std::vector<u8> pip_compress(const u8* data, size_t size, bool verify,
                              EngineStats* stats, const u8* context,
                              size_t context_size) {
   size_t trailing_start = size;
-  std::vector<NalSpan> nals = scan_annexb(data, size, &trailing_start);
+  size_t leading_end = 0;
+  std::vector<NalSpan> nals =
+      scan_annexb(data, size, &trailing_start, &leading_end);
 
   std::vector<u8> def;  // default stream
   StreamWriter io;
@@ -472,12 +491,17 @@ std::vector<u8> pip_compress(const u8* data, size_t size, bool verify,
     def.insert(def.end(), p, p + n);
   };
 
+  emit_raw(data, leading_end);  // pre-start-code junk: verbatim
+
   for (const NalSpan& s : nals) {
     const u8* payload = data + s.payload_start;
     size_t plen = s.payload_end - s.payload_start;
     size_t prefix_len = s.payload_start - s.prefix_start;
     if (stats) ++stats->n_nals;
-    PIP_CHECK(plen >= 1, "empty NAL");
+    if (plen == 0) {  // bare start code at EOF region: verbatim
+      emit_raw(data + s.prefix_start, s.payload_end - s.prefix_start);
+      continue;
+    }
     int nal_type = payload[0] & 0x1f;
     int nal_ref_idc = (payload[0] >> 5) & 3;
 
@@ -706,7 +730,13 @@ struct GopSegments {
 GopSegments find_gop_segments(const u8* data, size_t size) {
   GopSegments out;
   size_t trailing = size;
-  std::vector<NalSpan> nals = scan_annexb(data, size, &trailing);
+  size_t leading = 0;
+  std::vector<NalSpan> nals = scan_annexb(data, size, &trailing, &leading);
+  if (nals.empty()) {
+    out.ranges.push_back({0, size});
+    out.contexts.push_back({});
+    return out;
+  }
   std::vector<size_t> cuts;       // index into nals of segment starts
   std::vector<std::vector<u8>> ctxs;
   std::vector<u8> param_accum;    // all SPS/PPS NAL bytes so far
@@ -753,7 +783,8 @@ GopSegments find_gop_segments(const u8* data, size_t size) {
     in_nonvcl_run = false;
   }
   for (size_t k = 0; k < cuts.size(); ++k) {
-    size_t start = nals[cuts[k]].prefix_start;
+    // first segment owns any pre-start-code junk bytes
+    size_t start = (k == 0) ? 0 : nals[cuts[k]].prefix_start;
     size_t end = (k + 1 < cuts.size()) ? nals[cuts[k + 1]].prefix_start : size;
     out.ranges.push_back({start, end});
     out.contexts.push_back(std::move(ctxs[k]));

@@ -42,6 +42,32 @@ def test_truncated_stream_roundtrips(tibby_bytes):
     assert out == tr
 
 
+@pytest.mark.parametrize("blob", [
+    b"",                      # empty input
+    b"\x00" * 100,            # zeros, no start code
+    b"junk\x01\x02no start",  # garbage, no start code
+    b"\x00\x00\x01",          # bare start code, empty NAL
+    b"GARBAGE\x00\x00\x01\x41" + bytes(range(256)) * 4,  # leading junk
+])
+def test_arbitrary_bytes_roundtrip(blob):
+    """Lossless contract holds for ANY byte string (raw passthrough of
+    pre-start-code junk / start-code-free inputs)."""
+    out, _ = _roundtrip(blob)
+    assert out == blob
+
+
+def test_leading_junk_keeps_compression(tibby_bytes):
+    j = b"\xde\xad" + tibby_bytes
+    pip, _ = native.compress(j, verify=True)
+    out, _ = native.decompress(pip)
+    assert out == j
+    assert len(pip) < len(j) * 0.95
+    # sharded path handles the junk-owning first segment too
+    pip2, _ = native.compress_sharded(j, 4)
+    out2, _ = native.decompress(pip2)
+    assert out2 == j
+
+
 def test_garbage_nal_roundtrips():
     rng = np.random.RandomState(0)
     g = b"\x00\x00\x01\x41" + rng.randint(0, 255, 5000).astype(np.uint8).tobytes()
@@ -56,10 +82,20 @@ def test_decoder_conceals_corrupt_frame(tibby_bytes):
     bad = bytes(bad)
     dec = decoder_np.NpDecoder(bad)
     outs = list(dec.frames())
-    assert len(outs) > 1
+    # slice-copy concealment keeps decoding: all 94 frames come out
+    assert len(outs) == 94
     assert dec.concealed >= 1
-    # concealment = frame copy: last two frames identical
-    np.testing.assert_array_equal(outs[-1][0], outs[-2][0])
+
+
+def test_jax_decoder_conceals(tibby_bytes):
+    from losslessh264_tpu import decoder_jax
+    bad = bytearray(tibby_bytes)
+    bad[50000] ^= 0x55
+    dec = decoder_jax.JaxDecoder(bytes(bad))
+    for i, _ in enumerate(dec.frames()):
+        if dec.concealed:
+            break
+    assert dec.concealed >= 1
 
 
 def test_decoder_strict_mode_raises(tibby_bytes):
