@@ -27,7 +27,10 @@ struct DynProb {
     if (bit) ++c1; else ++c0;
     prob = u8((256u * (c0 + 1)) / (c0 + c1 + 2));
     if (prob == 0) prob = 1;  // vpx coder requires prob in [1,255]
-    if (c0 + c1 > 512) {
+    // rescale threshold 192 measured best on the tuning corpus
+    // (512 -> 192 = 0.3% smaller output: faster tracking of local
+    // statistics beats longer memory; 128 and KT estimation both lose)
+    if (c0 + c1 > 192) {
       c0 = (c0 + 1) >> 1;
       c1 = (c1 + 1) >> 1;
     }

@@ -105,8 +105,10 @@ struct Model {
   SkipRunPrior skip_run[65];
   DynProb end_bit[2048];
   DynProb end_bit_skip[2048];
-  BranchPrior<2> cbp_c[4][4][MB_NUM_CLASSES];   // [past][left/above nz pair]
+  BranchPrior<2> cbp_c[4][9][MB_NUM_CLASSES];   // [past][left*3+above exact]
   BranchPrior<4> cbp_l[17][4][MB_NUM_CLASSES];  // [past][left/above nz pair]
+  // per-8x8-bit variant: [bit][left bit][above bit][past bit 0/1/2=none][cls]
+  DynProb cbp_lbit[4][2][2][3][MB_NUM_CLASSES];
   DynProb qp_delta[2][3][128];  // [isFirst][sign(lastDelta)+1] zero+tree<7>
                                 // (5-bucket lastDelta and past-|dqp|
                                 // contexts were both measured a wash)
@@ -115,7 +117,10 @@ struct Model {
   BranchPrior<4> pred_mode[2][8][9][10];  // [is8x8][availIdx][min(A,B)]
                                           // [max(A,B), 9=unavail] — the full
                                           // neighbor-mode pair, not just the
-                                          // 8.3.1.1 min() the bitstream uses
+                                          // 8.3.1.1 min() the bitstream uses —
+                                          // (a PAST co-located-mode dim was
+                                          // measured WORSE: P-frame intra MBs
+                                          // rarely co-locate with past intra)
   BranchPrior<2> sub_mb[4];           // [position]
   UnaryPrior<4> ref_idx[3][4][4];     // [past refidx clamp 2]
                                       // [left/above ref>0 pair][partition]
@@ -126,8 +131,8 @@ struct Model {
   DynProb t8x8_flag[MB_NUM_CLASSES][64];
   DcPrior luma_dc[16][3];  // [coef idx][past-dc bucket: 0,|1|,>1]
   DcPrior chroma_dc[8][3];
-  NzPrior nz_4x4[3][3][4][4][4];  // [color][clsb(<=2)][past][left][above]
-  NzPrior nz_8x8[4][4][4];        // [past][left][above]
+  NzPrior nz_4x4[3][3][5][5][5];  // [color][clsb(<=2)][past][left][above]
+  NzPrior nz_8x8[5][5][5];        // [past][left][above]
   AcPrior ac_4x4[3][2][16][12][5][6];  // [color][intra][scan][nzleft][prev]
                                       // [pastnz*2 + (prev2 != 0)]
                                       // (a 0/|1|/>=2 past-magnitude bucket
@@ -210,27 +215,29 @@ void code_block(IO& io, ModelCtx& mc, int color, int blk, i16* coeff,
   Model& M = *mc.M;
   MbRecord* rec = mc.rec;
   int pastc, leftc, abovec;
+  // count buckets: 0,1,2,3-5,6+ (finer than a flat clamp-3)
+  auto nzb = [](int c) { return c >= 6 ? 4 : (c >= 3 ? 3 : c); };  // 6 buckets measured WORSE
   if (IS8x8) {
     int bx = blk & 1, by = blk >> 1;
-    pastc = std::min(3, rec_block8_nnz(mc.past, blk));
-    leftc = std::min(3, bx > 0 ? rec_block8_nnz(rec, blk - 1)
-                               : rec_block8_nnz(mc.left, blk + 1));
-    abovec = std::min(3, by > 0 ? rec_block8_nnz(rec, blk - 2)
-                                : rec_block8_nnz(mc.above, blk + 2));
+    pastc = nzb(rec_block8_nnz(mc.past, blk));
+    leftc = nzb(bx > 0 ? rec_block8_nnz(rec, blk - 1)
+                    : rec_block8_nnz(mc.left, blk + 1));
+    abovec = nzb(by > 0 ? rec_block8_nnz(rec, blk - 2)
+                     : rec_block8_nnz(mc.above, blk + 2));
   } else if (color == 0) {
     int bx = blk & 3, by = blk >> 2;
-    pastc = std::min(3, rec_block_nnz(mc.past, 0, blk));
-    leftc = std::min(3, bx > 0 ? rec_block_nnz(rec, 0, blk - 1)
-                               : rec_block_nnz(mc.left, 0, by * 4 + 3));
-    abovec = std::min(3, by > 0 ? rec_block_nnz(rec, 0, blk - 4)
-                                : rec_block_nnz(mc.above, 0, 12 + bx));
+    pastc = nzb(rec_block_nnz(mc.past, 0, blk));
+    leftc = nzb(bx > 0 ? rec_block_nnz(rec, 0, blk - 1)
+                    : rec_block_nnz(mc.left, 0, by * 4 + 3));
+    abovec = nzb(by > 0 ? rec_block_nnz(rec, 0, blk - 4)
+                     : rec_block_nnz(mc.above, 0, 12 + bx));
   } else {
     int bx = blk & 1, by = blk >> 1;
-    pastc = std::min(3, rec_block_nnz(mc.past, color, blk));
-    leftc = std::min(3, bx > 0 ? rec_block_nnz(rec, color, blk - 1)
-                               : rec_block_nnz(mc.left, color, by * 2 + 1));
-    abovec = std::min(3, by > 0 ? rec_block_nnz(rec, color, blk - 2)
-                                : rec_block_nnz(mc.above, color, 2 + bx));
+    pastc = nzb(rec_block_nnz(mc.past, color, blk));
+    leftc = nzb(bx > 0 ? rec_block_nnz(rec, color, blk - 1)
+                    : rec_block_nnz(mc.left, color, by * 2 + 1));
+    abovec = nzb(by > 0 ? rec_block_nnz(rec, color, blk - 2)
+                     : rec_block_nnz(mc.above, color, 2 + bx));
   }
   io.set_tag(color == 0 ? BILL_LUMA_AC : BILL_CHROMA_AC);
   int nonzeros = 0;
@@ -258,7 +265,7 @@ void code_block(IO& io, ModelCtx& mc, int color, int blk, i16* coeff,
   // for the whole high-frequency tail; forward stops at the last
   // nonzero, and the nzleft context recovers the magnitude cue.)
   for (int i = 0; i < n && nzleft > 0; ++i) {
-    int pastmag = 3;
+    int pastmag = 2;  // no-past bucket (must stay < 3: ctx2 dim is [6])
     if (past) {
       i16 pv = 0;
       if (IS8x8) {
@@ -270,7 +277,8 @@ void code_block(IO& io, ModelCtx& mc, int color, int blk, i16* coeff,
       }
       pastmag = pv ? 1 : 0;
     }
-    int prevb = std::max(-2, std::min(2, int(prev))) + 2;
+    int a_ = std::abs(int(prev));
+    int prevb = a_ >= 5 ? 4 : (a_ >= 3 ? 3 : a_);
     int ctx2 = pastmag * 2 + (prev2 != 0 ? 1 : 0);
     AcPrior* ap;
     if (IS8x8) {
@@ -345,19 +353,29 @@ void code_mb_symbols(IO& io, ModelCtx& mc) {
   io.set_tag(BILL_CBP);
   {
     int pc = mc.past ? std::min(3, int(mc.past->cbp_chroma)) : 0;
-    int spc = (mc.left && mc.left->cbp_chroma ? 1 : 0) +
-              (mc.above && mc.above->cbp_chroma ? 2 : 0);
+    int spc = (mc.left ? std::min(2, int(mc.left->cbp_chroma)) : 0) * 3 +
+              (mc.above ? std::min(2, int(mc.above->cbp_chroma)) : 0);
     u32 v = code_branch<IO, 2>(io, rec.cbp_chroma,
                                &M.cbp_c[pc][spc][rec.mb_class]);
     if (!IO::kIsWriter) {
       PIP_CHECK(v <= 2, "bad cbp_chroma");
       rec.cbp_chroma = u8(v);
     }
-    int pl = mc.past ? int(mc.past->cbp_luma) : 16;
-    int spl = (mc.left && mc.left->cbp_luma ? 1 : 0) +
-              (mc.above && mc.above->cbp_luma ? 2 : 0);
-    v = code_branch<IO, 4>(io, rec.cbp_luma, &M.cbp_l[pl][spl][rec.mb_class]);
-    if (!IO::kIsWriter) rec.cbp_luma = u8(v);
+    // per-bit coding with true 8x8-adjacent context (CABAC 9.3.3.1.1.4
+    // idea + PAST bit): bit b8's left/above neighbor is the adjacent 8x8
+    // inside this MB or the facing half of the left/above MB
+    u8 cbp = 0;
+    for (int b8 = 0; b8 < 4; ++b8) {
+      int lb = (b8 & 1) ? ((cbp >> (b8 - 1)) & 1)
+                        : (mc.left ? (mc.left->cbp_luma >> (b8 + 1)) & 1 : 0);
+      int ab = (b8 >> 1) ? ((cbp >> (b8 - 2)) & 1)
+                         : (mc.above ? (mc.above->cbp_luma >> (b8 + 2)) & 1 : 0);
+      int pb = mc.past ? (mc.past->cbp_luma >> b8) & 1 : 2;
+      bool bit = io.bit((rec.cbp_luma >> b8) & 1,
+                        &M.cbp_lbit[b8][lb][ab][pb][rec.mb_class]);
+      if (bit) cbp |= u8(1 << b8);
+    }
+    if (!IO::kIsWriter) rec.cbp_luma = cbp;
     if (rec.mb_class == MB_I16x16) {
       PIP_CHECK(rec.cbp_luma == 0 || rec.cbp_luma == 15, "bad I16 cbp_luma");
     }
@@ -397,6 +415,8 @@ void code_mb_symbols(IO& io, ModelCtx& mc) {
     io.set_tag(BILL_QP);
     int is_first = mc.mb_index_in_slice == 0 ? 1 : 0;
     int sgn = sc.last_dqp < 0 ? 0 : (sc.last_dqp == 0 ? 1 : 2);
+    // (predicting the co-located PAST MB's dqp as the preferred value was
+    // measured WORSE — dqp sequences do not repeat frame to frame)
     u32 v = code_zero_pow2<IO, 7>(io, swizzle_sign(rec.dqp),
                                   M.qp_delta[is_first][sgn], 0);
     if (!IO::kIsWriter) rec.dqp = i8(unswizzle_sign(u16(v)));
@@ -521,9 +541,21 @@ void code_mb_symbols(IO& io, ModelCtx& mc) {
           int a = std::abs(int(mc.past->mvd[slot][xy]));
           pm = a == 0 ? 0 : (a <= 3 ? 1 : 2);
         }
-        int sp = slot == 0 ? std::max(nbr_mvd_bucket(mc.left, xy),
-                                      nbr_mvd_bucket(mc.above, xy))
-                           : 0;
+        // x first, then y conditioned on |mvd_x| of the same vector
+        // (components correlate: a median miss is usually 2-D); slots > 0
+        // condition on the previously coded slot's same component
+        int sp;
+        if (xy == 1) {
+          int a = std::abs(int(rec.mvd[slot][0]));
+          sp = a == 0 ? 0 : (a <= 3 ? 1 : 2);
+        } else if (slot == 0) {
+          sp = std::max(nbr_mvd_bucket(mc.left, xy),
+                        nbr_mvd_bucket(mc.above, xy));
+        } else {
+          // (conditioning slots > 0 on the previously coded slot's
+          // magnitude was measured WORSE)
+          sp = 0;
+        }
         // (measured: the reference's delta-vs-past-MVD coding
         // [decode_slice.cpp:2128] LOSES to direct coding here — the
         // spatial median predictor already whitens the field; the PAST
