@@ -335,10 +335,24 @@ def deblock_frame(mb_w, mb_h, Yw, Uw, Vw, cls, qp, nnz, mv, ref_idx,
                      deblock_idc, alpha_off, beta_off, transform8,
                      chroma_qp_offset)
 
+    # impl selection (PIP_DEBLOCK): "auto" = the Pallas kernel when the
+    # planes fit VMEM (fastest measured on TPU), else the vectorized
+    # scan; "scan" / "pallas" / "legacy" force a path. The scan path is
+    # pure XLA (runs everywhere) and replaces the old serial-gather
+    # fallback for oversized frames.
+    import os
+    impl = os.environ.get("PIP_DEBLOCK", "auto")
     plane_bytes = 4 * sum(
         a.shape[0] * ((-(-a.shape[1] // 128)) * 128 + 128)
         for a in (Yw, Uw, Vw))  # kernel pads widths for aligned strips
-    if _pallas_ok() and plane_bytes <= _PALLAS_VMEM_BUDGET:
+    if impl == "auto":
+        impl = ("pallas" if _pallas_ok()
+                and plane_bytes <= _PALLAS_VMEM_BUDGET else "scan")
+    if impl == "scan":
+        from . import deblock_scan as _ds
+        return _ds.deblock_wavefront_scan(mb_w, mb_h, Yw, Uw, Vw, p)
+    if impl == "pallas" and _pallas_ok() \
+            and plane_bytes <= _PALLAS_VMEM_BUDGET:
         from . import deblock_pallas as _dp
         return _dp.deblock_wavefront(mb_w, mb_h, Yw, Uw, Vw, p, diags)
 
