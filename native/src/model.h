@@ -106,10 +106,10 @@ struct Model {
   DynProb end_bit[2048];
   DynProb end_bit_skip[2048];
   BranchPrior<2> cbp_c[4][9][MB_NUM_CLASSES];   // [past][left*3+above exact]
-  BranchPrior<4> cbp_l[17][4][MB_NUM_CLASSES];  // [past][left/above nz pair]
-  // per-8x8-bit variant: [bit][left bit][above bit][past bit 0/1/2=none][cls]
+  // cbp_luma per-8x8-bit: [bit][left bit][above bit][past bit 0/1/2=none][cls]
   DynProb cbp_lbit[4][2][2][3][MB_NUM_CLASSES];
-  DynProb qp_delta[2][3][128];  // [isFirst][sign(lastDelta)+1] zero+tree<7>
+  DynProb qp_delta[2][3][2][128];  // [isFirst][sign(lastDelta)+1]
+                                   // [above-QP pref active] zero+tree<7>
                                 // (5-bucket lastDelta and past-|dqp|
                                 // contexts were both measured a wash)
   DynProb i16_mode[8][8];       // [past-pref] zero+tree<3>
@@ -417,8 +417,19 @@ void code_mb_symbols(IO& io, ModelCtx& mc) {
     int sgn = sc.last_dqp < 0 ? 0 : (sc.last_dqp == 0 ? 1 : 2);
     // (predicting the co-located PAST MB's dqp as the preferred value was
     // measured WORSE — dqp sequences do not repeat frame to frame)
+    // GOM/row rate control produces row-banded QP planes: when the
+    // running predictor disagrees with the MB above, the most likely
+    // delta is the one landing on the above MB's QP
+    u32 pref = 0;
+    if (mc.above) {
+      int d = int(mc.above->qp) - sc.cur_qp;
+      if (d > 25) d -= 52;
+      if (d < -26) d += 52;
+      if (d != 0) pref = swizzle_sign(i8(d));
+    }
     u32 v = code_zero_pow2<IO, 7>(io, swizzle_sign(rec.dqp),
-                                  M.qp_delta[is_first][sgn], 0);
+                                  M.qp_delta[is_first][sgn][pref != 0],
+                                  pref);
     if (!IO::kIsWriter) rec.dqp = i8(unswizzle_sign(u16(v)));
   } else if (!IO::kIsWriter) {
     rec.dqp = 0;
