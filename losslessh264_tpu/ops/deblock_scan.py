@@ -240,10 +240,17 @@ def deblock_wavefront_scan(mb_w, mb_h, Yw, Uw, Vw, params):
                      w1y, w1c)
         return new_carry, (wy, wc)
 
-    carry0 = (jnp.zeros((K + 2, 24, 24), jnp.int32),
-              jnp.zeros((2, K + 2, 16, 16), jnp.int32),
-              jnp.zeros((K + 2, 24, 24), jnp.int32),
-              jnp.zeros((2, K + 2, 16, 16), jnp.int32))
+    # Seed the carry's varying-manual-axes from an xs leaf: under
+    # shard_map the scan body's outputs are {V:axis}-varying, so a
+    # plain jnp.zeros initial carry would mismatch (scan-vma rule).
+    # Adding 0*varying is a no-op outside shard_map and makes the
+    # carry varying inside it, without needing jax.lax.pcast.
+    zy = win_y.ravel()[0] * 0
+    zc = win_c.ravel()[0] * 0
+    carry0 = (jnp.zeros((K + 2, 24, 24), jnp.int32) + zy,
+              jnp.zeros((2, K + 2, 16, 16), jnp.int32) + zc,
+              jnp.zeros((K + 2, 24, 24), jnp.int32) + zy,
+              jnp.zeros((2, K + 2, 16, 16), jnp.int32) + zc)
     _, (Wy, Wc) = jax.lax.scan(step, carry0, xs)
 
     outY = Wy.reshape(-1)[jnp.asarray(S["own_y"])]

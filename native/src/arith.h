@@ -89,10 +89,6 @@ class BoolWriter {
     p->update(bit);
   }
 
-  void stop() {  // flush: 32 literal bits
-    for (int i = 0; i < 32; ++i) put((low_ >> 31) & 0, 128), (void)0;
-  }
-
   std::vector<u8> finish() {
     for (int i = 0; i < 32; ++i) put(false, 128);
     return std::move(buf_);
@@ -234,8 +230,8 @@ class StreamWriter {
  public:
   BoolWriter w;
   static constexpr bool kIsWriter = true;
-  // Billing: compressed bytes per feature tag (sampling: each output byte
-  // billed to the feature of the bit that produced it — reference:
+  // Billing: compressed BITS per feature tag (sampling: each output byte
+  // billed to the feature of the decision that produced it — reference:
   // ArithmeticCodedOutput::emitBit billing, compression_stream.h:407-435).
   double* bill = nullptr;  // array indexed by tag
   // prior-hit stats (reference PRIOR_STATS): decisions + predicted-symbol
@@ -252,13 +248,13 @@ class StreamWriter {
       prior_hits[tag] += double((p->prob >= 128) == !b);
     }
     w.put_adaptive(b, p);
-    if (bill) bill[tag] += double(w.size() - before);
+    if (bill) bill[tag] += 8.0 * double(w.size() - before);
     return b;
   }
   inline u32 raw_bits(u32 v, int n) {
     size_t before = w.size();
     for (int i = n - 1; i >= 0; --i) w.put((v >> i) & 1, 128);
-    if (bill) bill[tag] += double(w.size() - before);
+    if (bill) bill[tag] += 8.0 * double(w.size() - before);
     return v;
   }
   u64 n_bits() const { return w.n_bits(); }
