@@ -24,6 +24,34 @@ import time
 from . import native
 
 
+def print_billing(st, in_bytes, out_bytes):
+    """Feature | Bench | Ours | delta table (reference parity:
+    analyze_billing.py rendering of the dual BILL_BITS/pip ledgers).
+    Bench = bytes the original H.264 spent per feature; Ours = bytes the
+    .pip spends. Both columns sum to their exact file sizes."""
+    bench = st.bench or {}
+    bill = st.bill or {}
+    prior = st.prior or {}
+    keys = sorted(set(bench) | set(bill),
+                  key=lambda k: -(bench.get(k, 0) + bill.get(k, 0)))
+    print(f"  {'feature':<12} {'bench':>10} {'ours':>10} {'delta':>9} "
+          f"{'share':>6} {'hit%':>6}")
+    tb = to_ = 0.0
+    for k in keys:
+        b = bench.get(k, 0) / 8.0
+        o = bill.get(k, 0) / 8.0
+        tb += b
+        to_ += o
+        tot, hits = prior.get(k, (0, 0))
+        hit = f"{100*hits/tot:>5.1f}%" if tot else "     -"
+        print(f"  {k:<12} {b:>10.0f} {o:>10.0f} {o-b:>+9.0f} "
+              f"{100*o/out_bytes:>5.1f}% {hit}")
+    print(f"  {'TOTAL':<12} {tb:>10.0f} {to_:>10.0f} {to_-tb:>+9.0f}")
+    if round(tb) != in_bytes or round(to_) != out_bytes:
+        print(f"  WARNING: ledger totals ({tb:.0f}/{to_:.0f}) != file sizes "
+              f"({in_bytes}/{out_bytes})", file=sys.stderr)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(
         prog="losslessh264_tpu",
@@ -168,16 +196,7 @@ def main(argv=None):
             f"bit-exact: {'YES' if ok else 'NO'}"
         )
         if args.billing and st.bill:
-            total = sum(st.bill.values())
-            other = len(pip) - total
-            prior = st.prior or {}
-            print(f"  {'feature':<12} {'bytes':>10} {'share':>7} {'hit%':>6}")
-            for k, v in sorted(st.bill.items(), key=lambda kv: -kv[1]):
-                tot, hits = prior.get(k, (0, 0))
-                hit = f"{100*hits/tot:>5.1f}%" if tot else "     -"
-                print(f"  {k:<12} {v:>10.0f} {100*v/len(pip):>6.1f}% {hit}")
-            print(f"  {'headers/etc':<12} {other:>10.0f} "
-                  f"{100*other/len(pip):>6.1f}%")
+            print_billing(st, len(data), len(pip))
         return 0 if ok else 1
 
     if not args.output:

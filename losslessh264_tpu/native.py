@@ -28,16 +28,23 @@ class PipStats(ctypes.Structure):
         ("n_fallback_slices", ctypes.c_uint64),
         ("n_frames", ctypes.c_uint64),
         ("n_mbs", ctypes.c_uint64),
-        ("bill", ctypes.c_double * 32),
-        ("prior_total", ctypes.c_double * 32),
-        ("prior_hits", ctypes.c_double * 32),
+        ("bill", ctypes.c_double * 64),
+        ("bench", ctypes.c_double * 64),
+        ("prior_total", ctypes.c_double * 64),
+        ("prior_hits", ctypes.c_double * 64),
     ]
 
 
+# Mirrors BillTag in native/src/engine.h (order matters). Reference
+# analog: the ~70-tag list in billing.h:6-55, condensed to the features
+# the model actually codes plus stream-framing overhead buckets.
 BILL_NAMES = [
-    "mb_type", "skip", "end", "cbp", "qp", "pred_mode", "intra_mode",
-    "sub_mb", "ref", "mvd", "luma_dc", "chroma_dc", "luma_ac", "chroma_ac",
-    "pcm", "other",
+    "mb_type", "skip", "end", "cbp", "cbp_luma", "cbp_chroma", "qp_delta",
+    "i4_mode", "i8_mode", "i16_mode", "chroma_mode", "sub_mb", "ref_idx",
+    "mvd_x", "mvd_y", "t8x8_flag", "luma_dc", "chroma_dc", "luma_nz",
+    "luma_ac", "luma_run", "chroma_nz", "chroma_ac", "chroma_run", "pcm",
+    "startcode", "nal_hdr", "param_set", "slice_hdr", "trailing",
+    "raw_fallback", "container", "other",
 ]
 
 
@@ -50,7 +57,11 @@ class Stats:
     n_fallback_slices: int = 0
     n_frames: int = 0
     n_mbs: int = 0
+    # ours ledger: compressed output bits per feature; sums to 8*out_bytes
     bill: dict | None = None
+    # bench ledger: bits the ORIGINAL H.264 spent per feature (reference
+    # BILL_BITS, dec_golomb.h:71-82); sums to 8*in_bytes
+    bench: dict | None = None
     # per-feature adaptive-coder hit rates (PIP_PRIOR_STATS=1; reference
     # PRIOR_STATS analog): tag -> (decisions, predicted-symbol hits)
     prior: dict | None = None
@@ -126,6 +137,8 @@ def load():
 def _stats_from(c: PipStats) -> Stats:
     bill = {BILL_NAMES[i]: c.bill[i] for i in range(len(BILL_NAMES))
             if c.bill[i] > 0}
+    bench = {BILL_NAMES[i]: c.bench[i] for i in range(len(BILL_NAMES))
+             if c.bench[i] > 0}
     prior = {BILL_NAMES[i]: (c.prior_total[i], c.prior_hits[i])
              for i in range(len(BILL_NAMES)) if c.prior_total[i] > 0}
     return Stats(
@@ -137,6 +150,7 @@ def _stats_from(c: PipStats) -> Stats:
         n_frames=c.n_frames,
         n_mbs=c.n_mbs,
         bill=bill,
+        bench=bench or None,
         prior=prior or None,
     )
 

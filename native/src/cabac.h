@@ -138,6 +138,10 @@ class CabacDec {
   // Byte position after the codeword so far (for PCM samples / slice end):
   // ceil(consumed_bits / 8).
   size_t consumed_bytes() const { return (bitpos_ + 7) >> 3; }
+  // Raw bit position (for original-bits billing: attribute renorm pulls
+  // to the syntax element that triggered them, like the reference's
+  // BILL_BITS reader-side accounting, dec_golomb.h:71-82).
+  size_t bitpos() const { return bitpos_; }
 
  private:
   const u8* data_ = nullptr;

@@ -1,5 +1,6 @@
 #include "cabac_mb.h"
 
+#include "engine.h"  // BillTag
 #include "tables.h"
 
 namespace h264pip {
@@ -15,16 +16,46 @@ struct DecIO {
   CabacDec dec;
   CabacContexts* cc;
   const std::vector<u8>* rbsp;
+  // bench billing (original bits per BillTag): each decision bills the
+  // codeword bits its renormalization pulled (reference: BILL_BITS in the
+  // readers, dec_golomb.h:71-82; CABAC split parse_mb_syn_cabac.cpp)
+  double* bench = nullptr;
+  int tag = BILL_OTHER;
+  size_t last_bitpos = 0;
 
-  bool d(int ctx, bool) { return dec.decision_at(&cc->ctx[ctx], ctx); }
-  bool byp(bool) { return dec.bypass(); }
-  bool term(bool) { return dec.terminate(); }
+  inline void set_tag(int t) { tag = t; }
+  inline void bill_delta() {
+    if (bench) {
+      size_t p = dec.bitpos();
+      bench[tag] += double(p - last_bitpos);
+      last_bitpos = p;
+    }
+  }
+  bool d(int ctx, bool) {
+    bool b = dec.decision_at(&cc->ctx[ctx], ctx);
+    bill_delta();
+    return b;
+  }
+  bool byp(bool) {
+    bool b = dec.bypass();
+    bill_delta();
+    return b;
+  }
+  bool term(bool) {
+    bool b = dec.terminate();
+    bill_delta();
+    return b;
+  }
   // PCM: returns sample pointer handling; reader reads 384 bytes + reinit
   void pcm(u8* samples) {
     size_t pos = dec.consumed_bytes();
     PIP_CHECK(pos + 384 <= rbsp->size(), "PCM overruns slice");
     memcpy(samples, rbsp->data() + pos, 384);
     dec.reinit_at(pos + 384);
+    if (bench) {
+      bench[BILL_PCM] += double(dec.bitpos() - last_bitpos);
+      last_bitpos = dec.bitpos();
+    }
   }
 };
 
@@ -33,6 +64,7 @@ struct EncIO {
   CabacEnc enc;
   CabacContexts* cc;
 
+  inline void set_tag(int) {}
   bool d(int ctx, bool b) {
     enc.encode(&cc->ctx[ctx], b);
     return b;
@@ -183,6 +215,7 @@ static u32 code_egk_bypass(BIO& io, int k, u32 val) {
 // mvd component: full UEG3 with neighbor ctx
 template <class BIO>
 static i16 code_mvd(BIO& io, SliceCtx& sc, int cell, int comp, i16 val) {
+  io.set_tag(comp == 0 ? BILL_MVD_X : BILL_MVD_Y);
   int base = (comp == 0 ? CTX_MVD_X : CTX_MVD_Y);
   int sum = mvd_nbr_abs(sc, cell, comp, true) + mvd_nbr_abs(sc, cell, comp, false);
   int inc = sum < 3 ? 0 : (sum > 32 ? 2 : 1);
@@ -222,6 +255,16 @@ static int code_cabac_block(BIO& io, SliceCtx& sc, int cat, int cbf_ctx_inc,
   static const int kCatOffMap[6] = {0, 15, 29, 44, 47, 0};
   static const int kCatOffOne[6] = {0, 10, 20, 30, 39, 0};
   bool is8x8 = (cat == 5);
+  // bench billing split: cbf+sig+last = positions (NZ), levels+signs = AC;
+  // DC blocks bill whole to their DC tag
+  int tag_nz, tag_lvl;
+  switch (cat) {
+    case 0: tag_nz = tag_lvl = BILL_LUMA_DC; break;
+    case 3: tag_nz = tag_lvl = BILL_CHROMA_DC; break;
+    case 4: tag_nz = BILL_CHROMA_NZ; tag_lvl = BILL_CHROMA_AC; break;
+    default: tag_nz = BILL_LUMA_NZ; tag_lvl = BILL_LUMA_AC; break;
+  }
+  io.set_tag(tag_nz);
 
   if (!is8x8) {
     int cnt = 0;
@@ -278,6 +321,7 @@ static int code_cabac_block(BIO& io, SliceCtx& sc, int cat, int cbf_ctx_inc,
     }
   }
   // levels, from highest scan position down
+  io.set_tag(tag_lvl);
   int one_base = is8x8 ? CTX_ONE_8X8 : CTX_ONE + kCatOffOne[cat];
   int abs_base = one_base + 5;
   int max_c2 = (cat == 3) ? 3 : 4;
@@ -409,6 +453,7 @@ static void code_mb_cabac(BIO& io, SliceCtx& sc, MbRecord& rec) {
   bool isP = sc.sh->slice_type == SLICE_P || sc.sh->slice_type == SLICE_SP;
   sc.cur.mb_class = rec.mb_class;  // provisional for writer ctx; reader fixes below
 
+  io.set_tag(BILL_MB_TYPE);
   if (isP) {
     code_mb_type_p(io, sc, rec);
   } else {
@@ -430,6 +475,7 @@ static void code_mb_cabac(BIO& io, SliceCtx& sc, MbRecord& rec) {
       const MbState* L = sc.nbr(sc.addr_left());
       const MbState* T = sc.nbr(sc.addr_above());
       int inc = (L && L->transform_8x8 ? 1 : 0) + (T && T->transform_8x8 ? 1 : 0);
+      io.set_tag(BILL_T8X8);
       bool t8 = io.d(CTX_T8X8 + inc, rec.mb_class == MB_I8x8);
       if (!BIO::kIsWriter) rec.mb_class = t8 ? MB_I8x8 : MB_I4x4;
       rec.transform_8x8 = (rec.mb_class == MB_I8x8);
@@ -438,6 +484,7 @@ static void code_mb_cabac(BIO& io, SliceCtx& sc, MbRecord& rec) {
     }
     int nblk = rec.mb_class == MB_I8x8 ? 4 : 16;
     static const int kTopLeft8[4] = {0, 2, 8, 10};
+    io.set_tag(rec.mb_class == MB_I8x8 ? BILL_I8_MODE : BILL_I4_MODE);
     for (int d = 0; d < nblk; ++d) {
       int pred = rec.mb_class == MB_I8x8 ? sc.pred_intra_8x8_mode(d)
                                          : sc.pred_intra_4x4_mode(kBlk4x4DecodeOrder[d]);
@@ -472,6 +519,7 @@ static void code_mb_cabac(BIO& io, SliceCtx& sc, MbRecord& rec) {
     // NB: plain sum (spec 9.3.3.1.1.8), unlike the <<1-weighted incs
     int inc = (cond(sc.nbr(sc.addr_left())) ? 1 : 0) +
               (cond(sc.nbr(sc.addr_above())) ? 1 : 0);
+    io.set_tag(BILL_CHROMA_MODE);
     u32 mode = BIO::kIsWriter ? rec.chroma_mode : 0;
     bool nz = io.d(CTX_CHROMA_MODE + inc, mode != 0);
     if (nz) {
@@ -492,6 +540,7 @@ static void code_mb_cabac(BIO& io, SliceCtx& sc, MbRecord& rec) {
     int num_ref = sc.sh->num_ref_idx_l0_active;
     // sub_mb types first (P8x8)
     if (rec.mb_class == MB_P8x8) {
+      io.set_tag(BILL_SUB_MB);
       for (int i = 0; i < 4; ++i) {
         u32 st = BIO::kIsWriter ? rec.sub_types[i] : 0;
         bool b0 = io.d(CTX_SUB_MB_P, st == SUB_8x8);
@@ -532,6 +581,7 @@ static void code_mb_cabac(BIO& io, SliceCtx& sc, MbRecord& rec) {
           parts[nparts++] = {(i >> 1) * 8 + (i & 1) * 2, i};
         break;
     }
+    io.set_tag(BILL_REF);
     for (int p = 0; p < nparts; ++p) {
       i8 ref = 0;
       if (num_ref > 1) {
@@ -630,6 +680,7 @@ static void code_mb_cabac(BIO& io, SliceCtx& sc, MbRecord& rec) {
     auto tok = [&](int bit) {
       return T && T->mb_class != MB_PCM && !((T->cbp_luma >> bit) & 1);
     };
+    io.set_tag(BILL_CBP_LUMA);
     u32 cbp = BIO::kIsWriter ? rec.cbp_luma : 0;
     bool b0 = io.d(CTX_CBP_LUMA + (lok(1) ? 1 : 0) + (tok(2) ? 2 : 0), cbp & 1);
     bool b1 = io.d(CTX_CBP_LUMA + (!b0 ? 1 : 0) + (tok(3) ? 2 : 0), (cbp >> 1) & 1);
@@ -645,6 +696,7 @@ static void code_mb_cabac(BIO& io, SliceCtx& sc, MbRecord& rec) {
         return N && (N->mb_class == MB_PCM || N->cbp_chroma == 2);
       };
       int inc = (cnz(L) ? 1 : 0) + (cnz(T) ? 2 : 0);
+      io.set_tag(BILL_CBP_CHROMA);
       bool cb0 = io.d(CTX_CBP_CHROMA + inc, rec.cbp_chroma != 0);
       if (cb0) {
         int inc2 = (c2f(L) ? 1 : 0) + (c2f(T) ? 2 : 0);
@@ -666,6 +718,7 @@ static void code_mb_cabac(BIO& io, SliceCtx& sc, MbRecord& rec) {
       }
       if (elig) {
         int inc = (L && L->transform_8x8 ? 1 : 0) + (T && T->transform_8x8 ? 1 : 0);
+        io.set_tag(BILL_T8X8);
         bool t8 = io.d(CTX_T8X8 + inc, rec.transform_8x8);
         if (!BIO::kIsWriter) rec.transform_8x8 = t8;
         sc.cur.transform_8x8 = rec.transform_8x8;
@@ -687,6 +740,7 @@ static void code_mb_cabac(BIO& io, SliceCtx& sc, MbRecord& rec) {
   }
   // delta QP
   {
+    io.set_tag(BILL_QP);
     int inc = sc.last_dqp != 0 ? 1 : 0;
     i32 dqp = BIO::kIsWriter ? rec.dqp : 0;
     bool nz = io.d(CTX_DQP + inc, dqp != 0);
@@ -790,6 +844,7 @@ static void cabac_slice_loop(BIO& io, SliceCtx& sc, const SliceHeader& sh,
       const MbState* L = sc.nbr(sc.addr_left());
       const MbState* T = sc.nbr(sc.addr_above());
       int inc = (L && !L->skip_flag ? 1 : 0) + (T && !T->skip_flag ? 1 : 0);
+      io.set_tag(BILL_SKIP);
       skip = io.d(CTX_MB_SKIP_P + inc, rec.mb_class == MB_PSKIP);
       if (skip && !BIO::kIsWriter) rec.mb_class = MB_PSKIP;
     }
@@ -808,6 +863,7 @@ static void cabac_slice_loop(BIO& io, SliceCtx& sc, const SliceHeader& sh,
               addr, rec.mb_class, rec.cbp_luma, rec.cbp_chroma, rec.dqp,
               rec.transform_8x8);
     }
+    io.set_tag(BILL_END);
     bool end = io.term(writer_mode ? (k == recs->size()) : false);
     addr = next_mb_address(*sc.pic, addr);
     if (end) break;
@@ -839,7 +895,13 @@ CabacSliceParse cabac_parse_slice(const std::vector<u8>& rbsp, SliceCtx& sc,
           sh.cabac_init_idc, sh.slice_qp);
   io.cc = &cc;
   io.rbsp = &rbsp;
+  io.bench = sc.bench;
   io.dec.init(rbsp.data(), rbsp.size(), start_byte);
+  if (io.bench) {
+    // 9-bit codeword warmup: arithmetic-coder overhead, not syntax
+    io.bench[BILL_TRAILING] += double(io.dec.bitpos() - start_byte * 8);
+    io.last_bitpos = io.dec.bitpos();
+  }
 
   cabac_slice_loop(io, sc, sh, &out.recs, /*writer_mode=*/false);
   out.end_byte = io.dec.consumed_bytes();

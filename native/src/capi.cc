@@ -26,10 +26,25 @@ extern "C" {
 
 struct PipStats {
   u64 in_bytes, out_bytes, n_nals, n_slices, n_fallback_slices, n_frames, n_mbs;
-  double bill[32];
-  double prior_total[32];
-  double prior_hits[32];
+  double bill[64];    // ours ledger, BILL_NUM entries used
+  double bench[64];   // original-H.264 bits ledger, BILL_NUM entries used
+  double prior_total[64];
+  double prior_hits[64];
 };
+
+static void copy_bill(PipStats* o, const EngineStats& st) {
+  memset(o->bill, 0, sizeof(o->bill));
+  memset(o->bench, 0, sizeof(o->bench));
+  memset(o->prior_total, 0, sizeof(o->prior_total));
+  memset(o->prior_hits, 0, sizeof(o->prior_hits));
+  memcpy(o->bill, st.bill_bits, sizeof(st.bill_bits));
+  memcpy(o->bench, st.bench_bits, sizeof(st.bench_bits));
+  memcpy(o->prior_total, st.prior_total, sizeof(st.prior_total));
+  memcpy(o->prior_hits, st.prior_hits, sizeof(st.prior_hits));
+}
+
+int pip_bill_num_c() { return BILL_NUM; }
+const char* pip_bill_name_c(int tag) { return bill_tag_name(tag); }
 
 int pip_compress_c(const u8* data, size_t size, int verify, u8** out,
                    size_t* out_size, PipStats* stats_out, char* err,
@@ -47,11 +62,7 @@ int pip_compress_c(const u8* data, size_t size, int verify, u8** out,
       stats_out->n_fallback_slices = st.n_fallback_slices;
       stats_out->n_frames = st.n_frames;
       stats_out->n_mbs = st.n_mbs;
-      memcpy(stats_out->bill, st.bill_bits, sizeof(stats_out->bill));
-      memcpy(stats_out->prior_total, st.prior_total,
-             sizeof(stats_out->prior_total));
-      memcpy(stats_out->prior_hits, st.prior_hits,
-             sizeof(stats_out->prior_hits));
+      copy_bill(stats_out, st);
     }
     return 0;
   } catch (const std::exception& e) {
@@ -77,7 +88,7 @@ int pip_compress_sharded_c(const u8* data, size_t size, int n_shards,
       stats_out->n_fallback_slices = st.n_fallback_slices;
       stats_out->n_frames = st.n_frames;
       stats_out->n_mbs = st.n_mbs;
-      memcpy(stats_out->bill, st.bill_bits, sizeof(stats_out->bill));
+      copy_bill(stats_out, st);
     }
     return 0;
   } catch (const std::exception& e) {
@@ -160,11 +171,7 @@ int pip_compress_ctx_c(const u8* data, size_t size, const u8* ctx,
       stats_out->n_fallback_slices = st.n_fallback_slices;
       stats_out->n_frames = st.n_frames;
       stats_out->n_mbs = st.n_mbs;
-      memcpy(stats_out->bill, st.bill_bits, sizeof(stats_out->bill));
-      memcpy(stats_out->prior_total, st.prior_total,
-             sizeof(stats_out->prior_total));
-      memcpy(stats_out->prior_hits, st.prior_hits,
-             sizeof(stats_out->prior_hits));
+      copy_bill(stats_out, st);
     }
     return 0;
   } catch (const std::exception& e) {

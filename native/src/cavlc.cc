@@ -1,5 +1,6 @@
 #include "cavlc.h"
 
+#include "engine.h"  // BillTag
 #include "tables.h"
 
 namespace h264pip {
@@ -133,10 +134,20 @@ static void write_level(BitWriter& bw, i32 levelCode, int suffixLength) {
   }
 }
 
-int cavlc_parse_residual(BitReader& br, int nC, int maxNumCoeff, i16* coeff) {
+int cavlc_parse_residual(BitReader& br, int nC, int maxNumCoeff, i16* coeff,
+                         double* bench, int tag_nz, int tag_lvl, int tag_run) {
   memset(coeff, 0, sizeof(i16) * maxNumCoeff);
+  size_t p0 = br.pos_bits();
+  auto bill = [&](int tag) {
+    if (bench) {
+      size_t p = br.pos_bits();
+      bench[tag] += double(p - p0);
+      p0 = p;
+    }
+  };
   int tc, t1;
   parse_coeff_token(br, nC, &tc, &t1);
+  bill(tag_nz);
   if (tc == 0) return 0;
   PIP_CHECK(tc <= maxNumCoeff, "total_coeff > maxNumCoeff");
   i32 level[16];
@@ -153,6 +164,7 @@ int cavlc_parse_residual(BitReader& br, int nC, int maxNumCoeff, i16* coeff) {
       if (absL > (3 << (suffixLength - 1)) && suffixLength < 6) ++suffixLength;
     }
   }
+  bill(tag_lvl);
   int totalZeros = 0;
   if (tc < maxNumCoeff) {
     if (maxNumCoeff == 4) {
@@ -172,6 +184,7 @@ int cavlc_parse_residual(BitReader& br, int nC, int maxNumCoeff, i16* coeff) {
     }
   }
   run[tc - 1] = zerosLeft;
+  bill(tag_run);
   int coeffNum = -1;
   for (int i = tc - 1; i >= 0; --i) {
     coeffNum += run[i] + 1;
@@ -264,10 +277,12 @@ void cavlc_write_residual(BitWriter& bw, int nC, int maxNumCoeff,
 //  - 8x8 transform (CAVLC): each 8x8 block is coded as 4 interleaved 4x4
 //    blocks; sub-block b holds 8x8 scan positions 4k+b.
 static void parse_residuals(BitReader& br, SliceCtx& ctx, MbRecord& rec) {
+  double* bb = ctx.bench;
   bool is_i16 = rec.mb_class == MB_I16x16;
   if (is_i16) {
     int nC = ctx.nC_luma(0);
-    cavlc_parse_residual(br, nC, 16, rec.luma_dc);
+    cavlc_parse_residual(br, nC, 16, rec.luma_dc, bb, BILL_LUMA_DC,
+                         BILL_LUMA_DC, BILL_LUMA_DC);
   }
   for (int i8 = 0; i8 < 4; ++i8) {
     if (!(rec.cbp_luma & (1 << i8))) continue;
@@ -277,7 +292,8 @@ static void parse_residuals(BitReader& br, SliceCtx& ctx, MbRecord& rec) {
         int r = kBlk4x4DecodeOrder[d];
         i16 tmp[16];
         int nC = ctx.nC_luma(r);
-        int tc = cavlc_parse_residual(br, nC, 16, tmp);
+        int tc = cavlc_parse_residual(br, nC, 16, tmp, bb, BILL_LUMA_NZ,
+                                      BILL_LUMA_AC, BILL_LUMA_RUN);
         for (int k = 0; k < 16; ++k) rec.luma_ac8[i8][4 * k + b] = tmp[k];
         ctx.cur.nnz[r] = u8(tc);
         rec.nnz[r] = u8(tc);
@@ -289,9 +305,11 @@ static void parse_residuals(BitReader& br, SliceCtx& ctx, MbRecord& rec) {
         int nC = ctx.nC_luma(r);
         int tc;
         if (is_i16) {
-          tc = cavlc_parse_residual(br, nC, 15, &rec.luma_ac[r][1]);
+          tc = cavlc_parse_residual(br, nC, 15, &rec.luma_ac[r][1], bb,
+                                    BILL_LUMA_NZ, BILL_LUMA_AC, BILL_LUMA_RUN);
         } else {
-          tc = cavlc_parse_residual(br, nC, 16, rec.luma_ac[r]);
+          tc = cavlc_parse_residual(br, nC, 16, rec.luma_ac[r], bb,
+                                    BILL_LUMA_NZ, BILL_LUMA_AC, BILL_LUMA_RUN);
         }
         ctx.cur.nnz[r] = u8(tc);
         rec.nnz[r] = u8(tc);
@@ -300,14 +318,17 @@ static void parse_residuals(BitReader& br, SliceCtx& ctx, MbRecord& rec) {
   }
   if (rec.cbp_chroma != 0) {
     for (int c = 0; c < 2; ++c) {
-      cavlc_parse_residual(br, -1, 4, rec.chroma_dc[c]);
+      cavlc_parse_residual(br, -1, 4, rec.chroma_dc[c], bb, BILL_CHROMA_DC,
+                           BILL_CHROMA_DC, BILL_CHROMA_DC);
     }
   }
   if (rec.cbp_chroma == 2) {
     for (int c = 0; c < 2; ++c) {
       for (int b = 0; b < 4; ++b) {
         int nC = ctx.nC_chroma(c, b);
-        int tc = cavlc_parse_residual(br, nC, 15, &rec.chroma_ac[c * 4 + b][1]);
+        int tc = cavlc_parse_residual(br, nC, 15, &rec.chroma_ac[c * 4 + b][1],
+                                      bb, BILL_CHROMA_NZ, BILL_CHROMA_AC,
+                                      BILL_CHROMA_RUN);
         ctx.cur.nnz[16 + c * 4 + b] = u8(tc);
         rec.nnz[16 + c * 4 + b] = u8(tc);
       }
@@ -365,6 +386,14 @@ static void write_residuals(BitWriter& bw, SliceCtx& ctx, const MbRecord& rec) {
 
 // Parse intra prediction info (mb_pred for intra MBs).
 static void parse_intra_pred(BitReader& br, SliceCtx& ctx, MbRecord& rec) {
+  size_t p0 = br.pos_bits();
+  auto bill = [&](int tag) {
+    if (ctx.bench) {
+      size_t p = br.pos_bits();
+      ctx.bench[tag] += double(p - p0);
+      p0 = p;
+    }
+  };
   if (rec.mb_class == MB_I4x4) {
     for (int d = 0; d < 16; ++d) {
       int r = kBlk4x4DecodeOrder[d];
@@ -379,6 +408,7 @@ static void parse_intra_pred(BitReader& br, SliceCtx& ctx, MbRecord& rec) {
       rec.i4_modes[d] = u8(mode);
       ctx.cur.i4_modes[r] = i8(mode);  // later blocks predict from this
     }
+    bill(BILL_I4_MODE);
   } else if (rec.mb_class == MB_I8x8) {
     static const int kTopLeft[4] = {0, 2, 8, 10};
     for (int b = 0; b < 4; ++b) {
@@ -395,10 +425,12 @@ static void parse_intra_pred(BitReader& br, SliceCtx& ctx, MbRecord& rec) {
       ctx.cur.i4_modes[tl] = ctx.cur.i4_modes[tl + 1] = i8(mode);
       ctx.cur.i4_modes[tl + 4] = ctx.cur.i4_modes[tl + 5] = i8(mode);
     }
+    bill(BILL_I8_MODE);
   }
   if (ctx.sps->chroma_format_idc != 0) {
     rec.chroma_mode = u8(br.ue());
     PIP_CHECK(rec.chroma_mode <= 3, "bad chroma pred mode");
+    bill(BILL_CHROMA_MODE);
   }
 }
 
@@ -442,23 +474,35 @@ static const int kSubMvCount[4] = {1, 2, 2, 4};
 
 static void parse_inter_pred(BitReader& br, SliceCtx& ctx, MbRecord& rec) {
   int num_ref = ctx.sh->num_ref_idx_l0_active;
+  size_t p0 = br.pos_bits();
+  auto bill = [&](int tag) {
+    if (ctx.bench) {
+      size_t p = br.pos_bits();
+      ctx.bench[tag] += double(p - p0);
+      p0 = p;
+    }
+  };
   auto read_ref = [&]() -> i8 {
     if (num_ref <= 1) return 0;
-    return i8(br.te(num_ref - 1));
+    i8 r = i8(br.te(num_ref - 1));
+    bill(BILL_REF);
+    return r;
+  };
+  auto read_mvd = [&](int slot) {
+    rec.mvd[slot][0] = i16(br.se());
+    bill(BILL_MVD_X);
+    rec.mvd[slot][1] = i16(br.se());
+    bill(BILL_MVD_Y);
   };
   switch (rec.mb_class) {
     case MB_P16x16:
       rec.ref_idx[0] = read_ref();
-      rec.mvd[0][0] = i16(br.se());
-      rec.mvd[0][1] = i16(br.se());
+      read_mvd(0);
       break;
     case MB_P16x8:
     case MB_P8x16:
       for (int p = 0; p < 2; ++p) rec.ref_idx[p] = read_ref();
-      for (int p = 0; p < 2; ++p) {
-        rec.mvd[p][0] = i16(br.se());
-        rec.mvd[p][1] = i16(br.se());
-      }
+      for (int p = 0; p < 2; ++p) read_mvd(p);
       break;
     case MB_P8x8:
     case MB_P8x8REF0: {
@@ -467,13 +511,13 @@ static void parse_inter_pred(BitReader& br, SliceCtx& ctx, MbRecord& rec) {
         PIP_CHECK(st <= 3, "bad P sub_mb_type");
         rec.sub_types[i] = u8(st);
       }
+      bill(BILL_SUB_MB);
       if (rec.mb_class == MB_P8x8) {
         for (int i = 0; i < 4; ++i) rec.ref_idx[i] = read_ref();
       }
       for (int i = 0; i < 4; ++i) {
         for (int j = 0; j < kSubMvCount[rec.sub_types[i]]; ++j) {
-          rec.mvd[4 * i + j][0] = i16(br.se());
-          rec.mvd[4 * i + j][1] = i16(br.se());
+          read_mvd(4 * i + j);
         }
       }
       break;
@@ -536,7 +580,16 @@ static bool inter_has_8x8_flag(const SliceCtx& ctx, const MbRecord& rec) {
 
 void parse_mb_cavlc(BitReader& br, SliceCtx& ctx, MbRecord& rec) {
   bool isP = ctx.sh->slice_type == SLICE_P || ctx.sh->slice_type == SLICE_SP;
+  size_t p0 = br.pos_bits();
+  auto bill = [&](int tag) {
+    if (ctx.bench) {
+      size_t p = br.pos_bits();
+      ctx.bench[tag] += double(p - p0);
+      p0 = p;
+    }
+  };
   u32 mb_type = br.ue();
+  bill(BILL_MB_TYPE);
   int intra_type = -1;
   if (isP) {
     if (mb_type < 5) {
@@ -555,6 +608,7 @@ void parse_mb_cavlc(BitReader& br, SliceCtx& ctx, MbRecord& rec) {
       rec.mb_class = MB_I4x4;
       if (ctx.pps->transform_8x8_mode) {
         rec.transform_8x8 = br.bit();
+        bill(BILL_T8X8);
         if (rec.transform_8x8) rec.mb_class = MB_I8x8;
       }
     } else if (intra_type == 25) {
@@ -566,6 +620,7 @@ void parse_mb_cavlc(BitReader& br, SliceCtx& ctx, MbRecord& rec) {
       int n = 256 + (ctx.sps->chroma_format_idc == 1 ? 128 : 0);
       PIP_CHECK(n == 384, "only 4:2:0 PCM supported");
       for (int i = 0; i < 384; ++i) rec.pcm[i] = u8(br.u(8));
+      bill(BILL_PCM);
       return;  // PCM has no further syntax
     } else {
       rec.mb_class = MB_I16x16;
@@ -583,7 +638,9 @@ void parse_mb_cavlc(BitReader& br, SliceCtx& ctx, MbRecord& rec) {
   }
   // coded_block_pattern
   if (rec.mb_class != MB_I16x16) {
+    p0 = br.pos_bits();
     u32 code = br.ue();
+    bill(BILL_CBP);
     bool mono = ctx.sps->chroma_format_idc == 0;
     bool intra = mb_is_intra(rec.mb_class);
     const u8* t = mono ? (intra ? kCbpIntra400 : kCbpInter400)
@@ -594,13 +651,16 @@ void parse_mb_cavlc(BitReader& br, SliceCtx& ctx, MbRecord& rec) {
     rec.cbp_chroma = u8(cbp >> 4);
     if (mb_is_inter(rec.mb_class) && inter_has_8x8_flag(ctx, rec)) {
       rec.transform_8x8 = br.bit();
+      bill(BILL_T8X8);
     }
   }
   // mb_qp_delta (the QP chain itself is advanced by the engine AFTER the
   // model symbols are coded, so model contexts see pre-MB state on both
   // the compress and recode sides)
   if (rec.cbp_luma != 0 || rec.cbp_chroma != 0 || rec.mb_class == MB_I16x16) {
+    p0 = br.pos_bits();
     rec.dqp = i8(br.se());
+    bill(BILL_QP);
     parse_residuals(br, ctx, rec);
   }
 }

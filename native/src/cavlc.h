@@ -9,8 +9,13 @@
 namespace h264pip {
 
 // Residual block: coeff[] has maxNumCoeff entries in scan order. Returns
-// total_coeff. nC: CAVLC context (-1 for chroma DC 4:2:0).
-int cavlc_parse_residual(BitReader& br, int nC, int maxNumCoeff, i16* coeff);
+// total_coeff. nC: CAVLC context (-1 for chroma DC 4:2:0). When `bench`
+// is non-null, the original bits consumed are billed there: coeff_token
+// under tag_nz, level codes under tag_lvl, total_zeros+run_before under
+// tag_run (reference: the CAVLC cost split, parse_mb_syn_cavlc.cpp:640-652).
+int cavlc_parse_residual(BitReader& br, int nC, int maxNumCoeff, i16* coeff,
+                         double* bench = nullptr, int tag_nz = 0,
+                         int tag_lvl = 0, int tag_run = 0);
 void cavlc_write_residual(BitWriter& bw, int nC, int maxNumCoeff,
                           const i16* coeff);
 

@@ -182,6 +182,20 @@ struct WalkState {
 
 static bool nal_is_vcl(int type) { return type >= 1 && type <= 5; }
 
+const char* bill_tag_name(int tag) {
+  static const char* kNames[BILL_NUM] = {
+      "mb_type",      "skip",        "end",         "cbp",
+      "cbp_luma",     "cbp_chroma",  "qp_delta",    "i4_mode",
+      "i8_mode",      "i16_mode",    "chroma_mode", "sub_mb",
+      "ref_idx",      "mvd_x",       "mvd_y",       "t8x8_flag",
+      "luma_dc",      "chroma_dc",   "luma_nz",     "luma_ac",
+      "luma_run",     "chroma_nz",   "chroma_ac",   "chroma_run",
+      "pcm",          "startcode",   "nal_hdr",     "param_set",
+      "slice_hdr",    "trailing",    "raw_fallback", "container",
+      "other"};
+  return (tag >= 0 && tag < BILL_NUM) ? kNames[tag] : "?";
+}
+
 // Parse SPS/PPS out of a non-VCL NAL payload (used by both directions).
 // Corrupt parameter sets are skipped, identically on compress and
 // decompress, so both walks stay state-mirrored; slices referencing a
@@ -227,10 +241,12 @@ struct SliceResult {
 static std::vector<MbRecord> cavlc_parse_slice(WalkState& ws, const Sps& sps,
                                                const Pps& pps,
                                                const SliceHeader& sh,
-                                               const std::vector<u8>& rbsp) {
+                                               const std::vector<u8>& rbsp,
+                                               double* bench = nullptr) {
   SliceCtx sc;
   sc.begin_slice(&sps, &pps, &sh, &ws.pic);
   compute_slice_group_map(sps, pps, sh, ws.pic);
+  sc.bench = bench;
   BitReader br(rbsp.data(), rbsp.size());
   br.seek_bits(sh.header_bits);
   std::vector<MbRecord> recs;
@@ -239,7 +255,9 @@ static std::vector<MbRecord> cavlc_parse_slice(WalkState& ws, const Sps& sps,
   while (true) {
     PIP_CHECK(addr < ws.pic.num_mbs(), "slice overruns picture");
     if (isP) {
+      size_t sp0 = br.pos_bits();
       int run = int(br.ue());
+      if (bench) bench[BILL_SKIP] += double(br.pos_bits() - sp0);
       for (int k = 0; k < run; ++k) {
         PIP_CHECK(addr < ws.pic.num_mbs(), "skip run overruns picture");
         sc.begin_mb(addr);
@@ -460,13 +478,26 @@ std::vector<u8> pip_compress(const u8* data, size_t size, bool verify,
 
   std::vector<u8> def;  // default stream
   StreamWriter io;
+  // Dual billing ledgers (reference: bill[] original-side vs
+  // pip_decisions[] ours-side, billing.h / compression_stream.cpp):
+  // ours_arith = arithmetic-stream bits per tag; ours_def = default-stream
+  // + container bits per tag. Their sum is EXACTLY 8x the output size;
+  // stats->bench_bits sums to EXACTLY 8x the input size (tested).
+  double ours_arith[BILL_NUM] = {};
+  double ours_def[BILL_NUM] = {};
   if (stats) {
-    io.bill = stats->bill_bits;
+    io.bill = ours_arith;
     if (getenv("PIP_PRIOR_STATS")) {
       io.prior_total = stats->prior_total;
       io.prior_hits = stats->prior_hits;
     }
   }
+  auto bill_def = [&](int tag, double bits) {
+    if (stats) ours_def[tag] += bits;
+  };
+  auto bill_bench = [&](int tag, double bits) {
+    if (stats) stats->bench_bits[tag] += bits;
+  };
   WalkState ws;
   if (context && context_size) {
     size_t cts = context_size;
@@ -484,14 +515,22 @@ std::vector<u8> pip_compress(const u8* data, size_t size, bool verify,
   // at the end when `verify` is set (see below) — that exercises the
   // exact decompress path.
 
-  auto emit_raw = [&](const u8* p, size_t n) {
+  // One REC_RAW per span (decompress scans for the start code INSIDE a
+  // record to mirror bookkeeping — never split a NAL across records).
+  // Payload bits are billed by the caller; framing goes to CONTAINER.
+  auto emit_raw = [&](const u8* p, size_t n, int tag) {
     if (n == 0) return;
+    size_t before = def.size();
     def.push_back(REC_RAW);
     put_varint(def, n);
+    bill_def(BILL_CONTAINER, double(def.size() - before) * 8);
     def.insert(def.end(), p, p + n);
+    bill_def(tag, double(n) * 8);
   };
 
-  emit_raw(data, leading_end);  // pre-start-code junk: verbatim
+  // pre-start-code junk: verbatim
+  emit_raw(data, leading_end, BILL_OTHER);
+  bill_bench(BILL_OTHER, double(leading_end) * 8);
 
   for (const NalSpan& s : nals) {
     const u8* payload = data + s.payload_start;
@@ -499,7 +538,9 @@ std::vector<u8> pip_compress(const u8* data, size_t size, bool verify,
     size_t prefix_len = s.payload_start - s.prefix_start;
     if (stats) ++stats->n_nals;
     if (plen == 0) {  // bare start code at EOF region: verbatim
-      emit_raw(data + s.prefix_start, s.payload_end - s.prefix_start);
+      emit_raw(data + s.prefix_start, s.payload_end - s.prefix_start,
+               BILL_STARTCODE);
+      bill_bench(BILL_STARTCODE, double(s.payload_end - s.prefix_start) * 8);
       continue;
     }
     int nal_type = payload[0] & 0x1f;
@@ -545,6 +586,9 @@ std::vector<u8> pip_compress(const u8* data, size_t size, bool verify,
         did_bookkeeping = true;
         std::vector<u8> trailing;
         size_t drop = 0;  // synth bytes replaced by verbatim trailing
+        // per-NAL bench ledger, merged only when the slice models OK
+        double nal_bench[BILL_NUM] = {};
+        double* nb = stats ? nal_bench : nullptr;
         if (!pps.entropy_coding_mode) {
           // 2-pass: parse on a PicState snapshot (rollback + raw
           // fallback on corrupt slice data), then model-emit.
@@ -552,7 +596,7 @@ std::vector<u8> pip_compress(const u8* data, size_t size, bool verify,
           std::vector<MbRecord> recs;
           bool ok = true;
           try {
-            recs = cavlc_parse_slice(ws, sps, pps, sh, rbsp);
+            recs = cavlc_parse_slice(ws, sps, pps, sh, rbsp, nb);
           } catch (const PipError&) {
             ok = false;
           }
@@ -568,6 +612,7 @@ std::vector<u8> pip_compress(const u8* data, size_t size, bool verify,
           SliceCtx sc;
           sc.begin_slice(&sps, &pps, &sh, &ws.pic);
           compute_slice_group_map(sps, pps, sh, ws.pic);
+          sc.bench = nb;
           bool ok = true;
           CabacSliceParse pr;
           try {
@@ -636,22 +681,48 @@ std::vector<u8> pip_compress(const u8* data, size_t size, bool verify,
         }
         if (modeled) {
           bool tail = drop != 0 || !trailing.empty();
+          size_t before = def.size();
           def.push_back(tail ? REC_SLICE_TAIL : REC_SLICE);
           put_varint(def, prefix_len);
+          bill_def(BILL_CONTAINER, double(def.size() - before) * 8);
           def.push_back(payload[0]);
+          bill_def(BILL_NAL_HDR, 8);
+          before = def.size();
           put_varint(def, sh.header_bits);
+          bill_def(BILL_CONTAINER, double(def.size() - before) * 8);
           size_t hbytes = (sh.header_bits + 7) / 8;
           def.insert(def.end(), rbsp.begin(), rbsp.begin() + hbytes);
+          bill_def(BILL_SLICE_HDR, double(hbytes) * 8);
           if (tail) {
+            before = def.size();
             put_varint(def, drop);
             put_varint(def, trailing.size());
             def.insert(def.end(), trailing.begin(), trailing.end());
+            bill_def(BILL_TRAILING, double(def.size() - before) * 8);
           }
-          if (stats) ++stats->n_slices;
+          if (stats) {
+            ++stats->n_slices;
+            // bench ledger for this NAL: MB syntax from the parse, plus
+            // framing; the remainder (escapes, alignment, stop bits) is
+            // TRAILING, keeping the per-NAL total exactly its byte size
+            double mb_bits = 0;
+            for (int i = 0; i < BILL_NUM; ++i) {
+              stats->bench_bits[i] += nal_bench[i];
+              mb_bits += nal_bench[i];
+            }
+            bill_bench(BILL_STARTCODE, double(prefix_len) * 8);
+            bill_bench(BILL_NAL_HDR, 8);
+            bill_bench(BILL_SLICE_HDR, double(sh.header_bits));
+            double total = double(prefix_len + plen) * 8;
+            bill_bench(BILL_TRAILING,
+                       total - double(prefix_len) * 8 - 8 -
+                           double(sh.header_bits) - mb_bits);
+          }
         }
       }
     }
     if (!modeled) {
+      int raw_tag;
       if (nal_is_vcl(nal_type)) {
         // keep picture-boundary bookkeeping consistent on both sides
         if (!did_bookkeeping) {
@@ -668,14 +739,23 @@ std::vector<u8> pip_compress(const u8* data, size_t size, bool verify,
           }
         }
         if (stats) ++stats->n_fallback_slices;
+        raw_tag = BILL_RAW_FALLBACK;
       } else {
         absorb_nal(ws, payload, plen);
+        raw_tag = (nal_type == 7 || nal_type == 8) ? BILL_PARAM_SET
+                                                   : BILL_OTHER;
       }
-      emit_raw(data + s.prefix_start, s.payload_end - s.prefix_start);
+      bill_bench(BILL_STARTCODE, double(prefix_len) * 8);
+      bill_bench(raw_tag, double(plen) * 8);
+      emit_raw(data + s.prefix_start, s.payload_end - s.prefix_start, raw_tag);
     }
   }
-  if (trailing_start < size) emit_raw(data + trailing_start, size - trailing_start);
+  if (trailing_start < size) {
+    emit_raw(data + trailing_start, size - trailing_start, BILL_TRAILING);
+    bill_bench(BILL_TRAILING, double(size - trailing_start) * 8);
+  }
   def.push_back(REC_END);
+  bill_def(BILL_CONTAINER, 8);
 
   // container
   std::vector<u8> arith = io.w.finish();
@@ -700,6 +780,17 @@ std::vector<u8> pip_compress(const u8* data, size_t size, bool verify,
     stats->in_bytes = size;
     stats->out_bytes = out.size();
     stats->n_frames = ws.n_frames;
+    // merge the ours ledger; the arithmetic coder's final flush bytes and
+    // all container framing go to CONTAINER so the total is exactly the
+    // output size in bits (reference BillTally invariant,
+    // macroblock_model.cpp:124-154)
+    double arith_billed = 0;
+    for (int i = 0; i < BILL_NUM; ++i) arith_billed += ours_arith[i];
+    ours_def[BILL_CONTAINER] += double(arith.size()) * 8 - arith_billed;
+    ours_def[BILL_CONTAINER] +=
+        double(out.size() - def.size() - arith.size()) * 8;
+    for (int i = 0; i < BILL_NUM; ++i)
+      stats->bill_bits[i] += ours_arith[i] + ours_def[i];
   }
 
   if (verify) {
@@ -872,14 +963,19 @@ std::vector<u8> pip_compress_sharded(const u8* data, size_t size,
   if (stats) {
     stats->in_bytes = size;
     stats->out_bytes = out.size();
+    // PIPS outer framing, so the ours ledger stays exact to out.size()
+    size_t inner = 0;
+    for (auto& p : payloads) inner += p.size();
+    stats->bill_bits[BILL_CONTAINER] += double(out.size() - inner) * 8;
     for (auto& ss : sstats) {
       stats->n_nals += ss.n_nals;
       stats->n_slices += ss.n_slices;
       stats->n_fallback_slices += ss.n_fallback_slices;
       stats->n_frames += ss.n_frames;
       stats->n_mbs += ss.n_mbs;
-      for (int i = 0; i < 32; ++i) {
+      for (int i = 0; i < BILL_NUM; ++i) {
         stats->bill_bits[i] += ss.bill_bits[i];
+        stats->bench_bits[i] += ss.bench_bits[i];
         stats->prior_total[i] += ss.prior_total[i];
         stats->prior_hits[i] += ss.prior_hits[i];
       }

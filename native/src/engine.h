@@ -16,6 +16,51 @@
 
 namespace h264pip {
 
+// Per-feature billing tags, shared by BOTH ledgers (reference:
+// billing.h:6-55 tag list + the dual bill[]/pip_decisions[] ledgers —
+// dec_golomb.h:71-82 BILL_BITS original-side, compression_stream.cpp
+// 211-234 recompressed-side). Invariants (tested): the bench ledger sums
+// to exactly 8x the input .264 size; the ours ledger sums to exactly 8x
+// the output .pip size (the reference asserts the same in BillTally,
+// macroblock_model.cpp:124-154).
+enum BillTag {
+  BILL_MB_TYPE = 0,
+  BILL_SKIP,          // mb_skip_run / mb_skip_flag
+  BILL_END,           // slice-end bits (stop decision / end_of_slice_flag)
+  BILL_CBP,           // CAVLC combined coded_block_pattern ue (bench side)
+  BILL_CBP_LUMA,      // per-bit luma CBP (ours; CABAC bench)
+  BILL_CBP_CHROMA,    // chroma CBP (ours; CABAC bench)
+  BILL_QP,            // mb_qp_delta
+  BILL_I4_MODE,       // intra 4x4 pred modes
+  BILL_I8_MODE,       // intra 8x8 pred modes
+  BILL_I16_MODE,      // I16x16 mode (ours; folded into mb_type in CAVLC)
+  BILL_CHROMA_MODE,   // intra chroma pred mode
+  BILL_SUB_MB,        // P8x8 sub_mb_type
+  BILL_REF,           // ref_idx_l0
+  BILL_MVD_X,
+  BILL_MVD_Y,
+  BILL_T8X8,          // transform_size_8x8_flag
+  BILL_LUMA_DC,       // I16 luma DC block
+  BILL_CHROMA_DC,
+  BILL_LUMA_NZ,       // positions: coeff_token / cbf+sig+last maps
+  BILL_LUMA_AC,       // level values (and signs)
+  BILL_LUMA_RUN,      // CAVLC total_zeros + run_before (bench only)
+  BILL_CHROMA_NZ,
+  BILL_CHROMA_AC,
+  BILL_CHROMA_RUN,
+  BILL_PCM,           // PCM alignment + raw samples
+  BILL_STARTCODE,     // Annex-B start codes + leading zeros
+  BILL_NAL_HDR,       // NAL header byte
+  BILL_PARAM_SET,     // SPS/PPS passthrough
+  BILL_SLICE_HDR,     // slice header bits
+  BILL_TRAILING,      // rbsp trailing/stop/alignment bits, escapes, cabac
+                      // codeword warmup, trailing zero bytes
+  BILL_RAW_FALLBACK,  // unmodeled VCL NALs passed through verbatim
+  BILL_CONTAINER,     // .pip framing overhead (ours only)
+  BILL_OTHER,         // SEI + everything unclassified
+  BILL_NUM,
+};
+
 struct EngineStats {
   u64 in_bytes = 0;
   u64 out_bytes = 0;
@@ -24,33 +69,18 @@ struct EngineStats {
   u64 n_fallback_slices = 0;  // passed through unmodeled
   u64 n_frames = 0;
   u64 n_mbs = 0;
-  // billing: arithmetic-stream bits per feature (indexes: see BillTag)
-  double bill_bits[32] = {};
+  // ours ledger: compressed output bits per feature (sums to out size)
+  double bill_bits[BILL_NUM] = {};
+  // bench ledger: bits the ORIGINAL H.264 stream spent per feature,
+  // accumulated during parse (sums to input size)
+  double bench_bits[BILL_NUM] = {};
   // prior-hit stats (reference PRIOR_STATS, compression_stream.h:358-361):
   // per-tag adaptive decisions and how many matched the predicted symbol
-  double prior_total[32] = {};
-  double prior_hits[32] = {};
+  double prior_total[BILL_NUM] = {};
+  double prior_hits[BILL_NUM] = {};
 };
 
-enum BillTag {
-  BILL_MB_TYPE = 0,
-  BILL_SKIP = 1,
-  BILL_END = 2,
-  BILL_CBP = 3,
-  BILL_QP = 4,
-  BILL_PRED_MODE = 5,
-  BILL_INTRA_MODE = 6,
-  BILL_SUB_MB = 7,
-  BILL_REF = 8,
-  BILL_MVD = 9,
-  BILL_LUMA_DC = 10,
-  BILL_CHROMA_DC = 11,
-  BILL_LUMA_AC = 12,
-  BILL_CHROMA_AC = 13,
-  BILL_PCM = 14,
-  BILL_OTHER = 15,
-  BILL_NUM = 16,
-};
+const char* bill_tag_name(int tag);
 
 // Compress an Annex-B .264 stream into the .pip container.
 // Throws PipError on malformed input. `verify` re-synthesizes every slice

@@ -239,7 +239,7 @@ void code_block(IO& io, ModelCtx& mc, int color, int blk, i16* coeff,
     abovec = nzb(by > 0 ? rec_block_nnz(rec, color, blk - 2)
                      : rec_block_nnz(mc.above, color, 2 + bx));
   }
-  io.set_tag(color == 0 ? BILL_LUMA_AC : BILL_CHROMA_AC);
+  io.set_tag(color == 0 ? BILL_LUMA_NZ : BILL_CHROMA_NZ);
   int nonzeros = 0;
   if (IO::kIsWriter) {
     for (int i = 0; i < n; ++i)
@@ -255,6 +255,7 @@ void code_block(IO& io, ModelCtx& mc, int color, int blk, i16* coeff,
   nonzeros = code_int(io, nonzeros, nzp, /*hasZero=*/true, /*hasSign=*/false);
   PIP_CHECK(nonzeros >= 0 && nonzeros <= n, "block nonzeros out of range");
 
+  io.set_tag(color == 0 ? BILL_LUMA_AC : BILL_CHROMA_AC);
   bool intra = mb_is_intra(rec->mb_class);
   int nzleft = nonzeros;
   i32 prev = 0, prev2 = 0;
@@ -350,7 +351,7 @@ void code_mb_symbols(IO& io, ModelCtx& mc) {
   }
 
   // 2. CBP (I16 carries cbp in mb_type; model codes it uniformly)
-  io.set_tag(BILL_CBP);
+  io.set_tag(BILL_CBP_CHROMA);
   {
     int pc = mc.past ? std::min(3, int(mc.past->cbp_chroma)) : 0;
     int spc = (mc.left ? std::min(2, int(mc.left->cbp_chroma)) : 0) * 3 +
@@ -364,6 +365,7 @@ void code_mb_symbols(IO& io, ModelCtx& mc) {
     // per-bit coding with true 8x8-adjacent context (CABAC 9.3.3.1.1.4
     // idea + PAST bit): bit b8's left/above neighbor is the adjacent 8x8
     // inside this MB or the facing half of the left/above MB
+    io.set_tag(BILL_CBP_LUMA);
     u8 cbp = 0;
     for (int b8 = 0; b8 < 4; ++b8) {
       int lb = (b8 & 1) ? ((cbp >> (b8 - 1)) & 1)
@@ -401,7 +403,7 @@ void code_mb_symbols(IO& io, ModelCtx& mc) {
         if (rec.sub_types[i] != SUB_8x8) elig = false;
     }
     if (elig) {
-      io.set_tag(BILL_OTHER);
+      io.set_tag(BILL_T8X8);
       bool f = io.bit(rec.transform_8x8,
                       &M.t8x8_flag[rec.mb_class][sc.cur_qp & 63]);
       if (!IO::kIsWriter) rec.transform_8x8 = f;
@@ -436,7 +438,7 @@ void code_mb_symbols(IO& io, ModelCtx& mc) {
   }
 
   // 5. intra modes
-  io.set_tag(BILL_INTRA_MODE);
+  io.set_tag(BILL_I16_MODE);
   if (rec.mb_class == MB_I16x16) {
     u32 pref = mc.past && mc.past->mb_class == MB_I16x16
                    ? std::min<u32>(6, mc.past->i16_mode)
@@ -451,6 +453,7 @@ void code_mb_symbols(IO& io, ModelCtx& mc) {
       rec.i16_mode = u8(v);
     }
   }
+  io.set_tag(BILL_CHROMA_MODE);
   if (mb_is_intra(rec.mb_class) && sc.sps->chroma_format_idc != 0) {
     u32 pref = mc.past && mb_is_intra(mc.past->mb_class)
                    ? std::min<u32>(6, mc.past->chroma_mode)
@@ -465,7 +468,7 @@ void code_mb_symbols(IO& io, ModelCtx& mc) {
       rec.chroma_mode = u8(v);
     }
   }
-  io.set_tag(BILL_PRED_MODE);
+  io.set_tag(rec.mb_class == MB_I8x8 ? BILL_I8_MODE : BILL_I4_MODE);
   if (rec.mb_class == MB_I4x4) {
     for (int d = 0; d < 16; ++d) {
       int r = kBlk4x4DecodeOrder[d];
@@ -534,7 +537,6 @@ void code_mb_symbols(IO& io, ModelCtx& mc) {
       }
     }
     int cb = cls_bucket(rec.mb_class);
-    io.set_tag(BILL_MVD);
     // spatial motion-residual coherence: neighbor MBs with large MVDs
     // (median predictor misses) cluster around moving-object boundaries
     auto nbr_mvd_bucket = [](const MbRecord* n, int xy) -> int {
@@ -544,6 +546,7 @@ void code_mb_symbols(IO& io, ModelCtx& mc) {
     };
     auto code_mv = [&](int slot) {
       for (int xy = 0; xy < 2; ++xy) {
+        io.set_tag(xy == 0 ? BILL_MVD_X : BILL_MVD_Y);
         // temporal motion-coherence context: the co-located (PAST) MB's
         // MVD magnitude (reference conditions its 200x16 MVD priors on
         // the prior-frame motion the same way, macroblock_model.h:44)

@@ -22,6 +22,14 @@ struct SliceCtx {
   int mb_addr = 0;         // current MB address
   i8 last_dqp = 0;         // previous MB's mb_qp_delta (CABAC ctx)
   MbState cur;             // working state of the MB being parsed/written
+  // bench billing ledger (original H.264 bits per BillTag); set by the
+  // engine during parse, null during write/recode. Reference: BILL_BITS
+  // accumulation inside the bitstream readers (dec_golomb.h:71-82).
+  double* bench = nullptr;
+
+  inline void bill(int tag, double bits) {
+    if (bench) bench[tag] += bits;
+  }
 
   int mb_width() const { return pic->mb_width; }
   int mb_x() const { return mb_addr % pic->mb_width; }

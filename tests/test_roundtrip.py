@@ -95,5 +95,6 @@ def test_sharded_roundtrip():
 def test_billing_accounts_for_stream():
     data = open(os.path.join(ROUNDTRIP, "tibby.264"), "rb").read()
     pip, st = native.compress(data, verify=False)
-    assert st.bill and sum(st.bill.values()) <= len(pip)
-    assert st.bill["luma_ac"] > 0.3 * len(pip)  # dominant feature
+    # both ledgers are exact (bits): see test_billing.py for the full set
+    assert st.bill and round(sum(st.bill.values())) == 8 * len(pip)
+    assert st.bill["luma_ac"] > 0.25 * 8 * len(pip)  # dominant feature
