@@ -335,19 +335,21 @@ def deblock_frame(mb_w, mb_h, Yw, Uw, Vw, cls, qp, nnz, mv, ref_idx,
                      deblock_idc, alpha_off, beta_off, transform8,
                      chroma_qp_offset)
 
-    # impl selection (PIP_DEBLOCK): "auto" = the Pallas kernel when the
-    # planes fit VMEM (fastest measured on TPU), else the vectorized
-    # scan; "scan" / "pallas" / "legacy" force a path. The scan path is
-    # pure XLA (runs everywhere) and replaces the old serial-gather
-    # fallback for oversized frames.
+    # impl selection (PIP_DEBLOCK): "auto" = the vectorized scan (pure
+    # XLA, runs everywhere, element-exact vs the serial oracle on both
+    # CPU and TPU, and measured at parity with the Pallas kernel on TPU
+    # at 720p: 40.1 vs 39.5 ms). "pallas" forces the Mosaic wavefront
+    # kernel — QUARANTINED from auto: it produces sparse 1-80 px
+    # mismatches vs the oracle on TPU (size-dependent; smallest repro
+    # 9x4 MBs) with no measured speed advantage. "scan" / "legacy"
+    # force those paths.
     import os
     impl = os.environ.get("PIP_DEBLOCK", "auto")
     plane_bytes = 4 * sum(
         a.shape[0] * ((-(-a.shape[1] // 128)) * 128 + 128)
         for a in (Yw, Uw, Vw))  # kernel pads widths for aligned strips
     if impl == "auto":
-        impl = ("pallas" if _pallas_ok()
-                and plane_bytes <= _PALLAS_VMEM_BUDGET else "scan")
+        impl = "scan"
     if impl == "scan":
         from . import deblock_scan as _ds
         return _ds.deblock_wavefront_scan(mb_w, mb_h, Yw, Uw, Vw, p)
