@@ -334,7 +334,7 @@ class SymbolDecoder:
                 ctypes.POINTER(ctypes.c_int), ctypes.c_char_p, ctypes.c_size_t,
             ]
             lib.pip_sym_planes.restype = ctypes.c_int
-            lib.pip_sym_planes.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 28
+            lib.pip_sym_planes.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 30
             lib.pip_sym_close.argtypes = [ctypes.c_void_p]
             lib.pip_sym_open._configured = True
         self._lib = lib
@@ -397,9 +397,14 @@ class SymbolDecoder:
             # (reference semantics), not resolved output frames
             "ref_idx": np.zeros((n, 16), np.int8),
             "decoded": np.zeros(n, np.uint8),
+            # 1 at the top-left cell of each motion partition — the
+            # sample set MV-copy error concealment averages over
+            # (reference GetAvilInfoFromCorrectMb)
+            "part_tl": np.zeros((n, 16), np.uint8),
         }
         meta = np.zeros(12, np.int32)
         scaling = np.zeros(96 + 384, np.uint8)
+        ref_list = np.zeros(19, np.int32)
         ptr = lambda a: a.ctypes.data_as(ctypes.c_void_p)
         rc = self._lib.pip_sym_planes(
             self._h, ptr(f["mb_class"]), ptr(f["qp"]), ptr(f["cbp_luma"]),
@@ -411,9 +416,12 @@ class SymbolDecoder:
             ptr(f["alpha_off"]), ptr(f["beta_off"]), ptr(meta), ptr(scaling),
             ptr(f["wp_luma"]), ptr(f["wp_cb"]), ptr(f["wp_cr"]),
             ptr(f["wp_cmask"]), ptr(f["ref_idx"]), ptr(f["decoded"]),
+            ptr(f["part_tl"]), ptr(ref_list),
         )
         if rc != 0:
             raise RuntimeError("pip_sym_planes failed")
+        # frame-level L0 ref list (ref_idx -> output index)
+        f["ref_list"] = ref_list[1:1 + int(ref_list[0])].tolist()
         f["use_scaling"] = bool(meta[0])
         f["chroma_qp_offset"] = int(meta[1])
         f["second_chroma_qp_offset"] = int(meta[2])

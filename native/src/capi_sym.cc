@@ -56,7 +56,8 @@ int pip_sym_planes(void* hv, u8* mb_class, u8* qp, u8* cbp_l, u8* cbp_c,
                    i16* mv, i16* ref_frame, u8* pcm, u8* slice_id,
                    u8* deblock_idc, i8* aoff, i8* boff, i32* meta,
                    u8* scaling, i16* wp_luma, i16* wp_cb, i16* wp_cr,
-                   u8* wp_cmask, i8* ref_idx, u8* decoded) {
+                   u8* wp_cmask, i8* ref_idx, u8* decoded, u8* part_tl,
+                   i32* ref_list) {
   SymHandle* h = static_cast<SymHandle*>(hv);
   const FramePlanes& f = h->cur;
   size_t n = size_t(f.mb_w) * f.mb_h;
@@ -97,6 +98,10 @@ int pip_sym_planes(void* hv, u8* mb_class, u8* qp, u8* cbp_l, u8* cbp_c,
   memcpy(wp_cmask, f.wp_cmask.data(), n * 64);
   memcpy(ref_idx, f.ref_idx.data(), n * 16);
   memcpy(decoded, f.decoded.data(), n);
+  part_tl[0] = 0;  // ensure defined even for n*16 == 0 (never happens)
+  memcpy(part_tl, f.part_tl.data(), n * 16);
+  ref_list[0] = f.n_ref_list;
+  memcpy(ref_list + 1, f.ref_list, sizeof(f.ref_list));
   return 0;
 }
 

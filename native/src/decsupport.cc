@@ -411,20 +411,17 @@ static bool is_new_pic(const SliceHeader* prev, const SliceHeader& cur) {
 static std::vector<int> build_ref_list(SymbolDecoderImpl& im, const Sps& sps,
                                        const SliceHeader& sh) {
   int max_fn = 1 << sps.log2_max_frame_num;
+  // The reference initializes L0 from its short list in INSERTION order
+  // (newest-added first, WelsInitRefList manage_dec_ref.cpp:161 — NOT
+  // re-sorted by PicNum), then long-terms by ascending idx. Our dpb
+  // vector appends newest, so shorts iterate reversed.
   std::vector<DpbPic> st, lt;
+  for (auto it = im.dpb.rbegin(); it != im.dpb.rend(); ++it) {
+    if (!it->long_term) st.push_back(*it);
+  }
   for (auto& p : im.dpb) {
-    if (p.long_term)
-      lt.push_back(p);
-    else
-      st.push_back(p);
+    if (p.long_term) lt.push_back(p);
   }
-  for (auto& p : st) {
-    p.frame_num_wrap =
-        p.frame_num > sh.frame_num ? p.frame_num - max_fn : p.frame_num;
-  }
-  std::sort(st.begin(), st.end(), [](const DpbPic& a, const DpbPic& b) {
-    return a.frame_num_wrap > b.frame_num_wrap;
-  });
   std::sort(lt.begin(), lt.end(), [](const DpbPic& a, const DpbPic& b) {
     return a.long_term_idx < b.long_term_idx;
   });
@@ -506,43 +503,109 @@ static void mark_refs(SymbolDecoderImpl& im, const Sps& sps, const SliceHeader& 
     return;
   }
   if (sh.nal_ref_idc == 0) return;
-  if (sh.adaptive_ref_pic_marking) {
-    bool cur_long = false;
-    int cur_lt_idx = 0;
-    for (auto& m : sh.mmco) {
-      switch (m.op) {
-        case 1: {
-          int pic_num = sh.frame_num - (int(m.v1) + 1);
-          while (pic_num < 0) pic_num += max_fn;
-          for (size_t i = 0; i < im.dpb.size(); ++i) {
-            if (!im.dpb[i].long_term) {
-              int pn = im.dpb[i].frame_num > sh.frame_num
-                           ? im.dpb[i].frame_num - max_fn
-                           : im.dpb[i].frame_num;
-              int want = pic_num > sh.frame_num ? pic_num - max_fn : pic_num;
-              if (pn == want) {
-                im.dpb.erase(im.dpb.begin() + i);
-                break;
-              }
-            }
+  if (getenv("PIP_DBG_REF")) {
+    fprintf(stderr, "DBGMARK fn=%d adaptive=%d maxref=%d mmco=[",
+            sh.frame_num, int(sh.adaptive_ref_pic_marking),
+            sps.max_num_ref_frames);
+    for (auto& m : sh.mmco) fprintf(stderr, "(%d,%u,%u)", m.op, m.v1, m.v2);
+    fprintf(stderr, "]\n");
+  }
+  // Mirrors the reference's WelsMarkAsRef / MMCOProcess / SlidingWindow /
+  // RemainOneBufferInDpbForEC (manage_dec_ref.cpp:255-448) exactly —
+  // including its EC overflow-eviction behavior (h264dec always runs with
+  // error concealment on, so an overflowing DPB evicts another oldest
+  // short BEFORE the current pic is added; getting this wrong shifted
+  // long-term refs out of L0 on the MR2 conformance streams).
+  int N = sps.max_num_ref_frames;  // iNumRefFrames
+  auto count_total = [&]() { return int(im.dpb.size()); };
+  auto num_short = [&]() {
+    int c = 0;
+    for (auto& p : im.dpb)
+      if (!p.long_term) ++c;
+    return c;
+  };
+  // SlidingWindow: evict the oldest-added short-term when total >= N.
+  // Returns false on the reference's "no short ref" error.
+  auto sliding_window = [&]() -> bool {
+    if (count_total() < N) return true;
+    if (num_short() == 0) return false;
+    for (size_t i = 0; i < im.dpb.size(); ++i) {
+      if (!im.dpb[i].long_term) {  // oldest short = first appended
+        im.dpb.erase(im.dpb.begin() + i);
+        return true;
+      }
+    }
+    return false;
+  };
+  // RemainOneBufferInDpbForEC: make room when total >= N (EC path).
+  auto remain_one = [&]() {
+    if (count_total() < N) return;
+    if (num_short() > 0) {
+      sliding_window();
+    } else {
+      // all long-term: drop by ascending idx until a slot frees
+      int idx = 0;
+      while (count_total() >= N && idx <= im.max_long_term_idx) {
+        for (size_t i = 0; i < im.dpb.size(); ++i) {
+          if (im.dpb[i].long_term && im.dpb[i].long_term_idx == idx) {
+            im.dpb.erase(im.dpb.begin() + i);
+            break;
           }
-          break;
         }
-        case 2:
-          for (size_t i = 0; i < im.dpb.size(); ++i) {
-            if (im.dpb[i].long_term && im.dpb[i].long_term_idx == (int)m.v1) {
+        ++idx;
+      }
+    }
+  };
+  auto del_long_idx = [&](int idx) {
+    for (size_t i = 0; i < im.dpb.size(); ++i) {
+      if (im.dpb[i].long_term && im.dpb[i].long_term_idx == idx) {
+        im.dpb.erase(im.dpb.begin() + i);
+        return;
+      }
+    }
+  };
+  bool cur_long = false;
+  bool mmco5 = false;
+  if (sh.adaptive_ref_pic_marking) {
+    bool err = false;
+    for (auto& m : sh.mmco) {
+      if (err) break;
+      switch (m.op) {
+        case 1: {  // short -> unused; PicNum masked into [0, MaxFrameNum)
+          int pic_num = (sh.frame_num - (int(m.v1) + 1)) & (max_fn - 1);
+          // reference DelShortFromList scans newest-first
+          for (int i = int(im.dpb.size()) - 1; i >= 0; --i) {
+            if (!im.dpb[i].long_term && im.dpb[i].frame_num == pic_num) {
               im.dpb.erase(im.dpb.begin() + i);
               break;
             }
           }
           break;
-        case 3: {
-          int pic_num = sh.frame_num - (int(m.v1) + 1);
-          while (pic_num < 0) pic_num += max_fn;
-          for (auto& p : im.dpb) {
-            if (!p.long_term && p.frame_num == pic_num) {
-              p.long_term = true;
-              p.long_term_idx = int(m.v2);
+        }
+        case 2:  // long -> unused (LongTermPicNum == idx for frame coding)
+          del_long_idx(int(m.v1));
+          break;
+        case 3: {  // short -> long
+          if (int(m.v2) > im.max_long_term_idx) {
+            err = true;  // reference aborts remaining ops (EXCEED_MAX)
+            break;
+          }
+          int pic_num = (sh.frame_num - (int(m.v1) + 1)) & (max_fn - 1);
+          int found = -1;
+          for (int i = int(im.dpb.size()) - 1; i >= 0; --i) {
+            if (!im.dpb[i].long_term && im.dpb[i].frame_num == pic_num) {
+              found = i;
+              break;
+            }
+          }
+          if (found < 0) break;  // reference: warning only
+          del_long_idx(int(m.v2));
+          // found index may have shifted after del_long_idx; re-find
+          for (int i = int(im.dpb.size()) - 1; i >= 0; --i) {
+            if (!im.dpb[i].long_term && im.dpb[i].frame_num == pic_num) {
+              im.dpb[i].long_term = true;
+              im.dpb[i].long_term_idx = int(m.v2);
+              break;
             }
           }
           break;
@@ -560,42 +623,38 @@ static void mark_refs(SymbolDecoderImpl& im, const Sps& sps, const SliceHeader& 
         case 5:
           im.dpb.clear();
           im.max_long_term_idx = -1;
+          mmco5 = true;  // current pic's frame_num becomes 0
           break;
         case 6:
-          cur_long = true;
-          cur_lt_idx = int(m.v2);
+          if (int(m.v2) > im.max_long_term_idx) {
+            err = true;
+            break;
+          }
+          del_long_idx(int(m.v2));
+          if (count_total() >= std::max(1, N)) {
+            err = true;  // REF_NUM_OVERFLOW aborts; pic added as short
+            break;
+          }
+          {
+            DpbPic p;
+            p.frame_num = mmco5 ? 0 : sh.frame_num;
+            p.output_idx = output_idx;
+            p.long_term = true;
+            p.long_term_idx = int(m.v2);
+            im.dpb.push_back(p);
+            cur_long = true;
+          }
           break;
       }
     }
-    DpbPic p;
-    p.frame_num = sh.frame_num;
-    p.output_idx = output_idx;
-    p.long_term = cur_long;
-    p.long_term_idx = cur_lt_idx;
-    im.dpb.push_back(p);
+    if (err) remain_one();
   } else {
-    // sliding window
-    int num_short = 0;
-    for (auto& p : im.dpb)
-      if (!p.long_term) ++num_short;
-    int max_refs = std::max(1, sps.max_num_ref_frames);
-    if (num_short + 0 >= max_refs) {
-      // remove oldest short-term (smallest FrameNumWrap)
-      int best = -1, bestw = 1 << 30;
-      for (size_t i = 0; i < im.dpb.size(); ++i) {
-        if (im.dpb[i].long_term) continue;
-        int fnw = im.dpb[i].frame_num > sh.frame_num
-                      ? im.dpb[i].frame_num - max_fn
-                      : im.dpb[i].frame_num;
-        if (fnw < bestw) {
-          bestw = fnw;
-          best = int(i);
-        }
-      }
-      if (best >= 0) im.dpb.erase(im.dpb.begin() + best);
-    }
+    if (!sliding_window()) remain_one();
+  }
+  if (!cur_long) {
+    if (count_total() >= std::max(1, N)) remain_one();
     DpbPic p;
-    p.frame_num = sh.frame_num;
+    p.frame_num = mmco5 ? 0 : sh.frame_num;
     p.output_idx = output_idx;
     im.dpb.push_back(p);
   }
@@ -642,6 +701,9 @@ bool SymbolDecoder::next_frame(FramePlanes* out) {
     out->mv.assign(n * 32, 0);
     out->ref_frame.assign(n * 16, -1);
     out->ref_idx.assign(n * 16, -1);
+    out->part_tl.assign(n * 16, 0);
+    memset(out->ref_list, -1, sizeof(out->ref_list));
+    out->n_ref_list = 0;
     out->pcm.assign(n * 384, 0);
     out->slice_id.assign(n, 0xff);
     out->deblock_idc.assign(n, 1);
@@ -700,6 +762,29 @@ bool SymbolDecoder::next_frame(FramePlanes* out) {
       out->ref_frame[n * 16 + c] =
           (r >= 0 && r < (int)reflist.size()) ? i16(reflist[r]) : i16(-1);
       out->ref_idx[n * 16 + c] = r;
+    }
+    // motion-partition top-left cells (EC MV-copy sample set)
+    {
+      auto tl = [&](int cell) { out->part_tl[n * 16 + cell] = 1; };
+      switch (rec.mb_class) {
+        case MB_PSKIP:
+        case MB_P16x16: tl(0); break;
+        case MB_P16x8: tl(0); tl(8); break;
+        case MB_P8x16: tl(0); tl(2); break;
+        case MB_P8x8:
+        case MB_P8x8REF0:
+          for (int i = 0; i < 4; ++i) {
+            int t = (i >> 1) * 8 + (i & 1) * 2;
+            switch (rec.sub_types[i]) {
+              case SUB_8x8: tl(t); break;
+              case SUB_8x4: tl(t); tl(t + 4); break;
+              case SUB_4x8: tl(t); tl(t + 1); break;
+              default: tl(t); tl(t + 1); tl(t + 4); tl(t + 5); break;
+            }
+          }
+          break;
+        default: break;
+      }
     }
     // explicit weighted prediction (8.4.2.3): resolve the slice's
     // pred_weight_table per MC partition; chroma mask mirrors the
@@ -803,7 +888,12 @@ bool SymbolDecoder::next_frame(FramePlanes* out) {
     }
     std::vector<int> reflist;
     if (sh.slice_type == SLICE_P || sh.slice_type == SLICE_SP) {
+      // reference: WelsInitRefList errors on an empty DPB for P slices
+      // (manage_dec_ref.cpp:115) -> slice lost, MBs concealed
+      PIP_CHECK(!im.dpb.empty(), "no reference picture for P slice");
       reflist = build_ref_list(im, *sps, sh);
+      out->n_ref_list = int(std::min<size_t>(reflist.size(), 18));
+      for (int i = 0; i < out->n_ref_list; ++i) out->ref_list[i] = reflist[i];
     }
     SliceCtx sc;
     sc.begin_slice(sps, pps, &sh, &im.pic);

@@ -40,6 +40,14 @@ struct FramePlanes {
   // diverges from spec 8.7.2.1 when two indices resolve to one picture
   // (e.g. out-of-range idx falling back through GetRefPic's NULL check).
   std::vector<i8> ref_idx;       // n*16
+  // 1 where the cell is the TOP-LEFT of a motion partition — the cells
+  // the reference's MV-copy concealment averages over
+  // (error_concealment.cpp GetAvilInfoFromCorrectMb:247-355)
+  std::vector<u8> part_tl;       // n*16
+  // frame-level L0 reference list (ref_idx -> output index, -1 pad) from
+  // the last P slice — what EC's pECRefPic[] indexes
+  int ref_list[18];
+  int n_ref_list = 0;
   std::vector<u8> pcm;           // n*384
   std::vector<u8> slice_id;      // per MB
   std::vector<u8> deblock_idc;   // per MB (from its slice)

@@ -55,8 +55,15 @@ int SliceCtx::nC_chroma(int c, int blk) const {
 
 // Intra mode of a neighboring 4x4 block position; -1 if the covering MB is
 // unavailable, else the mode (DC=2 substituted for non-I4x4/I8x8 MBs).
+// Under constrained_intra_pred an available INTER neighbor contributes -1
+// (forcing the DC predictor), while I16/PCM still contribute 2 — the
+// reference's WelsFillCacheConstrain1IntraNxN vs Constrain0 distinction
+// (parse_mb_syn_cavlc.cpp:158-230). Getting this wrong decodes different
+// (still self-consistent, so roundtrip-exact) modes than the reference
+// on CI streams.
 static int nbr_block_mode(const SliceCtx& ctx, const MbState* m, int blk) {
   if (!m) return -1;
+  if (ctx.pps->constrained_intra_pred && !mb_is_intra(m->mb_class)) return -1;
   if (m->i4_modes[blk] < 0) return 2;  // inter or I16 neighbor -> DC
   return m->i4_modes[blk];
 }

@@ -1,17 +1,23 @@
-"""Pixel-decode parity vs the reference decoder.
+"""Pixel-decode parity vs the reference decoder, BOTH pixel pipelines.
 
-Golden data: tests/data/ref_yuv_crc.json holds per-frame CRC32 of the
-reference decoder's (OpenH264 h264dec) YUV output for a spread of
-conformance streams — all-intra, P-frames with multi-ref + explicit
-weighted prediction (tibbycabac), 8x8 transform (tibby8x8cavlc),
-multi-slice (BA_MW_D), PCM (CVPCMNL1), FMO (SVA_FM1_E).
+Golden data: tests/data/ref_yuv_crc.json holds FULL-STREAM per-frame
+CRC32 of the reference decoder's (OpenH264 h264dec) YUV output for 40
+streams / 5443 frames (regenerate with tools/gen_ref_crc.py) — the same
+golden-hash pattern as the reference's own test/api/decoder_test.cpp
+(full-stream SHA1 over decoded YUV).
 
 The decode must match the reference decoder BIT-EXACTLY (reference:
 the whole decoder core, decode_slice.cpp + rec_mb.cpp + deblocking.cpp),
 including its known deviations from spec that we deliberately mirror
 (ref-idx-based deblock bS, quarter-size weighted chroma region,
 reorder-abort ref list handling).
+
+Frame budget: PIP_PARITY_FRAMES caps frames per stream (default 48 to
+keep the suite fast; 0 = full streams, ~40 min — the pre-round gate).
+The JAX (TPU pipeline) tier covers every feature class on a smaller
+stream set; its full-stream sweep runs on real TPU via bench tooling.
 """
+import itertools
 import json
 import os
 import zlib
@@ -24,18 +30,57 @@ from losslessh264_tpu import decoder_np
 REF = "/root/reference"
 GOLD = json.load(open(os.path.join(os.path.dirname(__file__), "data",
                                    "ref_yuv_crc.json")))
+CAP = int(os.environ.get("PIP_PARITY_FRAMES", "48"))
+
+# JAX-pipeline tier: one stream per feature class, all QCIF so the
+# pixel programs compile once (CPU-JAX compile dominates; the full
+# stream set runs on real TPU via tools/jax_decode_sweep.py)
+JAX_STREAMS = [
+    "BASQP1_Sony_C",        # tiny all-classes smoke (4 frames)
+    "SVA_FM1_E",            # FMO (17 frames)
+    "test_qcif_cabac",      # CABAC
+    "MR1_MW_A",             # multi-ref + weighted pred
+]
 
 
-@pytest.mark.parametrize("name", sorted(GOLD.keys()))
-def test_decode_matches_reference(name):
+def _stream_frames(name):
     g = GOLD[name]
     path = os.path.join(REF, g["stream"])
     if not os.path.exists(path):
         pytest.skip(f"{path} not present")
-    data = open(path, "rb").read()
-    dec = decoder_np.NpDecoder(data)
+    n = g["frames"] if CAP == 0 else min(CAP, g["frames"])
+    return path, g, n
+
+
+# Full-stream gaps surfaced by extending the goldens from 16 frames to
+# full length (round 2) — all fixed: MR1_BT_A / MR2_* (EC DPB-overflow
+# eviction order + insertion-ordered L0 init), CI1_FT_B
+# (constrained-intra mode predictor), BA_MW_D_IDR_LOST (MV-copy EC +
+# freeze-output).
+KNOWN_BAD = {}
+
+
+@pytest.mark.parametrize("name", sorted(GOLD.keys()))
+def test_decode_matches_reference(name):
+    path, g, n = _stream_frames(name)
+    if name in KNOWN_BAD:
+        pytest.xfail(KNOWN_BAD[name])
+    dec = decoder_np.NpDecoder(open(path, "rb").read())
     it = dec.frames()
-    for i in range(g["frames"]):
+    for i in range(n):
         Y, U, V = next(it)
+        got = zlib.crc32(Y.tobytes() + U.tobytes() + V.tobytes())
+        assert got == g["crc32"][i], f"{name} frame {i}: CRC mismatch"
+
+
+@pytest.mark.parametrize("name", JAX_STREAMS)
+def test_jax_decode_matches_reference(name):
+    from losslessh264_tpu import decoder_jax
+    path, g, n = _stream_frames(name)
+    n = min(n, 8)  # CPU-JAX per-frame cost; full streams run on TPU
+    dec = decoder_jax.JaxDecoder(open(path, "rb").read())
+    it = dec.frames()
+    for i in range(n):
+        Y, U, V = (np.asarray(p) for p in next(it))
         got = zlib.crc32(Y.tobytes() + U.tobytes() + V.tobytes())
         assert got == g["crc32"][i], f"{name} frame {i}: CRC mismatch"

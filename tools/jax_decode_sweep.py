@@ -1,0 +1,63 @@
+"""Full-stream JaxDecoder (TPU pixel pipeline) parity sweep vs the
+reference-decoder goldens — the TPU complement of the CPU-tier
+tests/test_decode_parity.py JAX tests.
+
+Usage: python tools/jax_decode_sweep.py [stream-name ...]
+       (no args = every golden stream; prints per-stream fps + verdict)
+"""
+import json
+import os
+import sys
+import time
+import zlib
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+REF = "/root/reference"
+GOLD = json.load(open(os.path.join(os.path.dirname(__file__), "..",
+                                   "tests", "data", "ref_yuv_crc.json")))
+
+
+def main():
+    from losslessh264_tpu import decoder_jax
+    names = sys.argv[1:] or sorted(GOLD.keys())
+    n_ok = n_bad = 0
+    for name in names:
+        g = GOLD[name]
+        path = os.path.join(REF, g["stream"])
+        if not os.path.exists(path):
+            continue
+        data = open(path, "rb").read()
+        t0 = time.time()
+        try:
+            dec = decoder_jax.JaxDecoder(data)
+            bad = None
+            frames = 0
+            for i, (Y, U, V) in enumerate(dec.frames()):
+                got = zlib.crc32(np.asarray(Y).tobytes() +
+                                 np.asarray(U).tobytes() +
+                                 np.asarray(V).tobytes())
+                frames += 1
+                if got != g["crc32"][i]:
+                    bad = i
+                    break
+        except Exception as e:
+            print(f"FAIL {name}: {type(e).__name__}: {e}")
+            n_bad += 1
+            continue
+        dt = time.time() - t0
+        if bad is None and frames == g["frames"]:
+            print(f"OK   {name}: {frames} frames, {frames/dt:.1f} fps")
+            n_ok += 1
+        else:
+            print(f"FAIL {name}: first mismatch frame {bad} "
+                  f"(decoded {frames}/{g['frames']})")
+            n_bad += 1
+    print(f"{n_ok} OK, {n_bad} FAIL")
+    sys.exit(1 if n_bad else 0)
+
+
+if __name__ == "__main__":
+    main()
