@@ -39,6 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import decoder_np as dn
+from . import ratectl
 from .ops import deblock as jdb
 from .ops import intra as jintra
 from .ops import mc as jmc
@@ -374,7 +375,7 @@ def intra_wavefront(mb_w: int, mb_h: int, srcY, srcU, srcV, inter_y, inter_u,
 # ---------------------------------------------------------------------------
 @functools.partial(jax.jit, static_argnames=("mb_w", "mb_h", "radius"))
 def encode_inter_mbs(mb_w: int, mb_h: int, radius: int, Y, U, V, refY_s,
-                     refU_s, refV_s, qp, qpc):
+                     refU_s, refV_s, qp, qpc, scroll_dy=None):
     """Whole-frame P-MB analysis, fully batched.
 
     refY_s/refU_s/refV_s: [R,H+2P,W+2P] edge-padded reference stacks
@@ -408,11 +409,16 @@ def encode_inter_mbs(mb_w: int, mb_h: int, radius: int, Y, U, V, refY_s,
     # dynamic_slice to a serial while loop on TPU — it dominated the
     # whole encoder)
     Hf, Wf = Y.shape
+    # scroll-detected global vertical shift recenters the search window:
+    # the dense scan still covers [-radius, radius] but around the
+    # detected scroll, so scrolling content beyond the radius stays
+    # reachable (reference scrolldetection -> ME seeding)
+    sdy = jnp.int32(0) if scroll_dy is None else scroll_dy.astype(jnp.int32)
     dres = []
     for k in range(R):
-        refp = jax.lax.slice(
-            refY_s[k], (PAD - radius, PAD - radius),
-            (PAD + Hf + radius, PAD + Wf + radius))
+        refp = jax.lax.dynamic_slice(
+            refY_s[k], (PAD - radius + sdy, PAD - radius),
+            (Hf + 2 * radius, Wf + 2 * radius))
         dres.append(jme.dense_full_search(Y.astype(jnp.int32), refp,
                                           radius))
     d16, dh, dv, d8 = dres[0]
@@ -453,7 +459,7 @@ def encode_inter_mbs(mb_w: int, mb_h: int, radius: int, Y, U, V, refY_s,
         a = jnp.where(pn == 2, av.reshape(n, 2)[:, quad % 2], a)
         return jnp.where(pn == 3, a8.reshape(n, 4), a)
 
-    ivy_q = _qsel(d16[0], dh[0], dv[0], d8[0]).reshape(n * 4)
+    ivy_q = _qsel(d16[0], dh[0], dv[0], d8[0]).reshape(n * 4) + sdy
     ivx_q = _qsel(d16[1], dh[1], dv[1], d8[1]).reshape(n * 4)
 
     blk4 = jnp.arange(4)
@@ -686,7 +692,7 @@ _CELL_PART8 = ((np.arange(16) // 4) // 2) * 2 + (np.arange(16) % 4) // 2
 
 @functools.partial(jax.jit, static_argnames=("mb_w", "mb_h", "radius"))
 def _p_analyze(mb_w: int, mb_h: int, radius: int, buf, refY, refU, refV,
-               qp, qpc):
+               qp, qpc, scroll_dy=None):
     """Upload-to-symbols program for a P frame: split source, pad refs,
     run the whole-frame inter analysis, pack meta+symbols into one int16
     array, and derive the deblock prep planes device-side."""
@@ -694,7 +700,8 @@ def _p_analyze(mb_w: int, mb_h: int, radius: int, buf, refY, refU, refV,
     refY_s, refU_s, refV_s = _pad_refs(refY, refU, refV)
     (mvx, mvy, use_intra, part, ref_sel, mv8, mvq, qac_zz, cdc, cac,
      tile_y, tile_u, tile_v, no_res) = encode_inter_mbs(
-        mb_w, mb_h, radius, Y, U, V, refY_s, refU_s, refV_s, qp, qpc)
+        mb_w, mb_h, radius, Y, U, V, refY_s, refU_s, refV_s, qp, qpc,
+        scroll_dy)
     meta = _pack_meta(mvx, mvy, use_intra, no_res, part, mv8, ref_sel)
     nmb = mb_w * mb_h
     # inter frames carry only meta + qac/cdc/cac (no I16 DC, no mode
@@ -885,7 +892,7 @@ class JaxEncoder:
                  rc=None, scene_cut=False, aq=False, cabac=False,
                  slices=1, deblock=True, temporal_layers=1,
                  gom_rc=False, ltr=False, refs=1, denoise=False,
-                 param_id=0):
+                 param_id=0, bgd=False, scroll_me=False):
         assert width % 2 == 0 and height % 2 == 0, "4:2:0 needs even dims"
         # arbitrary (even) resolutions: pad to whole MBs internally and
         # signal the true size via SPS frame cropping (7.4.2.1.1)
@@ -898,10 +905,18 @@ class JaxEncoder:
         self.qpc = int(dn.CHROMA_QP[self.qp])
         self.gop = gop
         self.intra_only = intra_only
-        self.rc = rc                 # optional ratectl.RateControl
+        self.rc = rc                 # any ratectl.* controller
         self.scene_cut = scene_cut   # IDR on detected scene changes
         self.aq = aq                 # per-MB adaptive quantization
         self.gom_rc = gom_rc and rc is not None  # per-MB-row RC dqp
+        # background detection -> +QP on static background MBs
+        # (reference backgrounddetection library feeding the MB QP
+        # decision; rides the same per-MB QP plane as AQ)
+        self.bgd = bool(bgd)
+        # scroll detection -> ME search recentered on the global
+        # vertical shift (reference scrolldetection feeding ME)
+        self.scroll_me = bool(scroll_me)
+        self._scroll_dy = 0
         self.cabac = cabac           # CABAC entropy coding
         self.slices = max(1, min(int(slices), self.mb_h))
         # in-loop filter: idc 0 filters everything; 2 keeps slices
@@ -1064,6 +1079,13 @@ class JaxEncoder:
             row_cx = np.asarray(diff.reshape(self.mb_h, 16, -1)
                                 .sum(axis=(1, 2)))
             qp_map = qp_map + np.repeat(self.rc.gom_dqp(row_cx), self.mb_w)
+        if self.bgd and self._prev_src is not None:
+            # static background MBs take +2 QP: bits flow to the moving
+            # foreground (reference backgrounddetection feeding the MB
+            # QP decision via the same per-MB dqp plane as AQ)
+            from . import processing as proc
+            bg = np.asarray(proc.background_mask(Yd, self._prev_src))
+            qp_map = qp_map + 2 * bg.reshape(n).astype(np.int32)
         qp_map = np.clip(qp_map, 10, 51)
         qpc_map = dn.CHROMA_QP[qp_map]
         self._qp_plane = qp_map.astype(np.uint8)
@@ -1121,7 +1143,7 @@ class JaxEncoder:
 
     def _encode_i(self, Y, U, V):
         """IDR frame via the fused single-dispatch program (flat QP)."""
-        if self.aq or self.gom_rc:
+        if self.aq or self.gom_rc or self.bgd:
             return self._encode_i_aq(Y, U, V)
         n = self.mb_w * self.mb_h
         buf = self._upload_buf(Y, U, V)
@@ -1143,7 +1165,7 @@ class JaxEncoder:
     def _encode_p(self, Y, U, V):
         """P frame: fused analyze program, one packed fetch, recon+deblock
         finishing on device while the host writes entropy (non-AQ)."""
-        if self.aq or self.gom_rc:
+        if self.aq or self.gom_rc or self.bgd:
             return self._encode_p_aq(Y, U, V)
         n = self.mb_w * self.mb_h
         buf = self._upload_buf(Y, U, V)
@@ -1159,7 +1181,7 @@ class JaxEncoder:
         (packed8_d, packed_d, tile_y, tile_u, tile_v, Yd, Ud, Vd,
          use_intra_d, cls_d, nnz_d, mvc_d, refc_d) = _p_analyze(
             self.mb_w, self.mb_h, self.ME_RADIUS, buf, *stack, qp_d,
-            qpc_d)
+            qpc_d, jnp.int32(self._scroll_dy))
         packed8 = np.asarray(packed8_d)  # the frame's one blocking fetch
         if packed8[:, 406].any():  # rare wide coeffs: refetch as int16
             packed = np.asarray(packed_d)
@@ -1310,7 +1332,7 @@ class JaxEncoder:
         return (not self.intra_only and not self.aq and not self.gom_rc
                 and self.rc is None and not self.scene_cut
                 and self.refs == 1 and self.temporal_layers == 1
-                and not self.ltr)
+                and not self.ltr and not self.bgd and not self.scroll_me)
 
     def encode_frames(self, frames, batch=8):
         """Encode a sequence of (Y, U, V) frames. When the configuration
@@ -1383,7 +1405,7 @@ class JaxEncoder:
         mb_class = np.where(cls == 0, 0, 1).astype(np.uint8)
         mv = np.zeros((n, 2), np.int16)
         data = self._write(1, mb_class, mv, i16m, cm, ldc, lac, cdc, cac,
-                           mb_qp=(self._qp_plane if (self.aq or self.gom_rc) else None),
+                           mb_qp=(self._qp_plane if (self.aq or self.gom_rc or self.bgd) else None),
                            i4_modes=m4)
         self._apply_deblock(mb_class, lac, mv)
         return data
@@ -1399,7 +1421,7 @@ class JaxEncoder:
          cdc_d, cac_d, tile_y, tile_u, tile_v,
          no_res_d) = encode_inter_mbs(
             self.mb_w, self.mb_h, self.ME_RADIUS, Yd, Ud, Vd, refY_s,
-            refU_s, refV_s, qp_d, qpc_d)
+            refU_s, refV_s, qp_d, qpc_d, jnp.int32(self._scroll_dy))
 
         meta = np.asarray(_pack_meta(mvx, mvy, use_intra_d, no_res_d,
                                      part_d, mv8_d, ref_sel_d))
@@ -1444,7 +1466,7 @@ class JaxEncoder:
         if self._cur_is_ref:
             self.ref = (recY, recU, recV)  # device arrays
         data = self._write(0, mb_class, mv, i16m, cm, ldc, lac, cdc, cac,
-                           mb_qp=(self._qp_plane if (self.aq or self.gom_rc) else None),
+                           mb_qp=(self._qp_plane if (self.aq or self.gom_rc or self.bgd) else None),
                            i4_modes=m4, mv8=mv8)
         self._apply_deblock(mb_class, lac, mv, mv8)
         return data
@@ -1454,10 +1476,16 @@ class JaxEncoder:
         ISVCEncoder::ForceIntraFrame, codec_api.h)."""
         self._force_idr = True
 
-    def encode_frame(self, Y, U, V):
+    def encode_frame(self, Y, U, V, timestamp_ms=None):
+        """Encode one frame; returns the Annex-B bytes, or b"" when the
+        rate controller drops the frame (reference CheckFrameSkipBasedMaxbr
+        -> the frame is never encoded and no state advances)."""
         from . import processing as proc
         is_idr = (self.ref is None or self.intra_only or self._force_idr
                   or (self.gop and self.frame_idx % self.gop == 0))
+        if (self.rc is not None and not is_idr
+                and self.rc.should_skip(timestamp_ms)):
+            return b""
         self._force_idr = False
         # temporal layer of this frame (T1 = odd frames, non-reference)
         t1 = (self.temporal_layers == 2 and not is_idr
@@ -1489,19 +1517,40 @@ class JaxEncoder:
                     self._dpb = [e for e in self._dpb
                                  if e["layer"] < layer]
         cur_src = None
-        if self.scene_cut or self.rc or self.aq:
+        if (self.scene_cut or self.rc or self.aq or self.bgd
+                or self.scroll_me):
             Yp = (np.pad(Y, ((0, self.pad_h), (0, self.pad_w)), mode="edge")
                   if (self.pad_w or self.pad_h) else Y)
             cur_src = jnp.asarray(Yp)
-        if (self.scene_cut and not is_idr and self._prev_src is not None
-                and proc.is_scene_change(cur_src, self._prev_src)):
+        scene_idc = ratectl.SCENE_IDC_NONE
+        if ((self.scene_cut or self.rc is not None)
+                and self._prev_src is not None):
+            score = float(proc.scene_change_score(cur_src, self._prev_src))
+            if score > proc.SCENE_CHANGE_RATIO_LARGE:
+                scene_idc = ratectl.SCENE_IDC_LARGE
+            elif score > proc.SCENE_CHANGE_RATIO_MEDIUM:
+                scene_idc = ratectl.SCENE_IDC_MEDIUM
+        if (self.scene_cut and not is_idr
+                and scene_idc == ratectl.SCENE_IDC_LARGE):
             is_idr = True
         if self.rc is not None:
             cx = (float(proc.frame_complexity(cur_src, self._prev_src))
                   if self._prev_src is not None else
                   float(jnp.abs(cur_src.astype(jnp.int32) - 128).sum()))
-            self.qp = self.rc.frame_qp(cx, is_idr)
+            self.qp = int(self.rc.frame_qp(cx, is_idr,
+                                           timestamp_ms=timestamp_ms,
+                                           scene_idc=scene_idc))
+            self.qp = max(10, min(self.qp, 51))
             self.qpc = int(dn.CHROMA_QP[self.qp])
+        if self.scroll_me and not is_idr and self._prev_src is not None:
+            det, dy = proc.scroll_detect(cur_src, self._prev_src)
+            # clamp so integer MVs stay inside the PAD-pixel gather
+            # window of the subpel kernels (|mv_int| <= radius + |dy|)
+            self._scroll_dy = (int(np.clip(int(dy), -(PAD - 4 - self.ME_RADIUS - 1),
+                                           PAD - 4 - self.ME_RADIUS - 1))
+                               if bool(det) else 0)
+        else:
+            self._scroll_dy = 0
         if is_idr:
             self._frame_num = 0
             self._idr_id += 1

@@ -218,15 +218,21 @@ def deblock_wavefront_scan(mb_w, mb_h, Yw, Uw, Vw, params):
 
         # halo refresh: LEFT (d-1) right columns, ABOVE (d-2) bottom
         # rows, then ABOVE-RIGHT (d-1) overwrites the fresher top-right
-        # (its vertical edge 0 touched the above MB's last columns)
-        wy = halo_y(wy, w1y, x["off_l"], x["v_left"], (8, 24), (0, 8),
-                    (8, 24), (16, 24))
+        # (its vertical edge 0 touched the above MB's last columns).
+        # The LEFT copy starts at row 5 (chroma 7), not 8: the output
+        # ownership map assigns the 3x3 corner above-left of an MB
+        # (window [5:8, 5:8]) to THIS window, and the left neighbor's
+        # top-edge horizontal filtering is the serial-order last writer
+        # of those pixels (its p-writes reach 3 rows above the MB edge) —
+        # rows 8:24 alone left the corner stale.
+        wy = halo_y(wy, w1y, x["off_l"], x["v_left"], (5, 24), (0, 8),
+                    (5, 24), (16, 24))
         wy = halo_y(wy, w2y, x["off_a"], x["v_above"], (4, 8), (8, 24),
                     (20, 24), (8, 24))
         wy = halo_y(wy, w1y, x["off_ar"], x["v_ar"], (4, 8), (16, 24),
                     (20, 24), (0, 8))
-        wc = halo_c(wc, w1c, x["off_l"], x["v_left"], (8, 16), (0, 8),
-                    (8, 16), (8, 16))
+        wc = halo_c(wc, w1c, x["off_l"], x["v_left"], (7, 16), (0, 8),
+                    (7, 16), (8, 16))
         wc = halo_c(wc, w2c, x["off_a"], x["v_above"], (6, 8), (8, 16),
                     (14, 16), (8, 16))
         wc = halo_c(wc, w1c, x["off_ar"], x["v_ar"], (6, 8), (14, 16),

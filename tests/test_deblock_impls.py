@@ -16,6 +16,8 @@ import jax.numpy as jnp
 
 from losslessh264_tpu.ops import deblock as jdb
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from `make check-fast`
+
 
 def _random_frame(mb_w, mb_h, seed=0):
     rng = np.random.RandomState(seed)
@@ -60,9 +62,46 @@ def _run(impl, mb_w, mb_h, Yw, Uw, Vw, args):
             os.environ["PIP_DEBLOCK"] = prev
 
 
-@pytest.mark.parametrize("mb_w,mb_h,seed", [(4, 3, 0), (1, 4, 2)])
+@pytest.mark.parametrize("mb_w,mb_h,seed", [(4, 3, 0), (1, 4, 2),
+                                            (2, 3, 9)])
 def test_scan_matches_legacy(mb_w, mb_h, seed):
     Yw, Uw, Vw, args = _random_frame(mb_w, mb_h, seed)
+    a = _run("legacy", mb_w, mb_h, Yw, Uw, Vw, args)
+    b = _run("scan", mb_w, mb_h, Yw, Uw, Vw, args)
+    for x, y, name in zip(a, b, "YUV"):
+        np.testing.assert_array_equal(x, y, err_msg=f"plane {name}")
+
+
+def test_scan_mb_corner_strong_filter():
+    """Regression for the round-2 corner-staleness bug: the output
+    ownership map assigns the 3x3 pixels above-left of each MB to that
+    MB's window, whose serial-order last writer is the LEFT neighbor's
+    top-edge horizontal filter — the scan's left-halo refresh must copy
+    those rows (5:8 luma / 7:8 chroma) or the corners go stale. All-intra
+    MBs (bS 4 at MB edges) + smooth gradient content + high QP make the
+    strong filter fire at every corner, so any staleness shows."""
+    mb_w, mb_h = 3, 3
+    n = mb_w * mb_h
+    H, W = mb_h * 16, mb_w * 16
+    P = jdb.WPAD
+    yy, xx = np.mgrid[:H + 2 * P, :W + 2 * P]
+    Yw = ((yy * 5 + xx * 3) // 4 % 180 + 30).astype(np.int32)
+    cyy, cxx = np.mgrid[:H // 2 + 2 * P, :W // 2 + 2 * P]
+    Uw = ((cyy * 7 + cxx * 2) // 3 % 150 + 40).astype(np.int32)
+    Vw = ((cyy * 3 + cxx * 5) // 3 % 150 + 50).astype(np.int32)
+    rng = np.random.RandomState(0)
+    args = dict(
+        cls=np.zeros((n,), np.int32),                  # all intra: bS 4
+        qp=rng.randint(38, 52, (n,)).astype(np.int32),  # wide alpha/beta
+        nnz=np.ones((n, 16), np.int32),
+        mv=np.zeros((n, 16, 2), np.int32),
+        ref_idx=np.zeros((n, 16), np.int32),
+        slice_id=np.zeros((n,), np.int32),
+        deblock_idc=np.zeros((n,), np.int32),
+        alpha_off=np.zeros((n,), np.int32),
+        beta_off=np.zeros((n,), np.int32),
+        transform8=np.zeros((n,), np.int32),
+    )
     a = _run("legacy", mb_w, mb_h, Yw, Uw, Vw, args)
     b = _run("scan", mb_w, mb_h, Yw, Uw, Vw, args)
     for x, y, name in zip(a, b, "YUV"):

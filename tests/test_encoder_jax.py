@@ -1,10 +1,14 @@
 """TPU-batched encoder (encoder_jax): decode roundtrip, bit-exact in-loop
 recon vs the decoder, subpel ME/MC parity, recompression of own streams.
 (Reference test model: EncUT_* encoder units + decode_encode_test.cpp.)"""
+import pytest
+
 import numpy as np
 
 from losslessh264_tpu import decoder_np, encoder_jax, native
 from losslessh264_tpu.ops import mc as jmc
+
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from `make check-fast`
 
 
 def _moving_frames(n=4, W=64, H=48, seed=7):

@@ -76,6 +76,7 @@ def test_garbage_nal_roundtrips():
     assert st.n_fallback_slices == 1
 
 
+@pytest.mark.slow
 def test_decoder_conceals_corrupt_frame(tibby_bytes):
     bad = bytearray(tibby_bytes)
     bad[50000] ^= 0x55
@@ -87,6 +88,7 @@ def test_decoder_conceals_corrupt_frame(tibby_bytes):
     assert dec.concealed >= 1
 
 
+@pytest.mark.slow
 def test_jax_decoder_conceals(tibby_bytes):
     from losslessh264_tpu import decoder_jax
     bad = bytearray(tibby_bytes)
@@ -100,6 +102,7 @@ def test_jax_decoder_conceals(tibby_bytes):
     assert dec.concealed >= 1
 
 
+@pytest.mark.slow
 def test_decoder_strict_mode_raises(tibby_bytes):
     bad = bytearray(tibby_bytes)
     bad[50000] ^= 0x55

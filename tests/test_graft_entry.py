@@ -5,7 +5,11 @@ exercises the mesh-sharded path on the virtual CPU device grid set up in
 conftest.py. These used to be validated only by the driver — a renamed op
 broke dryrun_multichip silently once, hence this test.
 """
+import pytest
+
 import jax
+
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from `make check-fast`
 
 
 def test_entry_compiles():

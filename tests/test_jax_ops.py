@@ -8,6 +8,8 @@ from losslessh264_tpu import decoder_np as dn
 from losslessh264_tpu.ops import mc as jmc
 from losslessh264_tpu.ops import transform as jt
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from `make check-fast`
+
 rng = np.random.default_rng(7)
 
 

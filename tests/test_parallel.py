@@ -5,6 +5,8 @@ import pytest
 
 from losslessh264_tpu import encoder_jax, native, parallel
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from `make check-fast`
+
 
 @pytest.fixture(scope="module")
 def multi_gop_stream():

@@ -2,10 +2,14 @@
 scalability, AVC-compatible mode): per-layer decodability, interleaved
 access units, lossless recompression with per-resolution temporal
 priors (engine fi_pool)."""
+import pytest
+
 import numpy as np
 
 from losslessh264_tpu import decoder_np, native
 from losslessh264_tpu.simulcast import SimulcastEncoder
+
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from `make check-fast`
 
 
 def _frames(n=5, W=96, H=64, seed=9):
