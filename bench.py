@@ -1,14 +1,20 @@
-"""Roundtrip benchmark: compress + decompress fps and compression ratio
-on the reference roundtrip stream set, vs the reference's committed
-baselines (BASELINE.md / walk.stats).
+"""Roundtrip + TPU benchmark vs the reference's committed baselines
+(BASELINE.md / walk.stats).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
 
-The headline metric is roundtrip frames/s on tibby.264 (the largest
-available stream — walk.264 is a stripped blob in the reference checkout);
-vs_baseline compares against the reference's compress-side fps on the
-same stream (103.5 fps, walk.stats:27).
+Headline: roundtrip compress frames/s on tibby.264 vs the reference's
+103.5 fps (walk.stats:27). extra carries:
+  - decompress fps, savings (vs reference ratio),
+  - long-stream gate (tests/data/walk_analog.264, the walk.264 analog:
+    1000 frames 640x352): compress/decompress fps + savings + bit-exact,
+  - encode_720p_fps: TPU encode throughput (BASELINE config-5 analog),
+  - decode fps: JaxDecoder (TPU pixel pipeline) YUV fps on tibby/black
+    vs the reference's decompress-side fps, plus the synthetic 720p
+    stream the encoder benchmark produced,
+  - kernels: per-kernel ms + roofline (% of HBM/VPU speed-of-light) at
+    720p for ME / MC / transform / intra / deblock (BASELINE.md:31).
 """
 import json
 import os
@@ -20,19 +26,23 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from losslessh264_tpu import native  # noqa: E402
 
 STREAM = "/root/reference/roundtriptest/tibby.264"
+LONG = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                    "tests", "data", "walk_analog.264")
 REF_COMPRESS_FPS = 103.5  # walk.stats:27 (tibby.264, x86-64 -O3 1 thread)
 REF_SAVINGS = 0.077       # reference tibby.264 ratio (BASELINE.md)
+REF_WALK_COMPRESS_FPS = 28.0   # walk.stats:805 (640x352x1331)
+REF_WALK_DECOMPRESS_FPS = 18.9  # walk.stats:945
+# v5e single chip peaks (public spec): used for speed-of-light ratios
+HBM_GBPS = 819.0
+VPU_IOPS = 0.94e12  # ~8x128 int lanes @ ~940 MHz
 
 
-def main():
-    data = open(STREAM, "rb").read()
-    # warmup + correctness
+def _roundtrip(path, reps):
+    data = open(path, "rb").read()
     pip, st = native.compress(data, verify=False)
     out, _ = native.decompress(pip)
-    assert out == data, "roundtrip not byte-exact"
+    assert out == data, f"roundtrip not byte-exact: {path}"
     frames = max(1, st.n_frames)
-
-    reps = 5
     t0 = time.perf_counter()
     for _ in range(reps):
         pip, st = native.compress(data, verify=False)
@@ -40,54 +50,237 @@ def main():
     for _ in range(reps):
         native.decompress(pip)
     t2 = time.perf_counter()
+    return dict(frames=frames,
+                compress_fps=round(frames * reps / (t1 - t0), 2),
+                decompress_fps=round(frames * reps / (t2 - t1), 2),
+                savings=round(1.0 - len(pip) / len(data), 4),
+                bytes={"in": len(data), "pip": len(pip)})
 
-    compress_fps = frames * reps / (t1 - t0)
-    decompress_fps = frames * reps / (t2 - t1)
-    savings = 1.0 - len(pip) / len(data)
+
+def main():
+    r = _roundtrip(STREAM, reps=5)
+    extra = {
+        "decompress_fps": r["decompress_fps"],
+        "savings": r["savings"],
+        "savings_vs_ref": round(r["savings"] / REF_SAVINGS, 3),
+        "bytes": r["bytes"],
+    }
+    if os.path.exists(LONG):
+        lr = _roundtrip(LONG, reps=1)
+        extra["longstream"] = {
+            "frames": lr["frames"],
+            "compress_fps": lr["compress_fps"],
+            "decompress_fps": lr["decompress_fps"],
+            "savings": lr["savings"],
+            "compress_fps_vs_walk": round(
+                lr["compress_fps"] / REF_WALK_COMPRESS_FPS, 2),
+            "decompress_fps_vs_walk": round(
+                lr["decompress_fps"] / REF_WALK_DECOMPRESS_FPS, 2),
+        }
+    enc_fps, stream_720p = _bench_encode_720p()
+    extra["encode_720p_fps"] = enc_fps
+    try:
+        extra["decode"] = _bench_decode(stream_720p)
+    except Exception as e:  # decode bench must not kill the headline
+        extra["decode"] = {"error": f"{type(e).__name__}: {e}"}
+    try:
+        extra["kernels"] = _kernel_report()
+    except Exception as e:
+        extra["kernels"] = {"error": f"{type(e).__name__}: {e}"}
 
     result = {
         "metric": "roundtrip_compress_fps_tibby",
-        "value": round(compress_fps, 2),
+        "value": r["compress_fps"],
         "unit": "frames/s",
-        "vs_baseline": round(compress_fps / REF_COMPRESS_FPS, 3),
-        "extra": {
-            "decompress_fps": round(decompress_fps, 2),
-            "savings": round(savings, 4),
-            "savings_vs_ref": round(savings / REF_SAVINGS, 3),
-            "bytes": {"in": len(data), "pip": len(pip)},
-            "encode_720p_fps": _bench_encode_720p(),
-        },
+        "vs_baseline": round(r["compress_fps"] / REF_COMPRESS_FPS, 3),
+        "extra": extra,
     }
     print(json.dumps(result))
 
 
-def _bench_encode_720p():
-    """TPU encode throughput at 720p IPPP (the BASELINE config-5 analog;
-    the reference's Cisco_Absolute_Power YUV is a stripped blob, so the
-    content is synthetic 720p with global motion + texture)."""
+def _make_720p_frames(n):
     import numpy as np
-
-    from losslessh264_tpu import encoder_jax
-
     rng = np.random.RandomState(1)
     W, H = 1280, 720
     base = (np.indices((H + 64, W + 64)).sum(0) % 256).astype(np.uint8)
     tex = rng.randint(0, 40, (H + 64, W + 64)).astype(np.uint8)
     scene = ((base.astype(int) + tex) % 256).astype(np.uint8)
     frames = []
-    for i in range(25):
+    for i in range(n):
         s = i % 10
         Y = np.ascontiguousarray(scene[s * 3:s * 3 + H, s * 5:s * 5 + W])
         U = np.ascontiguousarray(scene[:H // 2, :W // 2])
         V = np.ascontiguousarray(scene[1:H // 2 + 1, 1:W // 2 + 1])
         frames.append((Y, U, V))
-    enc = encoder_jax.JaxEncoder(W, H, qp=28)
-    enc.encode_frame(*frames[0])    # compile I
-    enc.encode_frames(frames[1:9])  # compile the K=8 scanned P program
+    return frames
+
+
+def _bench_encode_720p():
+    """TPU encode throughput at 720p IPPP (the BASELINE config-5 analog;
+    the reference's Cisco_Absolute_Power YUV is a stripped blob, so the
+    content is synthetic 720p with global motion + texture). Returns
+    (fps, the encoded stream) — the stream feeds the decode bench."""
+    from losslessh264_tpu import encoder_jax
+
+    frames = _make_720p_frames(25)
+    enc = encoder_jax.JaxEncoder(1280, 720, qp=28)
+    out = [enc.encode_frame(*frames[0])]    # compile I
+    enc.encode_frames(frames[1:9])          # compile the K=8 scanned P
     t0 = time.perf_counter()
-    enc.encode_frames(frames[1:25])  # 3 pipelined K=8 runs
+    out += enc.encode_frames(frames[1:25])  # 3 pipelined K=8 runs
     t1 = time.perf_counter()
-    return round(24 / (t1 - t0), 2)
+    return round(24 / (t1 - t0), 2), b"".join(out)
+
+
+def _bench_decode(stream_720p):
+    """JaxDecoder (TPU pixel pipeline) YUV throughput. Reference
+    comparison: the reference's own decompress-side fps on the same
+    streams (walk.stats; its pure-decode fps is not published)."""
+    import numpy as np
+
+    from losslessh264_tpu import decoder_jax
+
+    out = {}
+    for name, path, ref_fps in (
+            ("tibby", "/root/reference/roundtriptest/tibby.264", 60.8),
+            ("black", "/root/reference/roundtriptest/black.264", 87.9)):
+        data = open(path, "rb").read()
+        dec = decoder_jax.JaxDecoder(data)
+        it = dec.frames()
+        np.asarray(next(it)[0])             # compile
+        t0 = time.perf_counter()
+        n = 1
+        for Y, U, V in it:
+            n += 1
+        np.asarray(Y)
+        dt = time.perf_counter() - t0
+        out[name] = {"fps": round((n - 1) / dt, 2),
+                     "vs_ref_decompress": round((n - 1) / dt / ref_fps, 2)}
+    dec = decoder_jax.JaxDecoder(stream_720p)
+    it = dec.frames()
+    np.asarray(next(it)[0])
+    t0 = time.perf_counter()
+    n = 1
+    for Y, U, V in it:
+        n += 1
+    np.asarray(Y)
+    out["synth_720p"] = {"fps": round((n - 1) / (time.perf_counter() - t0),
+                                      2)}
+    return out
+
+
+def _timeit(fn, reps=10):
+    import jax
+    r = fn()
+    jax.block_until_ready(r)
+    # force full sync through a host fetch of one leaf (block_until_ready
+    # alone returns early through the axon tunnel)
+    import numpy as np
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        r = fn()
+    np.asarray(jax.tree_util.tree_leaves(r)[0]).ravel()[:1]
+    return (time.perf_counter() - t0) / reps * 1e3
+
+
+def _kernel_report():
+    """720p per-kernel wall ms + roofline: bytes moved / int-ops vs the
+    chip's HBM bandwidth / VPU integer throughput (BASELINE.md:31 names
+    transform+MC speed-of-light as the target; ME is compute-bound on
+    the VPU; intra/deblock are wavefront-latency-bound and reported
+    against HBM as a lower bound)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from losslessh264_tpu import encoder_jax as E
+    from losslessh264_tpu.ops import mc as jmc
+    from losslessh264_tpu.ops import me as jme
+    from losslessh264_tpu.ops import transform as jt
+
+    W, H = 1280, 720
+    mb_w, mb_h = W // 16, H // 16
+    n = mb_w * mb_h
+    rng = np.random.RandomState(0)
+    Y = jnp.asarray(rng.randint(0, 255, (H, W), np.int32))
+    ref_pad = jnp.asarray(
+        rng.randint(0, 255, (H + 64, W + 64), np.int32))
+    qp = jnp.full((n, 16), 28, jnp.int32)
+    resid = jnp.asarray(rng.randint(-128, 127, (n, 16, 4, 4), np.int32))
+
+    rep = {}
+
+    def add(name, ms, sol_ms, note):
+        rep[name] = {"ms": round(ms, 2), "sol_ms": round(sol_ms, 3),
+                     "pct_of_sol": round(100 * sol_ms / ms, 1) if ms else 0,
+                     "bound": note}
+
+    # forward DCT + quant + dequant + IDCT (the whole residual path)
+    def xform():
+        Wc = jt.fdct4x4(resid)
+        q = jt.quant4(Wc, qp, False)
+        d = jt.dequant4(q, qp, jnp.ones((4, 4), jnp.int32) * 16)
+        return jt.idct4x4(d)
+    ms = _timeit(xform)
+    bytes_moved = n * 256 * 4 * 5  # in + 3 intermediates + out (int32)
+    add("transform", ms, bytes_moved / (HBM_GBPS * 1e6), "HBM")
+
+    # half-pel plane interpolation + quarter-pel MC for every MB
+    planes = jmc.halfpel_planes(ref_pad)
+    import jax
+    jax.block_until_ready(planes)
+    mb = jnp.arange(n)
+    by, bx = (mb // mb_w) * 16, (mb % mb_w) * 16
+    mvx = jnp.asarray(rng.randint(-32, 32, (n,), np.int32))
+    mvy = jnp.asarray(rng.randint(-32, 32, (n,), np.int32))
+
+    def mc():
+        p = jmc.halfpel_planes(ref_pad)
+        return jmc.mc_luma_mbs(p, 32, by, bx, mvx, mvy)
+    ms = _timeit(mc)
+    bytes_moved = ((H + 64) * (W + 64) * 4 * 5    # read ref + 4 planes out
+                   + n * 256 * 4 * 2)             # window gather + out
+    add("mc", ms, bytes_moved / (HBM_GBPS * 1e6), "HBM")
+
+    # dense integer-pel full search, radius 16 (every MB, all 4 shapes)
+    refp = ref_pad[16:16 + H + 32, 16:16 + W + 32]
+
+    def me():
+        return jme.dense_full_search(Y, refp, 16)
+    ms = _timeit(me, reps=5)
+    span = 33
+    iops = span * span * H * W * 3  # sub+abs+acc per displacement pixel
+    add("me", ms, iops / VPU_IOPS * 1e3, "VPU int")
+
+    # intra wavefront (latency-bound: ~170 sequential diagonals)
+    zt16 = jnp.zeros((n, 16, 16), jnp.int32)
+    zt8 = jnp.zeros((n, 8, 8), jnp.int32)
+    diags = jnp.asarray(E._diagonals(mb_w, mb_h))
+    rows = jnp.zeros((mb_h,), jnp.int32)
+    U8 = jnp.asarray(rng.randint(0, 255, (H // 2, W // 2), np.int32))
+
+    def intra():
+        return E.intra_wavefront(
+            mb_w, mb_h, Y, U8, U8, zt16, zt8, zt8,
+            jnp.ones((n,), bool), qp[:, 0], qp[:, 0], diags, rows)
+    ms = _timeit(intra, reps=3)
+    bytes_moved = (H * W + 2 * (H // 2) * (W // 2)) * 4 * 2
+    add("intra", ms, bytes_moved / (HBM_GBPS * 1e6), "wavefront latency")
+
+    # in-loop deblock (full frame, scan wavefront)
+    cls = jnp.zeros((n,), jnp.int32)
+    nnz = jnp.ones((n, 24), jnp.int32)
+    mvc = jnp.zeros((n, 16, 2), jnp.int32)
+    sid = jnp.zeros((n,), jnp.int32)
+
+    def deblock():
+        return E._deblock_recon(mb_w, mb_h, Y.astype(jnp.uint8),
+                                U8.astype(jnp.uint8), U8.astype(jnp.uint8),
+                                cls, qp[:, 0], nnz, mvc, sid, jnp.int32(0))
+    ms = _timeit(deblock, reps=5)
+    bytes_moved = (H * W + 2 * (H // 2) * (W // 2)) * 4 * 4
+    add("deblock", ms, bytes_moved / (HBM_GBPS * 1e6), "wavefront latency")
+
+    return rep
 
 
 if __name__ == "__main__":

@@ -215,13 +215,13 @@ def _cfg_lib():
         lib.pip_encode_frame.argtypes = [ctypes.c_int] * 6 + \
             [ctypes.c_void_p] * 11 + [ctypes.c_int] * 11 + \
             [ctypes.c_void_p, ctypes.c_int, ctypes.c_int] + \
-            [ctypes.c_void_p] * 2 + \
+            [ctypes.c_void_p] * 4 + \
             [ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
              ctypes.POINTER(ctypes.c_size_t), ctypes.c_char_p,
              ctypes.c_size_t]
         lib.pip_encode_mv_preds.restype = ctypes.c_int
         lib.pip_encode_mv_preds.argtypes = [ctypes.c_int] * 3 + \
-            [ctypes.c_void_p] * 6 + [ctypes.c_char_p, ctypes.c_size_t]
+            [ctypes.c_void_p] * 7 + [ctypes.c_char_p, ctypes.c_size_t]
         lib.pip_encode_frame._cfg = True
     return lib
 
@@ -281,7 +281,8 @@ def _write_frame(lib, mw, mh, qp, frame_idx, slice_type, mb_class, mv,
                  out_qp=None, crop_r=0, crop_b=0, is_ref=True,
                  frame_num=None, idr_id=0, ltr_flags=0, n_refs=1,
                  ref_plane=None, sps_refs=0, rplr_diff=0,
-                 mmco_drops=None, param_id=0):
+                 mmco_drops=None, param_id=0, row_slice=None,
+                 out_row_bits=None):
     out = ctypes.POINTER(ctypes.c_uint8)()
     out_size = ctypes.c_size_t()
     err = ctypes.create_string_buffer(512)
@@ -301,6 +302,10 @@ def _write_frame(lib, mw, mh, qp, frame_idx, slice_type, mb_class, mv,
         frame_num = frame_idx
     mmco_arr = (None if mmco_drops is None or not len(mmco_drops)
                 else np.ascontiguousarray(mmco_drops, np.intc))
+    if row_slice is not None:
+        row_slice = np.ascontiguousarray(row_slice, np.intc)
+    if out_row_bits is not None:
+        assert out_row_bits.dtype == np.uint32 and out_row_bits.flags["C_CONTIGUOUS"]
     rc = lib.pip_encode_frame(
         mw, mh, qp, frame_num, idr_id & 1, slice_type,
         ptr(mb_class), ptr(mv16), ptr(i16_mode), ptr(chroma_mode),
@@ -313,6 +318,8 @@ def _write_frame(lib, mw, mh, qp, frame_idx, slice_type, mb_class, mv,
         None if mmco_arr is None else ptr(mmco_arr),
         0 if mmco_arr is None else len(mmco_arr), int(param_id),
         None if ref_plane is None else ptr(ref_plane),
+        None if row_slice is None else ptr(row_slice),
+        None if out_row_bits is None else ptr(out_row_bits),
         None if out_qp is None else ptr(out_qp),
         ctypes.byref(out), ctypes.byref(out_size), err, len(err))
     if rc != 0:

@@ -892,7 +892,8 @@ class JaxEncoder:
                  rc=None, scene_cut=False, aq=False, cabac=False,
                  slices=1, deblock=True, temporal_layers=1,
                  gom_rc=False, ltr=False, refs=1, denoise=False,
-                 param_id=0, bgd=False, scroll_me=False):
+                 param_id=0, bgd=False, scroll_me=False,
+                 slice_max_bytes=None):
         assert width % 2 == 0 and height % 2 == 0, "4:2:0 needs even dims"
         # arbitrary (even) resolutions: pad to whole MBs internally and
         # signal the true size via SPS frame cropping (7.4.2.1.1)
@@ -917,11 +918,29 @@ class JaxEncoder:
         # vertical shift (reference scrolldetection feeding ME)
         self.scroll_me = bool(scroll_me)
         self._scroll_dy = 0
+        # dynamic size-limited slicing (reference SM_DYN_SLICE,
+        # codec_app_def.h:275). TPU-first tradeoff: the batched device
+        # analysis needs slice boundaries BEFORE writing, so boundaries
+        # are row-granular and planned from the previous frame's
+        # measured per-row bit costs (exact CAVLC row bits fed back by
+        # the native writer) instead of closed exactly mid-row like the
+        # reference's serial writer; the cap can overshoot by one row's
+        # prediction error on content changes.
+        assert slice_max_bytes is None or slices == 1, \
+            "slice_max_bytes replaces the fixed slice count"
+        self.slice_max_bytes = (int(slice_max_bytes)
+                                if slice_max_bytes else None)
+        self._row_bits = None      # [mb_h] measured bits, prev frame
+        self._row_bits_buf = (np.zeros(self.mb_h, np.uint32)
+                              if slice_max_bytes else None)
+        self._row_slice_np = np.zeros(self.mb_h, np.int32)
         self.cabac = cabac           # CABAC entropy coding
         self.slices = max(1, min(int(slices), self.mb_h))
         # in-loop filter: idc 0 filters everything; 2 keeps slices
-        # independent (multi-slice); 1 = filter off (deblock=False)
-        self.deblock_idc = (0 if self.slices == 1 else 2) if deblock else 1
+        # independent (multi-slice, incl. dynamic slicing); 1 = filter
+        # off (deblock=False)
+        multi = self.slices > 1 or slice_max_bytes
+        self.deblock_idc = (2 if multi else 0) if deblock else 1
         # dyadic temporal scalability (the reference encoder supports up
         # to 4 layers, ref_list_mgr_svc.cpp). L=2: odd frames are
         # droppable non-references predicting from the last T0 frame.
@@ -1010,8 +1029,48 @@ class JaxEncoder:
             idr_id=self._idr_id, ltr_flags=self._ltr_flags(slice_type),
             n_refs=n_refs, ref_plane=ref_plane, sps_refs=self._sps_refs,
             rplr_diff=self._rplr_diff, mmco_drops=self._mmco_drops,
-            param_id=self.param_id)
+            param_id=self.param_id,
+            row_slice=(self._row_slice_np if self.slice_max_bytes
+                       else None),
+            out_row_bits=(self._row_bits_buf if self.slice_max_bytes
+                          else None))
+        if self.slice_max_bytes:
+            self._row_bits = self._row_bits_buf.copy()
         return data
+
+    def _plan_dynamic_slices(self):
+        """Row->slice map for SM_DYN_SLICE-style size-limited slices:
+        greedy accumulation of predicted per-row bits (previous frame's
+        measured costs; first frame worst-cases to one row per slice),
+        closing a slice before the row that would exceed the byte cap."""
+        budget = self.slice_max_bytes * 8
+        est = self._row_bits
+        if est is None:
+            est = np.full(self.mb_h, budget, np.float64)  # 1 row/slice
+        sl = np.zeros(self.mb_h, np.int32)
+        acc, s = 0.0, 0
+        for r in range(self.mb_h):
+            if r > 0 and acc + float(est[r]) > budget:
+                s += 1
+                acc = 0.0
+            sl[r] = s
+            acc += float(est[r])
+        changed = not np.array_equal(sl, self._row_slice_np)
+        self._row_slice_np = sl
+        self._row_slice = jnp.asarray(sl)
+        self._slice_id = jnp.asarray(np.repeat(sl, self.mb_w), jnp.int32)
+        return changed
+
+    def _dyn_slice_violated(self):
+        """True when a just-written slice exceeded the byte cap by more
+        than the row-granularity floor allows fixing."""
+        bits = self._row_bits.astype(np.float64)
+        sl = self._row_slice_np
+        for s in range(sl.max() + 1):
+            rows = np.where(sl == s)[0]
+            if rows.size > 1 and bits[rows].sum() > self.slice_max_bytes * 8:
+                return True
+        return False
 
     def _ltr_flags(self, slice_type):
         if not self.ltr:
@@ -1105,8 +1164,11 @@ class JaxEncoder:
             mv8 = np.ascontiguousarray(mv8, np.int16)
         if ref_plane is not None:
             ref_plane = np.ascontiguousarray(ref_plane, np.int8)
+        rs = (np.ascontiguousarray(self._row_slice_np, np.intc)
+              if self.slice_max_bytes else None)
         rc = self._lib.pip_encode_mv_preds(
-            self.mb_w, self.mb_h, self.slices, ptr(mbc), ptr(mv16),
+            self.mb_w, self.mb_h, self.slices,
+            None if rs is None else ptr(rs), ptr(mbc), ptr(mv16),
             None if mv8 is None else ptr(mv8),
             None if ref_plane is None else ptr(ref_plane),
             ptr(skip_pred), ptr(p16_pred), err, len(err))
@@ -1332,7 +1394,8 @@ class JaxEncoder:
         return (not self.intra_only and not self.aq and not self.gom_rc
                 and self.rc is None and not self.scene_cut
                 and self.refs == 1 and self.temporal_layers == 1
-                and not self.ltr and not self.bgd and not self.scroll_me)
+                and not self.ltr and not self.bgd and not self.scroll_me
+                and not self.slice_max_bytes)
 
     def encode_frames(self, frames, batch=8):
         """Encode a sequence of (Y, U, V) frames. When the configuration
@@ -1559,7 +1622,20 @@ class JaxEncoder:
             # predict this frame from the long-term reference; its own
             # recon then re-seeds the short-term chain (loss recovery)
             self.ref = self._ltr_ref
-        data = self._encode_i(Y, U, V) if is_idr else self._encode_p(Y, U, V)
+        if self.slice_max_bytes:
+            self._plan_dynamic_slices()
+            ref_before = self.ref
+            data = (self._encode_i(Y, U, V) if is_idr
+                    else self._encode_p(Y, U, V))
+            if self._dyn_slice_violated() and self._plan_dynamic_slices():
+                # a slice blew the cap: replan from this frame's
+                # measured row costs and re-encode once
+                self.ref = ref_before
+                data = (self._encode_i(Y, U, V) if is_idr
+                        else self._encode_p(Y, U, V))
+        else:
+            data = (self._encode_i(Y, U, V) if is_idr
+                    else self._encode_p(Y, U, V))
         if hier:
             if is_idr:
                 self._gop_pos = 0

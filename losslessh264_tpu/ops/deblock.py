@@ -37,77 +37,62 @@ def compute_bs(mb_w, mb_h, mb_class, nnz, mv, ref, slice_id, deblock_idc):
 
     nnz: [n,16] per-cell nonzero flags/counts; mv [n,16,2]; ref [n,16].
     Edges whose filtering is disabled get bS 0.
+
+    Formulated on full-frame 4x4-cell grids where every neighbor access
+    is a static roll/shift — the per-edge fancy-index gathers of the
+    obvious formulation cost ~30 ms/frame at 720p on TPU (scalar
+    gathers), the shifted-grid one is pure vector work.
     """
-    n = mb_w * mb_h
-    intra = (mb_class == 0) | (mb_class == 1) | (mb_class == 2) | (mb_class == 8)
+    intra = ((mb_class == 0) | (mb_class == 1) | (mb_class == 2)
+             | (mb_class == 8))
+    ch, cw = 4 * mb_h, 4 * mb_w
 
-    cell_nz = nnz > 0
+    def cellgrid(a):  # [n, 16, ...] -> [ch, cw, ...]
+        rest = a.shape[2:]
+        return (a.reshape((mb_h, mb_w, 4, 4) + rest)
+                .transpose((0, 2, 1, 3) + tuple(range(4, 4 + len(rest))))
+                .reshape((ch, cw) + rest))
 
-    def pair_bs(ip, cp, iq, cq, intra_p, intra_q, mb_edge):
-        # ip/iq: [E] mb indices; cp/cq: [E] cell indices
-        b_intra = jnp.where(mb_edge, 4, 3)
-        nzp = cell_nz[ip, cp]
-        nzq = cell_nz[iq, cq]
-        rp = ref[ip, cp]
-        rq = ref[iq, cq]
-        mvp = mv[ip, cp].astype(jnp.int32)
-        mvq = mv[iq, cq].astype(jnp.int32)
-        mv_far = (jnp.abs(mvp[..., 0] - mvq[..., 0]) >= 4) | \
-                 (jnp.abs(mvp[..., 1] - mvq[..., 1]) >= 4)
-        b = jnp.where(nzp | nzq, 2, jnp.where((rp != rq) | mv_far, 1, 0))
-        return jnp.where(intra_p | intra_q, b_intra, b)
+    def mbgrid(a):    # [n] per-MB -> [ch, cw] per-cell
+        return jnp.repeat(jnp.repeat(a.reshape(mb_h, mb_w), 4, 0), 4, 1)
 
-    mbi = jnp.arange(n)
-    mbx = mbi % mb_w
-    mby = mbi // mb_w
+    nzg = cellgrid((nnz > 0).astype(jnp.int32))
+    refg = cellgrid(ref)
+    mvg = cellgrid(mv.astype(jnp.int32))
+    intrag = mbgrid(intra)
+    sliceg = mbgrid(slice_id)
+    idcg = mbgrid(deblock_idc)
+    colg = jnp.broadcast_to(jnp.arange(cw)[None, :], (ch, cw))
+    rowg = jnp.broadcast_to(jnp.arange(ch)[:, None], (ch, cw))
 
-    rows16 = jnp.arange(16)
-    cy = rows16 // 4  # cell row for a given sample row
+    def bs_dir(axis):
+        """bs of each cell's left (axis=1) / top (axis=0) edge."""
+        shp = lambda g: jnp.roll(g, 1, axis)                 # noqa: E731
+        pos = colg if axis == 1 else rowg
+        mb_edge = (pos % 4) == 0
+        nzp, rp, mvp = shp(nzg), shp(refg), shp(mvg)
+        mv_far = ((jnp.abs(mvp[..., 0] - mvg[..., 0]) >= 4)
+                  | (jnp.abs(mvp[..., 1] - mvg[..., 1]) >= 4))
+        b = jnp.where((nzp | nzg) > 0, 2,
+                      jnp.where((rp != refg) | mv_far, 1, 0))
+        b = jnp.where(shp(intrag) | intrag,
+                      jnp.where(mb_edge, 4, 3), b)
+        cross = shp(sliceg) != sliceg
+        off = ((idcg == 1)
+               | (mb_edge & ((pos == 0) | ((idcg == 2) & cross))))
+        return jnp.where(off, 0, b)
 
-    bs_v = []
-    for k in range(4):
-        if k == 0:
-            ip = mbi - 1
-            valid = mbx > 0
-            cp = cy * 4 + 3
-        else:
-            ip = mbi
-            valid = jnp.full((n,), True)
-            cp = cy * 4 + (k - 1)
-        cq = cy * 4 + k
-        ip_c = jnp.clip(ip, 0, n - 1)
-        b = pair_bs(ip_c[:, None], cp[None, :], mbi[:, None], cq[None, :],
-                    intra[ip_c][:, None], intra[:, None],
-                    jnp.full((n, 16), k == 0))
-        # disable: idc==1; k==0 crossing slice boundary with idc==2
-        off = deblock_idc == 1
-        if k == 0:
-            cross = slice_id[ip_c] != slice_id
-            off = off | ~valid | ((deblock_idc == 2) & cross)
-        b = jnp.where(off[:, None], 0, b)
-        bs_v.append(b)
-    bs_h = []
-    for k in range(4):
-        if k == 0:
-            ip = mbi - mb_w
-            valid = mby > 0
-            cp = 12 + rows16 // 4
-        else:
-            ip = mbi
-            valid = jnp.full((n,), True)
-            cp = (k - 1) * 4 + rows16 // 4
-        cq = k * 4 + rows16 // 4
-        ip_c = jnp.clip(ip, 0, n - 1)
-        b = pair_bs(ip_c[:, None], cp[None, :], mbi[:, None], cq[None, :],
-                    intra[ip_c][:, None], intra[:, None],
-                    jnp.full((n, 16), k == 0))
-        off = deblock_idc == 1
-        if k == 0:
-            cross = slice_id[ip_c] != slice_id
-            off = off | ~valid | ((deblock_idc == 2) & cross)
-        b = jnp.where(off[:, None], 0, b)
-        bs_h.append(b)
-    return jnp.stack(bs_v, 1), jnp.stack(bs_h, 1)
+    def per_mb(bsg, axis):
+        """[ch, cw] cell-edge grid -> [n, 4 edges, 16 sample lines]."""
+        a = bsg.reshape(mb_h, 4, mb_w, 4)
+        if axis == 1:   # vertical: edge = cell col, line = sample row
+            a = a.transpose(0, 2, 3, 1)     # [mb_h, mb_w, edge, cellrow]
+        else:           # horizontal: edge = cell row, line = sample col
+            a = a.transpose(0, 2, 1, 3)     # [mb_h, mb_w, edge, cellcol]
+        a = a.reshape(mb_h * mb_w, 4, 4)
+        return jnp.repeat(a, 4, axis=2)     # cell -> 4 sample lines
+
+    return per_mb(bs_dir(1), 1), per_mb(bs_dir(0), 0)
 
 
 # ---------------------------------------------------------------------------
@@ -183,7 +168,6 @@ def _edge_params(mb_w, mb_h, cls, qp, nnz, mv, ref_idx, slice_id,
     [n,2,8] per direction. Everything downstream is pure filtering.
     """
     n = mb_w * mb_h
-    mbi = jnp.arange(n)
     bs_v, bs_h = compute_bs(mb_w, mb_h, cls, nnz, mv, ref_idx, slice_id,
                             deblock_idc.astype(jnp.int32))
     qps = jnp.where(cls == 8, 0, qp)
@@ -192,8 +176,11 @@ def _edge_params(mb_w, mb_h, cls, qp, nnz, mv, ref_idx, slice_id,
     t8f = (transform8 != 0)[:, None]
     coff = chroma_qp_offset
 
-    left_mb = jnp.clip(mbi - 1, 0, n - 1)
-    top_mb = jnp.clip(mbi - mb_w, 0, n - 1)
+    # neighbor QP via grid shifts (no index gathers; border lanes are
+    # junk but their edges carry bS 0 from compute_bs)
+    qg = qps.reshape(mb_h, mb_w)
+    qp_left = jnp.roll(qg, 1, 1).reshape(n)
+    qp_top = jnp.roll(qg, 1, 0).reshape(n)
     # interior-edge mask for transform-8x8 MBs (edges 1 and 3 off)
     kmask = jnp.asarray([False, True, False, True])
     bs_v = jnp.where(t8f[:, :, None] & kmask[None, :, None], 0, bs_v)
@@ -203,35 +190,41 @@ def _edge_params(mb_w, mb_h, cls, qp, nnz, mv, ref_idx, slice_id,
     beta_t = jnp.asarray(BETA)
     tc0_t = jnp.asarray(TC0)
     cqp_t = jnp.asarray(CHROMA_QP)
+    # tc0 lookup flattened to one small-table take (a two-axis fancy
+    # gather is a scalar gather on TPU)
+    tc0_flat = jnp.asarray(TC0.reshape(-1))
 
-    def luma_dir(nbr):
-        pmb = jnp.stack([nbr, mbi, mbi, mbi], axis=1)      # [n,4]
-        qpa = (qps[pmb] + qps[:, None] + 1) >> 1
+    def luma_dir(qp_nbr):
+        edge0 = (qp_nbr + qps + 1) >> 1                    # [n]
+        qpa = jnp.concatenate(
+            [edge0[:, None], jnp.broadcast_to(qps[:, None], (n, 3))], 1)
         ia = jnp.clip(qpa + aoff[:, None], 0, 51)
         ib = jnp.clip(qpa + boff[:, None], 0, 51)
-        return alpha_t[ia], beta_t[ib], ia
+        return jnp.take(alpha_t, ia), jnp.take(beta_t, ib), ia
 
-    def chroma_dir(nbr):
-        pmb = jnp.stack([nbr, mbi], axis=1)                # [n,2]
-        qcp = cqp_t[jnp.clip(qps[pmb] + coff, 0, 51)]
-        qcq = cqp_t[jnp.clip(qps[:, None] + coff, 0, 51)]
+    def chroma_dir(qp_nbr):
+        qcp = jnp.take(cqp_t, jnp.clip(
+            jnp.stack([qp_nbr, qps], 1) + coff, 0, 51))    # [n,2]
+        qcq = jnp.take(cqp_t, jnp.clip(qps + coff, 0, 51))[:, None]
         qpa = (qcp + qcq + 1) >> 1
         ia = jnp.clip(qpa + aoff[:, None], 0, 51)
         ib = jnp.clip(qpa + boff[:, None], 0, 51)
-        return alpha_t[ia], beta_t[ib], ia
+        return jnp.take(alpha_t, ia), jnp.take(beta_t, ib), ia
 
     p = {"bs_v": bs_v, "bs_h": bs_h}
-    for d, nbr, bs in (("v", left_mb, bs_v), ("h", top_mb, bs_h)):
-        al, be, ia = luma_dir(nbr)
+    for d, qp_nbr, bs in (("v", qp_left, bs_v), ("h", qp_top, bs_h)):
+        al, be, ia = luma_dir(qp_nbr)
         p["alpha_" + d] = al
         p["beta_" + d] = be
-        p["tc0_" + d] = tc0_t[ia[:, :, None], jnp.clip(bs, 1, 3) - 1]
+        p["tc0_" + d] = jnp.take(
+            tc0_flat, ia[:, :, None] * 3 + jnp.clip(bs, 1, 3) - 1)
         bs_c = bs[:, ::2, ::2]                             # [n,2,8]
-        alc, bec, iac = chroma_dir(nbr)
+        alc, bec, iac = chroma_dir(qp_nbr)
         p["bs_c" + d] = bs_c
         p["alpha_c" + d] = alc
         p["beta_c" + d] = bec
-        p["tc0_c" + d] = tc0_t[iac[:, :, None], jnp.clip(bs_c, 1, 3) - 1]
+        p["tc0_c" + d] = jnp.take(
+            tc0_flat, iac[:, :, None] * 3 + jnp.clip(bs_c, 1, 3) - 1)
     return p
 
 

@@ -76,28 +76,19 @@ def _schedule(mb_w, mb_h):
     v_above = valid & (ys > 0)
     v_ar = valid & (ys > 0) & (xs < mb_w - 1)
 
-    # ownership gather maps: flat index into the stacked [nd, K, h, w]
-    # window tensors for every output pixel
-    def own_map(H, W, t, shift):
-        i = np.arange(H)[:, None]
-        j = np.arange(W)[None, :]
-        yo = np.minimum((i + shift) // t, mb_h - 1)
-        xo = np.minimum((j + shift) // t, mb_w - 1)
-        d = 2 * yo + xo
-        k = yo - y0[d]
-        wr = i - t * yo + 8
-        wc = j - t * xo + 8
-        wh = t + 8
-        return (((d * K + k) * wh + wr) * wh + wc).astype(np.int32)
-
-    own_y = own_map(16 * mb_h, 16 * mb_w, 16, 3)
-    own_c = own_map(8 * mb_h, 8 * mb_w, 8, 1)
+    # raster -> stacked-window position: inv[mb] = d * K + k (output
+    # assembly slices whole windows, so only a first-axis permutation
+    # is needed — a per-pixel flat gather costs ~9 ms at 720p on TPU)
+    ys_r = np.arange(mb_h * mb_w) // mb_w
+    xs_r = np.arange(mb_h * mb_w) % mb_w
+    d_r = 2 * ys_r + xs_r
+    inv = (d_r * K + (ys_r - y0[d_r])).astype(np.int32)
 
     return dict(nd=nd, K=K, mb=mb.astype(np.int32),
                 wrow=wrow, wcol=wcol, crow=crow, ccol=ccol,
                 off_l=off_l, off_a=off_a, off_ar=off_ar,
                 v_left=v_left, v_above=v_above, v_ar=v_ar,
-                own_y=own_y, own_c=own_c)
+                inv=inv)
 
 
 _LUMA_KEYS = ("bs_v", "bs_h", "alpha_v", "beta_v", "tc0_v", "alpha_h",
@@ -259,10 +250,34 @@ def deblock_wavefront_scan(mb_w, mb_h, Yw, Uw, Vw, params):
               jnp.zeros((2, K + 2, 16, 16), jnp.int32) + zc)
     _, (Wy, Wc) = jax.lax.scan(step, carry0, xs)
 
-    outY = Wy.reshape(-1)[jnp.asarray(S["own_y"])]
-    own_c = jnp.asarray(S["own_c"])
-    outU = Wc[:, 0].reshape(-1)[own_c]
-    outV = Wc[:, 1].reshape(-1)[own_c]
+    # output assembly: plane pixel (i, j) is last written by the
+    # filtering of MB ((i+3)//16, (j+3)//16) for luma ((i+1)//8 chroma,
+    # both clamped at the borders), because an MB's left/top edges write
+    # at most 3 (1) pixels into its neighbors — so each MB owns the
+    # contiguous t x t window region [8-shift : 8-shift+t] and the frame
+    # is rebuilt from whole-window slices (reshape/transpose, no
+    # per-pixel gather).
+    inv = jnp.asarray(S["inv"])
+    n = mb_h * mb_w
+
+    def assemble(Wst, t, shift):
+        w = t + 8
+        Wr = Wst.reshape(-1, w, w)[inv]          # [n, w, w] raster order
+        lo, hi = 8 - shift, 8 - shift + t
+        core = (Wr[:, lo:hi, lo:hi].reshape(mb_h, mb_w, t, t)
+                .transpose(0, 2, 1, 3).reshape(mb_h * t, mb_w * t))
+        right = (Wr[mb_w - 1::mb_w, lo:hi, hi:hi + shift]
+                 .reshape(mb_h * t, shift))
+        bot = (Wr[(mb_h - 1) * mb_w:, hi:hi + shift, lo:hi]
+               .transpose(1, 0, 2).reshape(shift, mb_w * t))
+        corner = Wr[n - 1, hi:hi + shift, hi:hi + shift]
+        top = jnp.concatenate([core[shift:, shift:], right[shift:]], 1)
+        bottom = jnp.concatenate([bot[:, shift:], corner], 1)
+        return jnp.concatenate([top, bottom], 0)
+
+    outY = assemble(Wy, 16, 3)
+    outU = assemble(Wc[:, 0], 8, 1)
+    outV = assemble(Wc[:, 1], 8, 1)
     return (Yw.at[WPAD:WPAD + H, WPAD:WPAD + W].set(outY),
             Uw.at[WPAD:WPAD + H // 2, WPAD:WPAD + W // 2].set(outU),
             Vw.at[WPAD:WPAD + H // 2, WPAD:WPAD + W // 2].set(outV))

@@ -152,6 +152,19 @@ int pip_encode_frame(int mb_w, int mb_h, int qp, int frame_num, int idr_id,
                      int param_id /* SPS/PPS id for this stream (spatial
                                      simulcast layers carry distinct ids) */,
                      const i8* ref_plane /* per-MB L0 ref_idx (P16x16) */,
+                     const int* row_slice /* [mb_h] monotone slice index
+                                             per MB row; overrides
+                                             n_slices (dynamic
+                                             size-limited slicing —
+                                             reference SM_DYN_SLICE,
+                                             codec_app_def.h:275) */,
+                     unsigned* out_row_bits /* optional [mb_h]: bits each
+                                               MB row cost inside its
+                                               slice (CAVLC exact; CABAC
+                                               even split) — the
+                                               caller's size predictor
+                                               for next frame's dynamic
+                                               slice map */,
                      u8* out_qp, u8** out,
                      size_t* out_size, char* err, size_t err_cap) {
   try {
@@ -184,13 +197,22 @@ int pip_encode_frame(int mb_w, int mb_h, int qp, int frame_num, int idr_id,
     pic.reset(mb_w, mb_h);
     PicState pic_mirror;  // CABAC writer's independent state walk
 
-    // row-aligned slice split (reference SM_FIXEDSLCNUM_SLICE,
-    // slice_multi_threading.cpp load split)
-    int rows_per = (mb_h + n_slices - 1) / n_slices;
-    for (int si = 0; si < n_slices; ++si) {
-    int r0 = si * rows_per;
-    int r1 = std::min(mb_h, r0 + rows_per);
-    if (r0 >= r1) break;
+    // slice split: explicit per-row map (dynamic size-limited slicing,
+    // reference SM_DYN_SLICE) or row-aligned fixed count (reference
+    // SM_FIXEDSLCNUM_SLICE, slice_multi_threading.cpp load split)
+    std::vector<int> bounds;
+    if (row_slice) {
+      bounds.push_back(0);
+      for (int r = 1; r < mb_h; ++r)
+        if (row_slice[r] != row_slice[r - 1]) bounds.push_back(r);
+    } else {
+      int rows_per = (mb_h + n_slices - 1) / n_slices;
+      for (int r0 = 0; r0 < mb_h; r0 += rows_per) bounds.push_back(r0);
+    }
+    int n_bounds = int(bounds.size());
+    for (int si = 0; si < n_bounds; ++si) {
+    int r0 = bounds[si];
+    int r1 = si + 1 < n_bounds ? bounds[si + 1] : mb_h;
     int first_mb = r0 * mb_w;
     int end_mb = r1 * mb_w;
     // slice header
@@ -281,6 +303,7 @@ int pip_encode_frame(int mb_w, int mb_h, int qp, int frame_num, int idr_id,
       header_bytes = hw.take();
     }
     std::vector<MbRecord> recs;  // CABAC: records for cabac_write_slice
+    std::vector<size_t> row_end_bits;  // CAVLC row cost tracking
     int skip_run = 0;
     for (int addr = first_mb; addr < end_mb; ++addr) {
       MbClass cl = MbClass(mb_class[addr]);
@@ -296,6 +319,7 @@ int pip_encode_frame(int mb_w, int mb_h, int qp, int frame_num, int idr_id,
         sc.commit(skip);
         if (cabac) recs.push_back(skip);
         ++skip_run;
+        if ((addr + 1) % mb_w == 0) row_end_bits.push_back(bw.pos_bits());
         continue;
       }
       if (!is_idr && !cabac) {
@@ -361,6 +385,7 @@ int pip_encode_frame(int mb_w, int mb_h, int qp, int frame_num, int idr_id,
       if (mb_is_inter(rec.mb_class)) derive_mvs_record(sc, rec);
       sc.commit(rec);
       if (cabac) recs.push_back(rec);
+      if ((addr + 1) % mb_w == 0) row_end_bits.push_back(bw.pos_bits());
     }
     std::vector<u8> rbsp;
     if (cabac) {
@@ -378,6 +403,28 @@ int pip_encode_frame(int mb_w, int mb_h, int qp, int frame_num, int idr_id,
     }
     auto nal = make_nal(sh.nal_ref_idc, sh.nal_type, rbsp);
     stream.insert(stream.end(), nal.begin(), nal.end());
+    if (out_row_bits) {
+      int nrows = r1 - r0;
+      size_t nal_bits = nal.size() * 8;
+      if (!cabac) {
+        // exact per-row split of the slice payload; NAL wrap, trailing
+        // bits and any deferred final skip-run land on the last row
+        size_t prev = 0;
+        size_t covered = 0;
+        for (int r = 0; r < nrows; ++r) {
+          out_row_bits[r0 + r] = unsigned(row_end_bits[r] - prev);
+          covered += row_end_bits[r] - prev;
+          prev = row_end_bits[r];
+        }
+        if (nal_bits > covered)
+          out_row_bits[r1 - 1] += unsigned(nal_bits - covered);
+      } else {
+        // CABAC encodes the slice as one unit: even split (predictor
+        // precision only — the caller re-measures every frame)
+        unsigned per = unsigned(nal_bits / size_t(nrows));
+        for (int r = r0; r < r1; ++r) out_row_bits[r] = per;
+      }
+    }
     }  // slice loop
 
     *out = static_cast<u8*>(malloc(stream.size()));
@@ -404,6 +451,9 @@ int pip_encode_frame(int mb_w, int mb_h, int qp, int frame_num, int idr_id,
 // (used to update prediction state). Outputs: skip_pred[n*2],
 // p16_pred[n*2].
 int pip_encode_mv_preds(int mb_w, int mb_h, int n_slices,
+                        const int* row_slice /* optional [mb_h] dynamic
+                                                slice map (SM_DYN_SLICE);
+                                                overrides n_slices */,
                         const u8* mb_class,
                         const i16* mv, const i16* mv8, const i8* ref_plane,
                         i16* skip_pred,
@@ -427,7 +477,12 @@ int pip_encode_mv_preds(int mb_w, int mb_h, int n_slices,
     SliceCtx sc;
     sc.begin_slice(&sps_s, &pps_s, &sh, &pic);
     for (int addr = 0; addr < n; ++addr) {
-      if (addr > 0 && addr % (rows_per * mb_w) == 0)
+      bool new_slice =
+          row_slice
+              ? (addr > 0 && addr % mb_w == 0 &&
+                 row_slice[addr / mb_w] != row_slice[addr / mb_w - 1])
+              : (addr > 0 && addr % (rows_per * mb_w) == 0);
+      if (new_slice)
         sc.begin_slice(&sps_s, &pps_s, &sh, &pic);  // new slice boundary
       sc.begin_mb(addr);
       i16 sp[2], pp[2];
