@@ -375,8 +375,8 @@ class Encoder:
         ptr = lambda a: a.ctypes.data_as(ctypes.c_void_p)
         mv16 = np.ascontiguousarray(mv, np.int16)
         rc = self._lib.pip_encode_mv_preds(
-            self.mb_w, self.mb_h, 1, ptr(mb_class), ptr(mv16), None, None,
-            ptr(skip_pred), ptr(p16_pred), err, len(err))
+            self.mb_w, self.mb_h, 1, None, ptr(mb_class), ptr(mv16), None,
+            None, ptr(skip_pred), ptr(p16_pred), err, len(err))
         if rc != 0:
             raise RuntimeError(f"pip_encode_mv_preds: {err.value.decode()}")
         return skip_pred, p16_pred

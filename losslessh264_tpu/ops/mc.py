@@ -23,24 +23,37 @@ def mc_luma_cells(ref_stack: jax.Array, pad: int, ref_idx: jax.Array,
                   y0: jax.Array, x0: jax.Array, mvx: jax.Array,
                   mvy: jax.Array) -> jax.Array:
     """ref_stack [R, H+2p, W+2p] uint8; per-cell vectors [B]. Returns
-    [B,4,4] int32 predicted samples."""
+    [B,4,4] int32 predicted samples.
+
+    Windows are fetched with ONE flat batched gather (a vmapped
+    dynamic_slice lowers to a serial per-cell loop on TPU); all
+    fractional cases are then computed vectorized over the batch."""
     h = w = 4
 
     # reference BaseMC clips iFullMV into the padded window (rec_mb.cpp:
     # CLIP3 to [(-PADDING_LENGTH+2)<<2, (dim+PADDING_LENGTH-19)<<2])
-    H = ref_stack.shape[1] - 2 * pad
-    W = ref_stack.shape[2] - 2 * pad
+    R, Hp, Wp = ref_stack.shape
+    H = Hp - 2 * pad
+    W = Wp - 2 * pad
 
-    def one(r, cy, cx, vx, vy):
-        fullx = jnp.clip((cx << 2) + vx, (-pad + 2) << 2, (W + pad - 19) << 2)
-        fully = jnp.clip((cy << 2) + vy, (-pad + 2) << 2, (H + pad - 19) << 2)
-        ix = fullx >> 2
-        iy = fully >> 2
-        fx = fullx & 3
-        fy = fully & 3
-        win = jax.lax.dynamic_slice(
-            ref_stack, (r, pad + iy - 2, pad + ix - 2), (1, h + 5, w + 5)
-        )[0].astype(jnp.int32)
+    r = ref_idx.astype(jnp.int32)
+    cy = y0.astype(jnp.int32)
+    cx = x0.astype(jnp.int32)
+    vx = mvx.astype(jnp.int32)
+    vy = mvy.astype(jnp.int32)
+    fullx = jnp.clip((cx << 2) + vx, (-pad + 2) << 2, (W + pad - 19) << 2)
+    fully = jnp.clip((cy << 2) + vy, (-pad + 2) << 2, (H + pad - 19) << 2)
+    ix = fullx >> 2
+    iy = fully >> 2
+    fx_b = fullx & 3
+    fy_b = fully & 3
+    flat = ref_stack.reshape(-1)
+    o9 = jnp.arange(h + 5)
+    idx = ((r * Hp + (pad + iy - 2))[:, None, None] + o9[None, :, None]) \
+        * Wp + (pad + ix - 2)[:, None, None] + o9[None, None, :]
+    wins = flat[idx].astype(jnp.int32)                     # [B, 9, 9]
+
+    def one(win, fx, fy):
         G = win[2:2 + h, 2:2 + w]
         b_full = _sixtap(win[:, 0:w], win[:, 1:w + 1], win[:, 2:w + 2],
                          win[:, 3:w + 3], win[:, 4:w + 4], win[:, 5:w + 5])
@@ -73,9 +86,7 @@ def mc_luma_cells(ref_stack: jax.Array, pad: int, ref_idx: jax.Array,
                  jnp.where(fy == 2, case_fy2, diag))))
         return out
 
-    return jax.vmap(one)(ref_idx.astype(jnp.int32), y0.astype(jnp.int32),
-                         x0.astype(jnp.int32), mvx.astype(jnp.int32),
-                         mvy.astype(jnp.int32))
+    return jax.vmap(one)(wins, fx_b, fy_b)
 
 
 def halfpel_planes(ref_pad: jax.Array) -> jax.Array:
@@ -196,33 +207,38 @@ def mc_chroma_mbs(ref_pad_c: jax.Array, pad: int, cy0: jax.Array,
 def mc_chroma_cells(ref_stack: jax.Array, pad: int, ref_idx: jax.Array,
                     y0: jax.Array, x0: jax.Array, mvx: jax.Array,
                     mvy: jax.Array) -> jax.Array:
-    """Chroma 2x2 cells from [R, H/2+2p, W/2+2p]. Returns [B,2,2] int32."""
+    """Chroma 2x2 cells from [R, H/2+2p, W/2+2p]. Returns [B,2,2] int32.
+
+    One flat batched window gather (3x3 per cell), vectorized bilinear."""
     h = w = 2
 
-    Hc = ref_stack.shape[1] - 2 * pad
-    Wc = ref_stack.shape[2] - 2 * pad
+    R, Hp, Wp = ref_stack.shape
+    Hc = Hp - 2 * pad
+    Wc = Wp - 2 * pad
     lpad = 2 * pad
 
-    def one(r, cy, cx, vx, vy):
-        # shared luma-unit iFullMV clip, then >>3 (rec_mb.cpp BaseMC)
-        fullx = jnp.clip(((2 * cx) << 2) + vx, (-lpad + 2) << 2,
-                         (2 * Wc + lpad - 19) << 2)
-        fully = jnp.clip(((2 * cy) << 2) + vy, (-lpad + 2) << 2,
-                         (2 * Hc + lpad - 19) << 2)
-        ix = fullx >> 3
-        iy = fully >> 3
-        fx = fullx & 7
-        fy = fully & 7
-        win = jax.lax.dynamic_slice(
-            ref_stack, (r, pad + iy, pad + ix), (1, h + 1, w + 1)
-        )[0].astype(jnp.int32)
-        A = win[0:h, 0:w]
-        B = win[0:h, 1:w + 1]
-        C = win[1:h + 1, 0:w]
-        D = win[1:h + 1, 1:w + 1]
-        return ((8 - fx) * (8 - fy) * A + fx * (8 - fy) * B +
-                (8 - fx) * fy * C + fx * fy * D + 32) >> 6
-
-    return jax.vmap(one)(ref_idx.astype(jnp.int32), y0.astype(jnp.int32),
-                         x0.astype(jnp.int32), mvx.astype(jnp.int32),
-                         mvy.astype(jnp.int32))
+    r = ref_idx.astype(jnp.int32)
+    cy = y0.astype(jnp.int32)
+    cx = x0.astype(jnp.int32)
+    vx = mvx.astype(jnp.int32)
+    vy = mvy.astype(jnp.int32)
+    # shared luma-unit iFullMV clip, then >>3 (rec_mb.cpp BaseMC)
+    fullx = jnp.clip(((2 * cx) << 2) + vx, (-lpad + 2) << 2,
+                     (2 * Wc + lpad - 19) << 2)
+    fully = jnp.clip(((2 * cy) << 2) + vy, (-lpad + 2) << 2,
+                     (2 * Hc + lpad - 19) << 2)
+    ix = fullx >> 3
+    iy = fully >> 3
+    fx = (fullx & 7)[:, None, None]
+    fy = (fully & 7)[:, None, None]
+    flat = ref_stack.reshape(-1)
+    o3 = jnp.arange(h + 1)
+    idx = ((r * Hp + (pad + iy))[:, None, None] + o3[None, :, None]) * Wp \
+        + (pad + ix)[:, None, None] + o3[None, None, :]
+    win = flat[idx].astype(jnp.int32)                      # [B, 3, 3]
+    A = win[:, 0:h, 0:w]
+    B = win[:, 0:h, 1:w + 1]
+    C = win[:, 1:h + 1, 0:w]
+    D = win[:, 1:h + 1, 1:w + 1]
+    return ((8 - fx) * (8 - fy) * A + fx * (8 - fy) * B +
+            (8 - fx) * fy * C + fx * fy * D + 32) >> 6

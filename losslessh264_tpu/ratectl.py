@@ -28,6 +28,10 @@ serial in-frame feedback chain would force MB-serial host round trips.
 
 All controllers share one protocol so the encoder can hold any of them:
   frame_qp(complexity, is_idr=False, timestamp_ms=None, scene_idc=0)
+  tick(timestamp_ms=None)                     (per frame that will NOT
+                                               consult should_skip, i.e.
+                                               IDRs: drains the buffer /
+                                               resets skip-run state)
   should_skip(timestamp_ms=None) -> bool      (before encoding a frame)
   update(bits_used)                           (after encoding)
 """
@@ -79,6 +83,12 @@ class RateControl:
         self.skip_threshold = skip_buffer_ratio * bitrate_bps
         self.max_bitrate = max_bitrate_bps
         self.skipped_frames = 0
+        self._continual_skips = 0
+
+    def tick(self, timestamp_ms=None) -> None:
+        """Per-frame housekeeping for frames that bypass should_skip
+        (IDRs): an encoded frame always breaks a continual-skip run.
+        Buffer drain itself happens in update() for this mode."""
         self._continual_skips = 0
 
     def should_skip(self, timestamp_ms=None) -> bool:
@@ -181,10 +191,15 @@ class TimestampRC(RateControl):
             dt = max(float(timestamp_ms) - self._last_ts, 0.0)
         self.buffer = max(self.buffer - self.bitrate * dt * 1e-3, 0.0)
 
-    def should_skip(self, timestamp_ms=None) -> bool:
+    def tick(self, timestamp_ms=None) -> None:
+        """IDR frames drain by their timestamp delta too — without this
+        the buffer gains a permanent one-frame-budget bias per IDR."""
         self._drain(timestamp_ms)
         if timestamp_ms is not None:
             self._last_ts = float(timestamp_ms)
+
+    def should_skip(self, timestamp_ms=None) -> bool:
+        self.tick(timestamp_ms)
         if not self.frame_skip or self.buffer < self.skip_threshold:
             return False
         self.skipped_frames += 1
@@ -238,6 +253,9 @@ class BufferBasedRC:
     def report_delivery(self, on_time: bool) -> None:
         self.delivered = bool(on_time)
 
+    def tick(self, timestamp_ms=None) -> None:
+        pass
+
     def should_skip(self, timestamp_ms=None) -> bool:
         return False
 
@@ -278,8 +296,14 @@ class ScreenContentRC:
         self.skipped_frames = 0
         self._last = None
 
-    def should_skip(self, timestamp_ms=None) -> bool:
+    def tick(self, timestamp_ms=None) -> None:
+        """Per-frame buffer drain — called for every frame (IDRs via the
+        encoder's tick, others via should_skip) so IDR bits don't bias
+        the buffer permanently upward."""
         self.buffer = max(self.buffer - self.bpf, 0.0)
+
+    def should_skip(self, timestamp_ms=None) -> bool:
+        self.tick(timestamp_ms)
         if self.buffer < self.skip_threshold:
             return False
         self.skipped_frames += 1

@@ -305,6 +305,20 @@ int pip_encode_frame(int mb_w, int mb_h, int qp, int frame_num, int idr_id,
     std::vector<MbRecord> recs;  // CABAC: records for cabac_write_slice
     std::vector<size_t> row_end_bits;  // CAVLC row cost tracking
     int skip_run = 0;
+    // skip-run bits are deferred until the run flushes; a row-end
+    // snapshot of raw pos_bits() would charge skip-heavy rows ~0 and
+    // dump the whole ue(run) on the flushing row, skewing the dynamic
+    // slice planner. Attribute the run's current ue() length at every
+    // row end instead (monotonic: the run only grows between flushes).
+    auto ue_len = [](unsigned v) {
+      unsigned k = 0;
+      while (((v + 1) >> (k + 1)) != 0) ++k;
+      return size_t(2 * k + 1);
+    };
+    auto row_snapshot = [&]() {
+      row_end_bits.push_back(bw.pos_bits() +
+                             (skip_run > 0 ? ue_len(u32(skip_run)) : 0));
+    };
     for (int addr = first_mb; addr < end_mb; ++addr) {
       MbClass cl = MbClass(mb_class[addr]);
       if (cl == MB_PSKIP) {
@@ -319,7 +333,7 @@ int pip_encode_frame(int mb_w, int mb_h, int qp, int frame_num, int idr_id,
         sc.commit(skip);
         if (cabac) recs.push_back(skip);
         ++skip_run;
-        if ((addr + 1) % mb_w == 0) row_end_bits.push_back(bw.pos_bits());
+        if ((addr + 1) % mb_w == 0) row_snapshot();
         continue;
       }
       if (!is_idr && !cabac) {
@@ -385,7 +399,7 @@ int pip_encode_frame(int mb_w, int mb_h, int qp, int frame_num, int idr_id,
       if (mb_is_inter(rec.mb_class)) derive_mvs_record(sc, rec);
       sc.commit(rec);
       if (cabac) recs.push_back(rec);
-      if ((addr + 1) % mb_w == 0) row_end_bits.push_back(bw.pos_bits());
+      if ((addr + 1) % mb_w == 0) row_snapshot();
     }
     std::vector<u8> rbsp;
     if (cabac) {

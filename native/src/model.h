@@ -83,7 +83,7 @@ struct FreqImage {
 using SkipRunPrior = IntPriorT<12, 8, 0>;
 using DcPrior = IntPriorT<8, 8, 0>;
 using NzPrior = IntPriorT<6, 8, 0>;
-using AcPrior = UEGkPriorT<14, 4, 6, 8, 0>;
+using AcPrior = UEGkPriorT<14, 4, 6, 4, 0>;
 using MvdPrior = UEGkPriorT<9, 4, 6, 8, 3>;
 
 inline int cls_bucket(u8 c) {  // 0 intra4/8, 1 I16, 2 inter, 3 skip/pcm
@@ -133,12 +133,16 @@ struct Model {
   DcPrior chroma_dc[8][3];
   NzPrior nz_4x4[3][3][5][5][5];  // [color][clsb(<=2)][past][left][above]
   NzPrior nz_8x8[5][5][5];        // [past][left][above]
-  AcPrior ac_4x4[3][2][16][12][5][6];  // [color][intra][scan][nzleft][prev]
+  AcPrior ac_4x4[3][2][16][12][5][12];  // [color][intra][scan][nzleft][prev]
                                       // [pastnz*2 + (prev2 != 0)]
                                       // (a 0/|1|/>=2 past-magnitude bucket
                                       // was measured WORSE: QP changes
-                                      // make past magnitudes misleading)
-  AcPrior ac_8x8[32][12][5][6];        // [scan>>2][nzleft][prev][same]
+                                      // make past magnitudes misleading;
+                                      // a summed left+above nz-bucket
+                                      // 4-way energy dim likewise WORSE
+                                      // — context dilution on short
+                                      // streams)
+  AcPrior ac_8x8[32][12][5][12];        // [scan>>2][nzleft][prev][same]
   BranchPrior<8> pcm_byte[3];         // [plane]
 
   Model() = default;
@@ -259,6 +263,7 @@ void code_block(IO& io, ModelCtx& mc, int color, int blk, i16* coeff,
   bool intra = mb_is_intra(rec->mb_class);
   int nzleft = nonzeros;
   i32 prev = 0, prev2 = 0;
+  int runz = 0;  // consecutive zeros immediately before position i
   const MbRecord* past = mc.past;
   // Forward scan with early stop: positions after the last nonzero are
   // implied zero. (Measured BETTER than the reference's reverse-zigzag
@@ -266,7 +271,7 @@ void code_block(IO& io, ModelCtx& mc, int color, int blk, i16* coeff,
   // for the whole high-frequency tail; forward stops at the last
   // nonzero, and the nzleft context recovers the magnitude cue.)
   for (int i = 0; i < n && nzleft > 0; ++i) {
-    int pastmag = 2;  // no-past bucket (must stay < 3: ctx2 dim is [6])
+    int pastmag = 2;  // no-past bucket (must stay < 3: ctx2 dim is [12])
     if (past) {
       i16 pv = 0;
       if (IS8x8) {
@@ -280,7 +285,8 @@ void code_block(IO& io, ModelCtx& mc, int color, int blk, i16* coeff,
     }
     int a_ = std::abs(int(prev));
     int prevb = a_ >= 5 ? 4 : (a_ >= 3 ? 3 : a_);
-    int ctx2 = pastmag * 2 + (prev2 != 0 ? 1 : 0);
+    int runb = runz >= 3 ? 3 : runz;
+    int ctx2 = pastmag * 4 + runb;
     AcPrior* ap;
     if (IS8x8) {
       ap = &M.ac_8x8[(start + i) >> 1][std::min(11, nzleft)][prevb][ctx2];
@@ -288,12 +294,15 @@ void code_block(IO& io, ModelCtx& mc, int color, int blk, i16* coeff,
       ap = &M.ac_4x4[color][intra ? 1 : 0][start + i][std::min(11, nzleft)]
                     [prevb][ctx2];
     }
+    // when every remaining position must be nonzero (nzleft == n - i)
+    // the zero bit is deterministic — skip it (both directions know)
     i32 c = code_uegk(io, IO::kIsWriter ? i32(coeff[start + i]) : 0, ap,
-                      /*hasZero=*/true);
+                      /*hasZero=*/nzleft < n - i);
     if (!IO::kIsWriter) coeff[start + i] = i16(c);
     if (c != 0) --nzleft;
     prev2 = prev;
     prev = c;
+    runz = c == 0 ? runz + 1 : 0;
   }
   PIP_CHECK(nzleft == 0, "block nonzeros mismatch");
   // update rec.nnz so later blocks see this block's counts

@@ -617,3 +617,67 @@ def test_hierarchical_layers_l3_gop():
     pip, _ = native.compress(data, verify=False)
     out, _ = native.decompress(pip)
     assert out == data
+
+
+def test_scroll_me_end_to_end():
+    """Vertically scrolling content with scroll_me=True: decode parity
+    and emitted MVs tracking the scroll (ADVICE r2: the recentered
+    dynamic_slice window and dy sign convention had no encoder-level
+    coverage)."""
+    rng = np.random.RandomState(11)
+    H, W = 96, 64
+    dy = 7
+    tall = rng.randint(0, 255, (H + 5 * dy, W)).astype(np.uint8)
+    tallc = rng.randint(0, 255, (H // 2 + 4 * dy, W // 2)).astype(np.uint8)
+    frames = []
+    for i in range(3):
+        Y = tall[i * dy:i * dy + H]
+        U = tallc[i * dy // 2:i * dy // 2 + H // 2]
+        V = tallc[2 + i * dy // 2:2 + i * dy // 2 + H // 2]
+        frames.append((np.ascontiguousarray(Y), np.ascontiguousarray(U),
+                       np.ascontiguousarray(V)))
+    enc = encoder_jax.JaxEncoder(W, H, qp=24, scroll_me=True)
+    data = b"".join(enc.encode_frame(*f) for f in frames)
+    # scroll detection must have recentered ME on the global dy
+    assert enc._scroll_dy != 0
+    # bit-exact decode parity through the numpy oracle decoder
+    dec = decoder_np.NpDecoder(data, error_concealment=False)
+    outs = list(dec.frames())
+    assert len(outs) == 3
+    got = outs[-1][0][:H, :W]
+    psnr = 10 * np.log10(255.0 ** 2 / max(
+        np.mean((got.astype(np.float64) - frames[-1][0]) ** 2), 1e-9))
+    assert psnr > 32, f"scrolling content PSNR {psnr:.1f} too low"
+    # emitted MVs track the scroll: content shifts up by dy rows per
+    # frame, so cur[r] == prev[r + dy] and the dominant vertical MV is
+    # +dy pel (ref sample = cur + mv, quarter-pel units)
+    fr = list(native.SymbolDecoder(data))
+    mvy = fr[-1]["mv"][:, :, 1].reshape(-1)
+    med = np.median(mvy[mvy != 0]) if (mvy != 0).any() else 0
+    assert abs(med / 4.0 - dy) <= 2.5, f"median MVy {med/4.0} vs dy {dy}"
+
+
+def test_bgd_qp_plane_end_to_end():
+    """Static background + moving foreground with bgd=True: the +QP
+    background plane must roundtrip (decode parity) and not corrupt the
+    static region (ADVICE r2: mb_qp write path untested with bgd)."""
+    rng = np.random.RandomState(12)
+    H, W = 64, 64
+    bg = rng.randint(0, 255, (H, W)).astype(np.uint8)
+    U = np.full((H // 2, W // 2), 100, np.uint8)
+    V = np.full((H // 2, W // 2), 150, np.uint8)
+    frames = []
+    for i in range(3):
+        Y = bg.copy()
+        Y[24:40, 8 * i:8 * i + 16] = 255 - Y[24:40, 8 * i:8 * i + 16]
+        frames.append((Y, U.copy(), V.copy()))
+    enc = encoder_jax.JaxEncoder(W, H, qp=26, bgd=True)
+    data = b"".join(enc.encode_frame(*f) for f in frames)
+    dec = decoder_np.NpDecoder(data, error_concealment=False)
+    outs = list(dec.frames())
+    assert len(outs) == 3
+    # decoded output must equal the encoder's own recon bit-exactly
+    gY, gU, gV = enc.recon
+    np.testing.assert_array_equal(outs[-1][0][:H, :W], gY[:H, :W])
+    np.testing.assert_array_equal(outs[-1][1][:H // 2, :W // 2],
+                                  gU[:H // 2, :W // 2])
