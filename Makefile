@@ -12,7 +12,15 @@
 
 PY ?= python
 
-.PHONY: check-fast check check-full native bench
+.PHONY: check-fast check check-full native bench evidence
+
+# committed per-round evidence artifacts (VERDICT r2 #8): the full
+# 40-stream TPU JaxDecoder sweep + the 8-shard virtual-mesh compress
+# equality + multi-chip dryrun. Writes evidence/*.json.
+evidence:
+	$(PY) tools/jax_decode_sweep.py
+	JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+	  $(PY) tools/evidence_shards.py
 
 check-fast:
 	PIP_PARITY_FRAMES=4 $(PY) -m pytest tests/ -q -m "not slow" -x

@@ -175,12 +175,18 @@ def _residual_and_inter(mb_w: int, mb_h: int, p, ref_y, ref_u, ref_v):
     w4 = [jnp.where(p["use_scaling"], w, flat4) for w in p["w4"]]
     w8 = [jnp.where(p["use_scaling"], w, flat8) for w in p["w8"]]
 
+    luma8 = (p["luma8"].astype(jnp.int32) if "luma8" in p
+             else jnp.zeros((n, 4, 8, 8), jnp.int32))
     res_y = jt.luma_residuals(cls, qp, p["cbp_luma"].astype(jnp.int32),
-                              p["transform8"], p["luma_ac"], p["luma_dc"],
-                              p["luma8"], w4[0], w4[3], w8[0], w8[1])
+                              p["transform8"].astype(jnp.int32),
+                              p["luma_ac"].astype(jnp.int32),
+                              p["luma_dc"].astype(jnp.int32),
+                              luma8, w4[0], w4[3], w8[0], w8[1])
     res_u, res_v = jt.chroma_residuals(
-        cls, qp, p["cbp_chroma"].astype(jnp.int32), p["chroma_ac"],
-        p["chroma_dc"], p["chroma_qp_offset"], p["second_chroma_qp_offset"],
+        cls, qp, p["cbp_chroma"].astype(jnp.int32),
+        p["chroma_ac"].astype(jnp.int32),
+        p["chroma_dc"].astype(jnp.int32), p["chroma_qp_offset"],
+        p["second_chroma_qp_offset"],
         w4[1], w4[2], w4[4], w4[5])
 
     # ---- inter prediction ----
@@ -203,19 +209,24 @@ def _residual_and_inter(mb_w: int, mb_h: int, p, ref_y, ref_u, ref_v):
     # explicit weighted prediction (8.4.2.3), between MC and residual add.
     # Luma: per cell (partitions are cell-uniform). Chroma: only the
     # reference decoder's quarter-size region (wp_cmask) — parity with
-    # rec_mb.cpp WeightPrediction.
-    wpl = p["wp_luma"].reshape(-1, 3)
-    wl_w = wpl[:, 0][:, None, None]
-    wl_o = wpl[:, 1][:, None, None]
-    wl_d = wpl[:, 2][:, None, None]
-    wl_d0 = jnp.maximum(wl_d, 0)
-    wtd = jnp.where(
-        wl_d >= 1,
-        jnp.right_shift(pred_cells * wl_w +
-                        jnp.left_shift(1, jnp.maximum(wl_d - 1, 0)), wl_d0)
-        + wl_o,
-        pred_cells * wl_w + wl_o)
-    pred_cells = jnp.where(wl_d >= 0, jnp.clip(wtd, 0, 255), pred_cells)
+    # rec_mb.cpp WeightPrediction. The wp planes are omitted from the
+    # transport on frames without WP (the common case) and the whole
+    # pass is skipped.
+    has_wp = "wp_luma" in p
+    if has_wp:
+        wpl = p["wp_luma"].reshape(-1, 3).astype(jnp.int32)
+        wl_w = wpl[:, 0][:, None, None]
+        wl_o = wpl[:, 1][:, None, None]
+        wl_d = wpl[:, 2][:, None, None]
+        wl_d0 = jnp.maximum(wl_d, 0)
+        wtd = jnp.where(
+            wl_d >= 1,
+            jnp.right_shift(pred_cells * wl_w +
+                            jnp.left_shift(1, jnp.maximum(wl_d - 1, 0)),
+                            wl_d0)
+            + wl_o,
+            pred_cells * wl_w + wl_o)
+        pred_cells = jnp.where(wl_d >= 0, jnp.clip(wtd, 0, 255), pred_cells)
 
     # assemble inter MB tiles
     pred_y_mb = pred_cells.reshape(n, 4, 4, 4, 4).transpose(0, 1, 3, 2, 4) \
@@ -225,24 +236,27 @@ def _residual_and_inter(mb_w: int, mb_h: int, p, ref_y, ref_u, ref_v):
     pred_v_mb = predc_v.reshape(n, 4, 4, 2, 2).transpose(0, 1, 3, 2, 4) \
         .reshape(n, 8, 8)
 
-    cell_of_px = ((jnp.arange(8)[:, None] // 2) * 4 +
-                  jnp.arange(8)[None, :] // 2)
-    cmask = p["wp_cmask"].reshape(n, 8, 8) > 0
+    if has_wp:
+        cell_of_px = ((jnp.arange(8)[:, None] // 2) * 4 +
+                      jnp.arange(8)[None, :] // 2)
+        cmask = p["wp_cmask"].reshape(n, 8, 8) > 0
 
-    def _wp_chroma(pred, wp):
-        w = wp[:, cell_of_px, 0]
-        o = wp[:, cell_of_px, 1]
-        d = wp[:, cell_of_px, 2]
-        d0 = jnp.maximum(d, 0)
-        wv = jnp.where(
-            d >= 1,
-            jnp.right_shift(pred * w +
-                            jnp.left_shift(1, jnp.maximum(d - 1, 0)), d0) + o,
-            pred * w + o)
-        return jnp.where(cmask & (d >= 0), jnp.clip(wv, 0, 255), pred)
+        def _wp_chroma(pred, wp):
+            wp = wp.astype(jnp.int32)
+            w = wp[:, cell_of_px, 0]
+            o = wp[:, cell_of_px, 1]
+            d = wp[:, cell_of_px, 2]
+            d0 = jnp.maximum(d, 0)
+            wv = jnp.where(
+                d >= 1,
+                jnp.right_shift(pred * w +
+                                jnp.left_shift(1, jnp.maximum(d - 1, 0)),
+                                d0) + o,
+                pred * w + o)
+            return jnp.where(cmask & (d >= 0), jnp.clip(wv, 0, 255), pred)
 
-    pred_u_mb = _wp_chroma(pred_u_mb, p["wp_cb"])
-    pred_v_mb = _wp_chroma(pred_v_mb, p["wp_cr"])
+        pred_u_mb = _wp_chroma(pred_u_mb, p["wp_cb"])
+        pred_v_mb = _wp_chroma(pred_v_mb, p["wp_cr"])
     inter_mb = valid.reshape(n, 16).all(axis=1)
     tile_y = jnp.where(inter_mb[:, None, None],
                        jnp.clip(pred_y_mb + res_y, 0, 255), 0)
@@ -250,15 +264,16 @@ def _residual_and_inter(mb_w: int, mb_h: int, p, ref_y, ref_u, ref_v):
                        jnp.clip(pred_u_mb + res_u, 0, 255), 0)
     tile_v = jnp.where(inter_mb[:, None, None],
                        jnp.clip(pred_v_mb + res_v, 0, 255), 0)
-    # PCM overlay
-    pcm = p["pcm"].astype(jnp.int32)
-    is_pcm = cls == 8
-    tile_y = jnp.where(is_pcm[:, None, None], pcm[:, :256].reshape(n, 16, 16),
-                       tile_y)
-    tile_u = jnp.where(is_pcm[:, None, None], pcm[:, 256:320].reshape(n, 8, 8),
-                       tile_u)
-    tile_v = jnp.where(is_pcm[:, None, None], pcm[:, 320:384].reshape(n, 8, 8),
-                       tile_v)
+    # PCM overlay (plane omitted from transport on PCM-free frames)
+    if "pcm" in p:
+        pcm = p["pcm"].astype(jnp.int32)
+        is_pcm = cls == 8
+        tile_y = jnp.where(is_pcm[:, None, None],
+                           pcm[:, :256].reshape(n, 16, 16), tile_y)
+        tile_u = jnp.where(is_pcm[:, None, None],
+                           pcm[:, 256:320].reshape(n, 8, 8), tile_u)
+        tile_v = jnp.where(is_pcm[:, None, None],
+                           pcm[:, 320:384].reshape(n, 8, 8), tile_v)
 
     # scatter tiles into working planes (padded)
     Yw = jnp.zeros((H + 2 * WPAD, W + 2 * WPAD), jnp.int32)
@@ -282,31 +297,41 @@ def _intra_scan(mb_w: int, mb_h: int, Yw, Uw, Vw, res_y, res_u, res_v,
     cls = p["mb_class"].astype(jnp.int32)
     avail = p["avail"]  # [n,4] bool: L, T, TL, TR
 
+    def _gather_wins(plane, y0s, x0s, rows, cols):
+        """[K] window corners -> [K, rows, cols] via ONE flat gather (a
+        vmapped dynamic_slice lowers to a serial per-window loop)."""
+        Hp, Wp = plane.shape
+        r = jnp.arange(rows)
+        c = jnp.arange(cols)
+        idx = ((y0s[:, None, None] + r[None, :, None]) * Wp
+               + x0s[:, None, None] + c[None, None, :])
+        return plane.reshape(-1)[idx]
+
     def intra_diag(carry, mb_list):
         Yw, Uw, Vw = carry
+        mb_c = jnp.clip(mb_list, 0, n - 1)
+        y0s = (mb_c // mb_w) * 16 + WPAD
+        x0s = (mb_c % mb_w) * 16 + WPAD
+        cys = (mb_c // mb_w) * 8 + WPAD
+        cxs = (mb_c % mb_w) * 8 + WPAD
+        locs = _gather_wins(Yw, y0s - 1, x0s - 1, 17, 25)
+        locus = _gather_wins(Uw, cys - 1, cxs - 1, 9, 9)
+        locvs = _gather_wins(Vw, cys - 1, cxs - 1, 9, 9)
 
-        def compute(mb):
-            mb_c = jnp.clip(mb, 0, n - 1)
-            y0 = (mb_c // mb_w) * 16 + WPAD
-            x0 = (mb_c % mb_w) * 16 + WPAD
-            loc = jax.lax.dynamic_slice(Yw, (y0 - 1, x0 - 1), (17, 25))
+        def compute(loc, locu, locv, mb_c):
             tile = _recon_mb_luma(
                 loc, res_y[mb_c], cls[mb_c], p["i4_modes"][mb_c],
                 p["i16_mode"][mb_c].astype(jnp.int32),
                 p["transform8"][mb_c], avail[mb_c, 0], avail[mb_c, 1],
                 avail[mb_c, 2], avail[mb_c, 3])
-            cy = (mb_c // mb_w) * 8 + WPAD
-            cx = (mb_c % mb_w) * 8 + WPAD
-            locu = jax.lax.dynamic_slice(Uw, (cy - 1, cx - 1), (9, 9))
-            locv = jax.lax.dynamic_slice(Vw, (cy - 1, cx - 1), (9, 9))
             cm = p["chroma_mode"][mb_c].astype(jnp.int32)
             tu = _recon_mb_chroma(locu, res_u[mb_c], cls[mb_c], cm,
                                   avail[mb_c, 0], avail[mb_c, 1])
             tv = _recon_mb_chroma(locv, res_v[mb_c], cls[mb_c], cm,
                                   avail[mb_c, 0], avail[mb_c, 1])
-            return tile, tu, tv, y0, x0, cy, cx
+            return tile, tu, tv
 
-        tiles, tus, tvs, y0s, x0s, cys, cxs = jax.vmap(compute)(mb_list)
+        tiles, tus, tvs = jax.vmap(compute)(locs, locus, locvs, mb_c)
         is_intra = jnp.isin(cls, jnp.array([0, 1, 2]))
 
         do = (mb_list >= 0) & is_intra[jnp.clip(mb_list, 0, n - 1)]
@@ -327,9 +352,12 @@ def _deblock_crop(mb_w: int, mb_h: int, Yw, Uw, Vw, p):
     # bS compares raw ref indices (reference MB_BS_MV semantics), not
     # resolved pictures — see decsupport.h FramePlanes::ref_idx
     Yw, Uw, Vw = jdb.deblock_frame(
-        mb_w, mb_h, Yw, Uw, Vw, cls, qp, p["nnz"], p["mv"], p["ref_idx"],
-        p["slice_id"], p["deblock_idc"], p["alpha_off"], p["beta_off"],
-        p["transform8"], p["chroma_qp_offset"])
+        mb_w, mb_h, Yw, Uw, Vw, cls, qp, p["nnz"].astype(jnp.int32),
+        p["mv"].astype(jnp.int32), p["ref_idx"].astype(jnp.int32),
+        p["slice_id"].astype(jnp.int32),
+        p["deblock_idc"].astype(jnp.int32),
+        p["alpha_off"].astype(jnp.int32), p["beta_off"].astype(jnp.int32),
+        p["transform8"].astype(jnp.int32), p["chroma_qp_offset"])
 
     Y = Yw[WPAD:WPAD + H, WPAD:WPAD + W].astype(jnp.uint8)
     U = Uw[WPAD:WPAD + H // 2, WPAD:WPAD + W // 2].astype(jnp.uint8)
@@ -452,13 +480,15 @@ class JaxDecoder:
         rows = np.flatnonzero(has.any(axis=1))
         if len(rows) == 0:
             return None, False
-        if len(rows) == diags.shape[0]:
+        # exactly TWO intra-pass shapes per geometry ({16, full}): every
+        # compiled program costs tens of seconds on this host and the
+        # axon backend has no persistent compile cache, so variant count
+        # is the compile-time budget
+        if len(rows) > 16 or diags.shape[0] <= 16:
             return jnp.asarray(diags), True
-        nd = min(1 << int(np.ceil(np.log2(max(len(rows), 1)))),
-                 diags.shape[0])
-        out = np.full((nd, diags.shape[1]), -1, np.int32)
+        out = np.full((16, diags.shape[1]), -1, np.int32)
         out[:len(rows)] = diags[rows]
-        return jnp.asarray(out), nd == diags.shape[0]
+        return jnp.asarray(out), False
 
     def frames(self):
         for f in self.sym:
@@ -483,33 +513,32 @@ class JaxDecoder:
             if not has_intra:
                 diags = jnp.zeros((1, 1), jnp.int32)
 
+            # transport slimming: upload the narrowest host dtypes (the
+            # consumers widen on device) and OMIT planes the frame does
+            # not use (transform-8x8, PCM, weighted prediction) — the
+            # pytree structure is part of the jit cache key, so each
+            # presence combination is its own compiled variant but the
+            # hot steady-state combination uploads ~5x fewer bytes
+            # (black CIF measured 1141 KB -> ~220 KB per frame).
             planes = {
                 "mb_class": f["mb_class"],
                 "qp": f["qp"],
                 "cbp_luma": f["cbp_luma"],
                 "cbp_chroma": f["cbp_chroma"],
-                "transform8": f["transform8"].astype(np.int32),
+                "transform8": f["transform8"].astype(np.int8),
                 "i16_mode": f["i16_mode"],
                 "chroma_mode": f["chroma_mode"],
-                "i4_modes": f["i4_modes"].astype(np.int32),
-                "luma_ac": f["luma_ac"],
+                "i4_modes": f["i4_modes"].astype(np.int8),
                 "luma_dc": f["luma_dc"],
-                "luma8": f["luma8"],
-                "chroma_ac": f["chroma_ac"],
                 "chroma_dc": f["chroma_dc"],
-                "mv": f["mv"],
-                "ref_slot": ref_slot.astype(np.int32),
-                "ref_idx": f["ref_idx"].astype(np.int32),
-                "wp_luma": f["wp_luma"].astype(np.int32),
-                "wp_cb": f["wp_cb"].astype(np.int32),
-                "wp_cr": f["wp_cr"].astype(np.int32),
-                "wp_cmask": f["wp_cmask"].astype(np.int32),
-                "pcm": f["pcm"],
-                "slice_id": f["slice_id"].astype(np.int32),
-                "deblock_idc": f["deblock_idc"],
-                "alpha_off": f["alpha_off"],
-                "beta_off": f["beta_off"],
-                "nnz": nnz,
+                "mv": f["mv"].astype(np.int16),
+                "ref_slot": ref_slot.astype(np.int8),
+                "ref_idx": f["ref_idx"].astype(np.int8),
+                "slice_id": f["slice_id"].astype(np.int16),
+                "deblock_idc": f["deblock_idc"].astype(np.int8),
+                "alpha_off": f["alpha_off"].astype(np.int8),
+                "beta_off": f["beta_off"].astype(np.int8),
+                "nnz": nnz.astype(np.int8),
                 "avail": avail,
                 "use_scaling": np.bool_(bool(f["use_scaling"])),
                 "chroma_qp_offset": np.int32(f["chroma_qp_offset"]),
@@ -518,20 +547,36 @@ class JaxDecoder:
                 "w4": [dn._weights4(f["scaling4"][i]) for i in range(6)],
                 "w8": [dn._weights8(f["scaling8"][i]) for i in range(2)],
             }
+            # coefficient planes: int8 when every value fits (the usual
+            # case at normal QPs), int16 otherwise
+            for key in ("luma_ac", "chroma_ac"):
+                a = f[key]
+                planes[key] = (a.astype(np.int8)
+                               if (np.abs(a) <= 127).all() else a)
+            if f["transform8"].any():
+                a8 = f["luma8"]
+                planes["luma8"] = (a8.astype(np.int8)
+                                   if (np.abs(a8) <= 127).all() else a8)
+            if (f["mb_class"] == 8).any():
+                planes["pcm"] = f["pcm"]
+            wp = f["wp_luma"]
+            if (wp[:, :, 2] >= 0).any() or (f["wp_cb"][:, :, 2] >= 0).any():
+                planes["wp_luma"] = wp.astype(np.int16)
+                planes["wp_cb"] = f["wp_cb"].astype(np.int16)
+                planes["wp_cr"] = f["wp_cr"].astype(np.int16)
+                planes["wp_cmask"] = f["wp_cmask"].astype(np.int8)
             planes = jax.device_put(planes)
-            if not has_intra or full_intra:
-                # single fused dispatch; compiled once per geometry
-                Y, U, V = recon_frame(mb_w, mb_h, planes, self.ref_y,
-                                      self.ref_u, self.ref_v, diags,
-                                      has_intra=has_intra)
-            else:
-                # sparse-intra P frame: short bucketed intra wavefront
-                # between the two big (geometry-stable) programs
-                Yw, Uw, Vw, ry, ru, rv = recon_pre(
-                    mb_w, mb_h, planes, self.ref_y, self.ref_u, self.ref_v)
+            # always the split pipeline: recon_pre/deblock_pass compile
+            # ONCE per geometry and the intra pass at most twice
+            # ({16, full} diag shapes) — the fused whole-frame monolith
+            # measured a 148 s compile on this 2-core host for a ~4 ms
+            # steady-state fusion gain
+            Yw, Uw, Vw, ry, ru, rv = recon_pre(
+                mb_w, mb_h, planes, self.ref_y, self.ref_u, self.ref_v)
+            if has_intra:
                 Yw, Uw, Vw = intra_pass(mb_w, mb_h, Yw, Uw, Vw,
                                         ry, ru, rv, planes, diags)
-                Y, U, V = deblock_pass(mb_w, mb_h, Yw, Uw, Vw, planes)
+            Y, U, V = deblock_pass(mb_w, mb_h, Yw, Uw, Vw, planes)
             if f.get("lost_slices", 0) > 0 or not bool(f["decoded"].all()):
                 self.concealed += 1
                 prev = self.slot_of.get(self.out_idx - 1)

@@ -330,12 +330,14 @@ def deblock_frame(mb_w, mb_h, Yw, Uw, Vw, cls, qp, nnz, mv, ref_idx,
 
     # impl selection (PIP_DEBLOCK): "auto" = the vectorized scan (pure
     # XLA, runs everywhere, element-exact vs the serial oracle on both
-    # CPU and TPU, and measured at parity with the Pallas kernel on TPU
-    # at 720p: 40.1 vs 39.5 ms). "pallas" forces the Mosaic wavefront
-    # kernel — QUARANTINED from auto: it produces sparse 1-80 px
-    # mismatches vs the oracle on TPU (size-dependent; smallest repro
-    # 9x4 MBs) with no measured speed advantage. "scan" / "legacy"
-    # force those paths.
+    # CPU and TPU). "pallas" forces the Mosaic whole-wavefront kernel:
+    # re-validated element-exact on TPU at 9x4 / 12x7 / 22x18 / 45x30 /
+    # 80x45 MBs x multiple seeds (the round-2 sparse-mismatch quarantine
+    # no longer reproduces after the toolchain update), but measured
+    # SLOWER than the scan at 720p (29.4 vs 22.7 ms — its per-diagonal
+    # window gathers run in a serial fori_loop while the scan's are one
+    # batched gather), so the scan stays the auto choice on speed, not
+    # correctness. "scan" / "legacy" force those paths.
     import os
     impl = os.environ.get("PIP_DEBLOCK", "auto")
     plane_bytes = 4 * sum(

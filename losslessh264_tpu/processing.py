@@ -148,6 +148,26 @@ def downsample2x(plane: jax.Array) -> jax.Array:
     return ((q + 2) >> 2).astype(jnp.uint8)
 
 
+def upsample2x(plane: jax.Array) -> jax.Array:
+    """Dyadic 2x integer bilinear upsample (co-sited with downsample2x):
+    even samples copy, odd samples round-average their neighbors (edge
+    clamp). Deterministic integer math — the inter-layer prediction
+    contract between SimulcastEncoder and SimulcastDecoder depends on
+    both sides computing the identical plane. (The reference SVC
+    upsampler is a 4-tap poly-phase filter, downsample.cpp /
+    svc_mode_decision.cpp inter-layer intra; this is the compact dyadic
+    equivalent for the residual-domain scalability design.)"""
+    p = plane.astype(jnp.int32)
+    H, W = p.shape
+    right = jnp.concatenate([p[:, 1:], p[:, -1:]], axis=1)
+    row_even = p
+    row_odd = (p + right + 1) >> 1
+    rows = jnp.stack([row_even, row_odd], axis=2).reshape(H, 2 * W)
+    below = jnp.concatenate([rows[1:], rows[-1:]], axis=0)
+    out = jnp.stack([rows, (rows + below + 1) >> 1], axis=1)
+    return out.reshape(2 * H, 2 * W).astype(jnp.uint8)
+
+
 def downsample_pyramid(plane, levels: int):
     """[full, 1/2, 1/4, ...] dyadic pyramid (encoder pre-process uses a
     3-level pyramid for hierarchical ME)."""

@@ -256,7 +256,39 @@ void code_block(IO& io, ModelCtx& mc, int color, int blk, i16* coeff,
     int cb = std::min(2, cls_bucket(rec->mb_class));
     nzp = &M.nz_4x4[color][cb][pastc][leftc][abovec];
   }
-  nonzeros = code_int(io, nonzeros, nzp, /*hasZero=*/true, /*hasSign=*/false);
+  // cbp constraint: the coded_block_pattern bit promised a nonzero
+  // somewhere in its group; when this is the group's last block and
+  // every earlier one was zero, nz >= 1 is implied — skip the zero
+  // flag. (An encoder could legally emit a set cbp bit over an
+  // all-zero group, coeff_token == 0; such a slice trips the writer's
+  // |val| >= 1 check and takes the raw-fallback path, so losslessness
+  // holds and only that slice's ratio is lost.)
+  bool force_nz = false;
+  if (IS8x8) {
+    force_nz = true;  // the bit covers exactly this one 8x8 block
+  } else if (color == 0) {
+    int fx = blk & 3, fy = blk >> 2;
+    if ((fx & 1) && (fy & 1)) {
+      int tl = blk - 5;
+      bool prev0 = rec->nnz[tl] == 0 && rec->nnz[tl + 1] == 0 &&
+                   rec->nnz[tl + 4] == 0;
+      if (rec->mb_class == MB_I16x16) {
+        if (blk == 15 && prev0) {
+          force_nz = true;
+          for (int b = 0; b < 15; ++b)
+            if (rec->nnz[b]) { force_nz = false; break; }
+        }
+      } else {
+        force_nz = prev0;
+      }
+    }
+  } else if (color == 2 && blk == 3) {
+    force_nz = true;
+    for (int k = 16; k < 23; ++k)
+      if (rec->nnz[k]) { force_nz = false; break; }
+  }
+  nonzeros = code_int(io, nonzeros, nzp, /*hasZero=*/!force_nz,
+                      /*hasSign=*/false);
   PIP_CHECK(nonzeros >= 0 && nonzeros <= n, "block nonzeros out of range");
 
   io.set_tag(color == 0 ? BILL_LUMA_AC : BILL_CHROMA_AC);
@@ -272,6 +304,7 @@ void code_block(IO& io, ModelCtx& mc, int color, int blk, i16* coeff,
   // nonzero, and the nzleft context recovers the magnitude cue.)
   for (int i = 0; i < n && nzleft > 0; ++i) {
     int pastmag = 2;  // no-past bucket (must stay < 3: ctx2 dim is [12])
+    int flip = 1;
     if (past) {
       i16 pv = 0;
       if (IS8x8) {
@@ -282,6 +315,30 @@ void code_block(IO& io, ModelCtx& mc, int color, int blk, i16* coeff,
         pv = past->chroma_ac[(color - 1) * 4 + blk][start + i];
       }
       pastmag = pv ? 1 : 0;
+      // sign coherence with the co-located PAST coefficient: code the
+      // value sign-flipped by the past sign so the adaptive sign prob
+      // learns the correlation (static gradients keep DCT signs)
+      if (pv < 0) flip = -1;
+    } else if (!IS8x8) {
+      // no temporal prior (I frames / first frame): fall back to the
+      // LEFT neighbor block's same-position sign (spatial gradient
+      // continuity across the block edge)
+      const MbRecord* ln = nullptr;
+      int lblk = -1;
+      if (color == 0) {
+        int bx = blk & 3, by = blk >> 2;
+        if (bx > 0) { ln = rec; lblk = blk - 1; }
+        else if (mc.left && !mc.left->transform_8x8) {
+          ln = mc.left; lblk = by * 4 + 3;
+        }
+        if (ln && ln->luma_ac[lblk][start + i] < 0) flip = -1;
+      } else {
+        int bx = blk & 1, by = blk >> 1;
+        if (bx > 0) { ln = rec; lblk = blk - 1; }
+        else if (mc.left) { ln = mc.left; lblk = by * 2 + 1; }
+        if (ln && ln->chroma_ac[(color - 1) * 4 + lblk][start + i] < 0)
+          flip = -1;
+      }
     }
     int a_ = std::abs(int(prev));
     int prevb = a_ >= 5 ? 4 : (a_ >= 3 ? 3 : a_);
@@ -296,8 +353,10 @@ void code_block(IO& io, ModelCtx& mc, int color, int blk, i16* coeff,
     }
     // when every remaining position must be nonzero (nzleft == n - i)
     // the zero bit is deterministic — skip it (both directions know)
-    i32 c = code_uegk(io, IO::kIsWriter ? i32(coeff[start + i]) : 0, ap,
+    i32 c = code_uegk(io,
+                      IO::kIsWriter ? i32(coeff[start + i]) * flip : 0, ap,
                       /*hasZero=*/nzleft < n - i);
+    c *= flip;
     if (!IO::kIsWriter) coeff[start + i] = i16(c);
     if (c != 0) --nzleft;
     prev2 = prev;
@@ -560,9 +619,12 @@ void code_mb_symbols(IO& io, ModelCtx& mc) {
         // MVD magnitude (reference conditions its 200x16 MVD priors on
         // the prior-frame motion the same way, macroblock_model.h:44)
         int pm = 0;
+        i32 flip = 1;
         if (mc.past) {
-          int a = std::abs(int(mc.past->mvd[slot][xy]));
+          int pv = int(mc.past->mvd[slot][xy]);
+          int a = std::abs(pv);
           pm = a == 0 ? 0 : (a <= 3 ? 1 : 2);
+          if (pv < 0) flip = -1;  // past-sign coherence (pans keep sign)
         }
         // x first, then y conditioned on |mvd_x| of the same vector
         // (components correlate: a median miss is usually 2-D); slots > 0
@@ -583,7 +645,8 @@ void code_mb_symbols(IO& io, ModelCtx& mc) {
         // [decode_slice.cpp:2128] LOSES to direct coding here — the
         // spatial median predictor already whitens the field; the PAST
         // MVD magnitude survives only as a context bucket)
-        i32 v = code_uegk(io, IO::kIsWriter ? i32(rec.mvd[slot][xy]) : 0,
+        i32 v = flip * code_uegk(io,
+                          IO::kIsWriter ? i32(rec.mvd[slot][xy]) * flip : 0,
                           &M.mvd[cb][slot][xy][pm][sp], /*hasZero=*/true);
         if (!IO::kIsWriter) rec.mvd[slot][xy] = i16(v);
       }
@@ -609,11 +672,14 @@ void code_mb_symbols(IO& io, ModelCtx& mc) {
   if (rec.mb_class == MB_I16x16) {
     for (int i = 0; i < 16; ++i) {
       int pastb = 0;
+      i32 flip = 1;
       if (mc.past) {
         i32 pv = mc.past->luma_dc[i];
         pastb = pv == 0 ? 0 : (pv == 1 || pv == -1 ? 1 : 2);
+        if (pv < 0) flip = -1;  // past-sign coherence (as the AC codec)
       }
-      i32 v = code_int(io, IO::kIsWriter ? i32(rec.luma_dc[i]) : 0,
+      i32 v = flip * code_int(io,
+                       IO::kIsWriter ? i32(rec.luma_dc[i]) * flip : 0,
                        &M.luma_dc[i][pastb], /*hasZero=*/true, /*hasSign=*/true);
       if (!IO::kIsWriter) rec.luma_dc[i] = i16(v);
     }
@@ -624,11 +690,14 @@ void code_mb_symbols(IO& io, ModelCtx& mc) {
       for (int i = 0; i < 4; ++i) {
         int idx = c * 4 + i;
         int pastb = 0;
+        i32 flip = 1;
         if (mc.past) {
           i32 pv = mc.past->chroma_dc[c][i];
           pastb = pv == 0 ? 0 : (pv == 1 || pv == -1 ? 1 : 2);
+          if (pv < 0) flip = -1;  // past-sign coherence
         }
-        i32 v = code_int(io, IO::kIsWriter ? i32(rec.chroma_dc[c][i]) : 0,
+        i32 v = flip * code_int(io,
+                         IO::kIsWriter ? i32(rec.chroma_dc[c][i]) * flip : 0,
                          &M.chroma_dc[idx][pastb], true, true);
         if (!IO::kIsWriter) rec.chroma_dc[c][i] = i16(v);
       }

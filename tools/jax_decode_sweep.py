@@ -3,7 +3,9 @@ reference-decoder goldens — the TPU complement of the CPU-tier
 tests/test_decode_parity.py JAX tests.
 
 Usage: python tools/jax_decode_sweep.py [stream-name ...]
-       (no args = every golden stream; prints per-stream fps + verdict)
+       (no args = every golden stream; prints per-stream fps + verdict
+       and writes the committed evidence artifact evidence/JAXSWEEP.json
+       — `make evidence`)
 """
 import json
 import os
@@ -24,6 +26,7 @@ def main():
     from losslessh264_tpu import decoder_jax
     names = sys.argv[1:] or sorted(GOLD.keys())
     n_ok = n_bad = 0
+    results = {}
     for name in names:
         g = GOLD[name]
         path = os.path.join(REF, g["stream"])
@@ -45,17 +48,28 @@ def main():
                     break
         except Exception as e:
             print(f"FAIL {name}: {type(e).__name__}: {e}")
+            results[name] = {"ok": False, "error": f"{type(e).__name__}: {e}"}
             n_bad += 1
             continue
         dt = time.time() - t0
         if bad is None and frames == g["frames"]:
             print(f"OK   {name}: {frames} frames, {frames/dt:.1f} fps")
+            results[name] = {"ok": True, "frames": frames,
+                             "fps": round(frames / dt, 2)}
             n_ok += 1
         else:
             print(f"FAIL {name}: first mismatch frame {bad} "
                   f"(decoded {frames}/{g['frames']})")
+            results[name] = {"ok": False, "mismatch_frame": bad,
+                             "decoded": frames, "expect": g["frames"]}
             n_bad += 1
     print(f"{n_ok} OK, {n_bad} FAIL")
+    art = os.path.join(os.path.dirname(__file__), "..", "evidence")
+    os.makedirs(art, exist_ok=True)
+    import jax
+    with open(os.path.join(art, "JAXSWEEP.json"), "w") as fh:
+        json.dump({"backend": jax.default_backend(), "ok": n_ok,
+                   "fail": n_bad, "streams": results}, fh, indent=1)
     sys.exit(1 if n_bad else 0)
 
 
