@@ -222,11 +222,28 @@ def _kernel_report():
     qp = jnp.full((n, 16), 28, jnp.int32)
     resid = jnp.asarray(rng.randint(-128, 127, (n, 16, 4, 4), np.int32))
 
-    rep = {}
+    # measured machine roofline: the chip behind the axon tunnel delivers
+    # a small fraction of v5e spec (measured ~2.5 GB/s elementwise,
+    # ~1 TFLOPS bf16 — emulated/shared slice), so each kernel reports %
+    # of BOTH the v5e spec speed-of-light and this machine's measured
+    # peak — the latter is the actionable number.
+    import jax
+
+    probe = jnp.ones((2048, 2048), jnp.int32)
+    pf = jax.jit(lambda x: x + 1)
+    ms_probe = _timeit(lambda: pf(probe), reps=5)
+    machine_gbps = 2 * probe.nbytes / ms_probe / 1e6
+
+    rep = {"machine_peak_gbps": round(machine_gbps, 2),
+           "spec_gbps": HBM_GBPS}
 
     def add(name, ms, sol_ms, note):
+        mach_ms = sol_ms * HBM_GBPS / max(machine_gbps, 1e-9)
         rep[name] = {"ms": round(ms, 2), "sol_ms": round(sol_ms, 3),
                      "pct_of_sol": round(100 * sol_ms / ms, 1) if ms else 0,
+                     "machine_sol_ms": round(mach_ms, 2),
+                     "pct_of_machine_sol":
+                         round(100 * mach_ms / ms, 1) if ms else 0,
                      "bound": note}
 
     # forward DCT + quant + dequant + IDCT (the whole residual path),

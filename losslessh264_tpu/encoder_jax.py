@@ -514,11 +514,16 @@ def encode_inter_mbs(mb_w: int, mb_h: int, radius: int, Y, U, V, refY_s,
                                      mv_sel[:, 1], size=4), 4)
 
     resid = srcY_t - pred_y
-    qp16 = jnp.broadcast_to(qp[:, None], (n, 16))
-    W = jt.fdct4x4(_blocks16(resid))                       # [n,16,4,4]
-    qac = jt.quant4(W, qp16, False)
-    deq = jt.dequant4(qac, qp16, FLAT4)
-    rec = _assemble16(jt.idct4x4(deq))
+    # position-major residual path ([16, B]: batch on the lane dim) —
+    # the [n,16,4,4] butterflies relayout around every op on TPU
+    B = n * 16
+    r_pm = _blocks16(resid).reshape(B, 16).T.astype(jnp.int32)
+    qp_b = jnp.repeat(qp.astype(jnp.int32), 16)
+    W_pm = jt.fdct4x4_pm(r_pm)
+    q_pm = jt.quant4_pm(W_pm, qp_b, False)
+    deq_pm = jt.dequant4_pm(q_pm, qp_b, jnp.int32(16))
+    rec = _assemble16(jt.idct4x4_pm(deq_pm).T.reshape(n, 16, 4, 4))
+    qac = q_pm.T.reshape(n, 16, 4, 4)
     tile_y = jnp.clip(pred_y + rec, 0, 255)
 
     cdc = jnp.zeros((n, 2, 4), jnp.int32)
@@ -527,15 +532,18 @@ def encode_inter_mbs(mb_w: int, mb_h: int, radius: int, Y, U, V, refY_s,
     for ci, (src_t, pred_c) in enumerate(((srcU_t, pred_u),
                                           (srcV_t, pred_v))):
         residc = src_t - pred_c
-        qpc4 = jnp.broadcast_to(qpc[:, None], (n, 4))
-        Wc = jt.fdct4x4(_blocks4(residc))                  # [n,4,4,4]
-        qc = jt.quant4(Wc, qpc4, False, skip_dc=True)
-        Wd2 = Wc[:, :, 0, 0].reshape(n, 2, 2)
+        Bc = n * 4
+        rc_pm = _blocks4(residc).reshape(Bc, 16).T.astype(jnp.int32)
+        qpc_b = jnp.repeat(qpc.astype(jnp.int32), 4)
+        Wc_pm = jt.fdct4x4_pm(rc_pm)
+        qc_pm = jt.quant4_pm(Wc_pm, qpc_b, False, skip_dc=True)
+        Wd2 = Wc_pm[0].reshape(n, 2, 2)
         qd2 = jt.quant_dc2(jt.fhadamard2x2(Wd2), qpc)
         dcd = jt.chroma_dc_transform_dequant(qd2, qpc, jnp.int32(16))
-        deqc = jt.dequant4(qc, qpc4, FLAT4)
-        deqc = deqc.at[:, :, 0, 0].set(dcd.reshape(n, 4))
-        recc = _assemble8(jt.idct4x4(deqc))
+        deqc_pm = jt.dequant4_pm(qc_pm, qpc_b, jnp.int32(16))
+        deqc_pm = deqc_pm.at[0].set(dcd.reshape(Bc))
+        recc = _assemble8(jt.idct4x4_pm(deqc_pm).T.reshape(n, 4, 4, 4))
+        qc = qc_pm.T.reshape(n, 4, 4, 4)
         cdc = cdc.at[:, ci].set(qd2.reshape(n, 4))
         cac = cac.at[:, ci].set(jt.zigzag4(qc))
         tiles_c.append(jnp.clip(pred_c + recc, 0, 255))

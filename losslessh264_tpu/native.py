@@ -44,7 +44,7 @@ BILL_NAMES = [
     "mvd_x", "mvd_y", "t8x8_flag", "luma_dc", "chroma_dc", "luma_nz",
     "luma_ac", "luma_run", "chroma_nz", "chroma_ac", "chroma_run", "pcm",
     "startcode", "nal_hdr", "param_set", "slice_hdr", "trailing",
-    "raw_fallback", "container", "other",
+    "raw_fallback", "container", "other", "luma_ac_sign", "luma_ac_mag",
 ]
 
 

@@ -102,9 +102,16 @@ def halfpel_planes(ref_pad: jax.Array) -> jax.Array:
     then every candidate prediction is a slice + average (mc.cpp
     McHorVer* per-block dispatch in the reference).
     """
+    # shifted-slice int32 formulation. Two attempted variants both
+    # REJECTED on measurement: an MXU conv path (62 vs 48 ms at 720p,
+    # and inexact — the TPU conv truncates f32 inputs through bf16,
+    # which cannot hold the 6-tap sums) and an int16-plane path
+    # (component-exact in isolation but miscompiles inside the fused
+    # encoder program: encoder recon drifted from the decoder on
+    # P8x8 content, reproducibly, CPU backend included).
     r = ref_pad.astype(jnp.int32)
     bf = _sixtap(r[:, 0:-5], r[:, 1:-4], r[:, 2:-3], r[:, 3:-2], r[:, 4:-1],
-                 r[:, 5:])                              # [Hp, Wp-5]
+                 r[:, 5:])                              # [Hp, Wp-5] < 2^14
     b = jnp.clip((bf + 16) >> 5, 0, 255)
     hf = _sixtap(r[0:-5, :], r[1:-4, :], r[2:-3, :], r[3:-2, :], r[4:-1, :],
                  r[5:, :])                              # [Hp-5, Wp]
@@ -112,6 +119,56 @@ def halfpel_planes(ref_pad: jax.Array) -> jax.Array:
     jf = _sixtap(bf[0:-5], bf[1:-4], bf[2:-3], bf[3:-2], bf[4:-1], bf[5:])
     j = jnp.clip((jf + 512) >> 10, 0, 255)              # [Hp-5, Wp-5]
     return jnp.stack([r[2:-3, 2:-3], b[2:-3, :], h[:, 2:-3], j])
+
+
+def _hp_kernel(TH, r_ref, out_ref):
+    """One output row-tile of the three 6-tap FIRs: slices a [TH+5, Wp]
+    strip of the VMEM-resident plane, emits [4, TH, Wp-5] (G, b, h, j)
+    aligned as halfpel_planes' stack."""
+    from jax.experimental import pallas as pl
+
+    d = pl.program_id(0)
+    x = r_ref[pl.ds(d * TH, TH + 5), :].astype(jnp.int32)  # [TH+5, Wp]
+    bf = _sixtap(x[:, 0:-5], x[:, 1:-4], x[:, 2:-3], x[:, 3:-2],
+                 x[:, 4:-1], x[:, 5:])                 # [TH+5, Wp-5]
+    out_ref[0] = x[2:2 + TH, 2:-3]
+    out_ref[1] = jnp.clip((bf[2:2 + TH] + 16) >> 5, 0, 255)
+    hf = _sixtap(x[0:TH, 2:-3], x[1:TH + 1, 2:-3], x[2:TH + 2, 2:-3],
+                 x[3:TH + 3, 2:-3], x[4:TH + 4, 2:-3], x[5:TH + 5, 2:-3])
+    out_ref[2] = jnp.clip((hf + 16) >> 5, 0, 255)
+    jf = _sixtap(bf[0:TH], bf[1:TH + 1], bf[2:TH + 2], bf[3:TH + 3],
+                 bf[4:TH + 4], bf[5:TH + 5])
+    out_ref[3] = jnp.clip((jf + 512) >> 10, 0, 255)
+
+
+def halfpel_planes_pallas(ref_pad: jax.Array, tile_h: int = 64):
+    """Pallas row-tiled variant of halfpel_planes: the (uint8) plane
+    stays resident in VMEM and each grid step computes all three FIRs
+    from one strip slice, so the plane is read once instead of once per
+    shifted slice (XLA does not fuse the 18 shifted reads of the slice
+    formulation — measured 48 ms @720p vs ~8 ms of actual traffic)."""
+    import functools
+
+    from jax.experimental import pallas as pl
+
+    Hp, Wp = ref_pad.shape
+    Ho, Wo = Hp - 5, Wp - 5
+    TH = tile_h
+    nt = -(-Ho // TH)
+    # pad rows so the last strip slice never clamps (a clamped start
+    # would compute the tail tile from shifted rows)
+    Hp_pad = nt * TH + 5
+    r = ref_pad.astype(jnp.uint8)
+    if Hp_pad > Hp:
+        r = jnp.pad(r, ((0, Hp_pad - Hp), (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(_hp_kernel, TH),
+        grid=(nt,),
+        in_specs=[pl.BlockSpec((Hp_pad, Wp), lambda d: (0, 0))],
+        out_specs=pl.BlockSpec((4, TH, Wo), lambda d: (0, d, 0)),
+        out_shape=jax.ShapeDtypeStruct((4, nt * TH, Wo), jnp.int32),
+    )(r)
+    return out[:, :Ho]
 
 
 # quarter-pel case tables: k = (mvy&3)*4 + (mvx&3) selects two plane
@@ -171,7 +228,7 @@ def mc_luma_mbs(planes: jax.Array, pad: int, y0: jax.Array, x0: jax.Array,
 
     t1 = samp(e[:, 0], e[:, 1], e[:, 2])
     t2 = samp(e[:, 3], e[:, 4], e[:, 5])
-    return (t1 + t2 + 1) >> 1
+    return ((t1 + t2 + 1) >> 1).astype(jnp.int32)
 
 
 def mc_chroma_mbs(ref_pad_c: jax.Array, pad: int, cy0: jax.Array,

@@ -145,6 +145,144 @@ def chroma_dc_transform_dequant(dc: jax.Array, qpc: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# Position-major kernels: the block-position axis is the MAJOR dim and
+# the batch rides the LANE dim ([16, B] / [64, B]), so every butterfly
+# line is one full-width VPU op on a contiguous row. The [.., 4, 4]
+# formulations above slice 4-wide minor axes, which Mosaic must relayout
+# around every op (measured ~14 ms for the 720p residual path; the
+# position-major path is the same math with two transposes total).
+# ---------------------------------------------------------------------------
+def dequant4_pm(coeff_pm, qp_b, w_pm):
+    """coeff_pm [16, B] int, qp_b [B] int, w_pm [16, B] weights."""
+    qp_b = qp_b.astype(jnp.int32)
+    deq = jnp.asarray(DEQ4_V.reshape(6, 16).T)          # [16, 6]
+    ls = w_pm * deq[:, qp_b % 6] if False else w_pm * jnp.take(
+        deq, qp_b % 6, axis=1)                           # [16, B]
+    c = coeff_pm.astype(jnp.int32) * ls
+    qdiv = (qp_b // 6)[None, :]
+    hi = c << jnp.maximum(qdiv - 4, 0)
+    shift = jnp.maximum(4 - qdiv, 0)
+    lo = (c + (1 << jnp.maximum(shift - 1, 0))) >> shift
+    return jnp.where(qdiv >= 4, hi, lo)
+
+
+def idct4x4_pm(x):
+    """Position-major 4x4 inverse core transform: [16, B] -> [16, B]
+    (raster positions p = 4*row + col), incl. the (v+32)>>6."""
+    h = [None] * 16
+    for r in range(4):
+        a0, a1, a2, a3 = (x[4 * r + c] for c in range(4))
+        e0, e1 = a0 + a2, a0 - a2
+        e2, e3 = (a1 >> 1) - a3, a1 + (a3 >> 1)
+        h[4 * r + 0], h[4 * r + 1] = e0 + e3, e1 + e2
+        h[4 * r + 2], h[4 * r + 3] = e1 - e2, e0 - e3
+    v = [None] * 16
+    for c in range(4):
+        a0, a1, a2, a3 = (h[4 * r + c] for r in range(4))
+        e0, e1 = a0 + a2, a0 - a2
+        e2, e3 = (a1 >> 1) - a3, a1 + (a3 >> 1)
+        v[0 * 4 + c], v[1 * 4 + c] = e0 + e3, e1 + e2
+        v[2 * 4 + c], v[3 * 4 + c] = e1 - e2, e0 - e3
+    return (jnp.stack(v) + 32) >> 6
+
+
+def dequant8_pm(coeff_pm, qp_b, w_pm):
+    """coeff_pm [64, B], qp_b [B], w_pm [64, B]."""
+    qp_b = qp_b.astype(jnp.int32)
+    deq = jnp.asarray(DEQ8_V.reshape(6, 64).T)          # [64, 6]
+    ls = w_pm * jnp.take(deq, qp_b % 6, axis=1)
+    c = coeff_pm.astype(jnp.int32) * ls
+    qdiv = (qp_b // 6)[None, :]
+    hi = c << jnp.maximum(qdiv - 6, 0)
+    shift = jnp.maximum(6 - qdiv, 0)
+    lo = (c + (1 << jnp.maximum(shift - 1, 0))) >> shift
+    return jnp.where(qdiv >= 6, hi, lo)
+
+
+def idct8x8_pm(x):
+    """Position-major 8x8 inverse transform [64, B] -> [64, B]."""
+    def core(a):
+        e0 = a[0] + a[4]
+        e1 = -a[3] + a[5] - a[7] - (a[7] >> 1)
+        e2 = a[0] - a[4]
+        e3 = a[1] + a[7] - a[3] - (a[3] >> 1)
+        e4 = (a[2] >> 1) - a[6]
+        e5 = -a[1] + a[7] + a[5] + (a[5] >> 1)
+        e6 = a[2] + (a[6] >> 1)
+        e7 = a[3] + a[5] + a[1] + (a[1] >> 1)
+        f0, f1 = e0 + e6, e1 + (e7 >> 2)
+        f2, f3 = e2 + e4, e3 + (e5 >> 2)
+        f4, f5 = e2 - e4, (e3 >> 2) - e5
+        f6, f7 = e0 - e6, e7 - (e1 >> 2)
+        return [f0 + f7, f2 + f5, f4 + f3, f6 + f1,
+                f6 - f1, f4 - f3, f2 - f5, f0 - f7]
+
+    h = [None] * 64
+    for r in range(8):
+        out = core([x[8 * r + c] for c in range(8)])
+        for c in range(8):
+            h[8 * r + c] = out[c]
+    v = [None] * 64
+    for c in range(8):
+        out = core([h[8 * r + c] for r in range(8)])
+        for r in range(8):
+            v[8 * r + c] = out[r]
+    return (jnp.stack(v) + 32) >> 6
+
+
+def hadamard4x4_pm(x):
+    """Position-major inverse 4x4 Hadamard [16, B] -> [16, B]."""
+    h = [None] * 16
+    for r in range(4):
+        a0, a1, a2, a3 = (x[4 * r + c] for c in range(4))
+        e0, e1 = a0 + a2, a0 - a2
+        e2, e3 = a1 - a3, a1 + a3
+        h[4 * r + 0], h[4 * r + 1] = e0 + e3, e1 + e2
+        h[4 * r + 2], h[4 * r + 3] = e1 - e2, e0 - e3
+    v = [None] * 16
+    for c in range(4):
+        a0, a1, a2, a3 = (h[4 * r + c] for r in range(4))
+        e0, e1 = a0 + a2, a0 - a2
+        e2, e3 = a1 - a3, a1 + a3
+        v[0 * 4 + c], v[1 * 4 + c] = e0 + e3, e1 + e2
+        v[2 * 4 + c], v[3 * 4 + c] = e1 - e2, e0 - e3
+    return jnp.stack(v)
+
+
+def fdct4x4_pm(x):
+    """Position-major forward 4x4 core transform [16, B] -> [16, B]."""
+    h = [None] * 16
+    for r in range(4):
+        a0, a1, a2, a3 = (x[4 * r + c] for c in range(4))
+        s0, s1, d0, d1 = a0 + a3, a1 + a2, a0 - a3, a1 - a2
+        h[4 * r + 0], h[4 * r + 1] = s0 + s1, 2 * d0 + d1
+        h[4 * r + 2], h[4 * r + 3] = s0 - s1, d0 - 2 * d1
+    v = [None] * 16
+    for c in range(4):
+        a0, a1, a2, a3 = (h[4 * r + c] for r in range(4))
+        s0, s1, d0, d1 = a0 + a3, a1 + a2, a0 - a3, a1 - a2
+        v[0 * 4 + c], v[1 * 4 + c] = s0 + s1, 2 * d0 + d1
+        v[2 * 4 + c], v[3 * 4 + c] = s0 - s1, d0 - 2 * d1
+    return jnp.stack(v)
+
+
+def quant4_pm(W_pm, qp_b, intra, skip_dc: bool = False):
+    """Position-major quantization. W_pm [16, B] int32, qp_b [B],
+    intra bool/[B]. |W|*mf stays < 2^31 (|W| <= 9180, mf <= 13107)."""
+    qp_b = jnp.asarray(qp_b, jnp.int32)
+    qbits = (15 + qp_b // 6)[None, :]
+    base = jnp.left_shift(1, qbits)
+    f = jnp.where(jnp.asarray(intra), base // 3, base // 6)
+    mf = jnp.take(jnp.asarray(MF4_V.reshape(6, 16).T.astype(np.int32)),
+                  qp_b % 6, axis=1)                      # [16, B]
+    Z = jnp.right_shift(jnp.abs(W_pm) * mf + f, qbits)
+    Z = jnp.sign(W_pm) * Z
+    if skip_dc:
+        Z = Z.at[0].set(0)
+    return Z
+
+
+# ---------------------------------------------------------------------------
 # Whole-frame residual assembly: the decode hot path, fully batched.
 # ---------------------------------------------------------------------------
 def luma_residuals(mb_class, qp, cbp_luma, transform8, luma_ac, luma_dc,
@@ -160,33 +298,49 @@ def luma_residuals(mb_class, qp, cbp_luma, transform8, luma_ac, luma_dc,
     t8 = (transform8 != 0) & ~is_i16
 
     w4 = jnp.where(is_intra[:, None, None], w4_intra, w4_inter)
-    # 4x4 path (covers I16 AC with DC substituted)
-    deq = dequant4(luma_ac, qp[:, None], w4[:, None])  # [n,16,4,4]
-    dct = hadamard4x4(luma_dc)
-    dcd = luma_dc_dequant(dct, qp, w4_intra[0, 0])     # [n,4,4]
+    # 4x4 path, position-major: [16, B] with B = n*16 blocks
+    B = n * 16
+    ac_pm = luma_ac.reshape(B, 16).T.astype(jnp.int32)       # [16, B]
+    qp_b = jnp.repeat(qp.astype(jnp.int32), 16)
+    w4_pm = jnp.repeat(w4.reshape(n, 16).T, 16, axis=1)      # [16, B]
+    deq = dequant4_pm(ac_pm, qp_b, w4_pm)                    # [16, B]
+    dct = hadamard4x4_pm(luma_dc.reshape(n, 16).T.astype(jnp.int32))
+    # post-Hadamard I16 DC dequant (8.5.10), position-major [16, n]
+    qpn = qp.astype(jnp.int32)
+    scale = (w4_intra[0, 0] *
+             jnp.asarray(DEQ4_V)[qpn % 6][..., 0, 0])[None, :]   # [1, n]
+    qdiv = (qpn // 6)[None, :]
+    shift = jnp.maximum(6 - qdiv, 0)
+    dcd = jnp.where(qdiv >= 6,
+                    (dct * scale) << jnp.maximum(qdiv - 6, 0),
+                    (dct * scale + (1 << jnp.maximum(shift - 1, 0)))
+                    >> shift)                                # [16, n]
     # substitute DC into position 0 for I16 MBs
-    dc_flat = dcd.reshape(n, 16)  # raster [by*4+bx]
-    deq = deq.at[:, :, 0, 0].set(
-        jnp.where(is_i16[:, None], dc_flat, deq[:, :, 0, 0]))
-    res4 = idct4x4(deq)  # [n,16,4,4]
+    deq = deq.at[0].set(jnp.where(jnp.repeat(is_i16, 16),
+                                  dcd.T.reshape(B), deq[0]))
+    res4 = idct4x4_pm(deq)                                   # [16, B]
     # cbp gating per 8x8 (I16 ignores cbp for DC but AC already zero if
     # uncoded, and DC substitution applies regardless)
     blk_idx = jnp.arange(16)
-    b8_of_blk = (blk_idx // 4 // 2) * 2 + (blk_idx % 4) // 2  # raster-> 8x8 idx
+    b8_of_blk = (blk_idx // 4 // 2) * 2 + (blk_idx % 4) // 2
     coded4 = ((cbp_luma[:, None] >> b8_of_blk[None, :]) & 1) != 0
-    coded4 = coded4 | is_i16[:, None]  # I16: DC always present
-    res4 = jnp.where(coded4[:, :, None, None], res4, 0)
+    coded4 = (coded4 | is_i16[:, None]).reshape(B)
+    res4 = jnp.where(coded4[None, :], res4, 0)
+    out4 = (res4.T.reshape(n, 4, 4, 4, 4).transpose(0, 1, 3, 2, 4)
+            .reshape(n, 16, 16))
 
-    # 8x8 path
+    # 8x8 path, position-major: [64, B8] with B8 = n*4
     w8 = jnp.where(is_intra[:, None, None], w8_intra, w8_inter)
-    deq8 = dequant8(luma8, qp[:, None], w8[:, None])
-    res8 = idct8x8(deq8)  # [n,4,8,8]
-    coded8 = ((cbp_luma[:, None] >> jnp.arange(4)[None, :]) & 1) != 0
-    res8 = jnp.where(coded8[:, :, None, None], res8, 0)
-
-    # assemble [n,16,16]
-    out4 = res4.reshape(n, 4, 4, 4, 4).transpose(0, 1, 3, 2, 4).reshape(n, 16, 16)
-    out8 = res8.reshape(n, 2, 2, 8, 8).transpose(0, 1, 3, 2, 4).reshape(n, 16, 16)
+    B8 = n * 4
+    l8_pm = luma8.reshape(B8, 64).T.astype(jnp.int32)
+    qp8 = jnp.repeat(qp.astype(jnp.int32), 4)
+    w8_pm = jnp.repeat(w8.reshape(n, 64).T, 4, axis=1)
+    res8 = idct8x8_pm(dequant8_pm(l8_pm, qp8, w8_pm))        # [64, B8]
+    coded8 = (((cbp_luma[:, None] >> jnp.arange(4)[None, :]) & 1) != 0) \
+        .reshape(B8)
+    res8 = jnp.where(coded8[None, :], res8, 0)
+    out8 = (res8.T.reshape(n, 2, 2, 8, 8).transpose(0, 1, 3, 2, 4)
+            .reshape(n, 16, 16))
     return jnp.where(t8[:, None, None], out8, out4)
 
 
@@ -205,17 +359,21 @@ def chroma_residuals(mb_class, qp, cbp_chroma, chroma_ac, chroma_dc,
                       w4_u_intra if c == 0 else w4_v_intra,
                       w4_u_inter if c == 0 else w4_v_inter)
         dcd = chroma_dc_transform_dequant(chroma_dc[:, c], qpc, w[:, 0, 0])
-        ac = chroma_ac[:, c * 4:(c + 1) * 4]  # [n,4,4,4]
-        deq = dequant4(ac, qpc[:, None], w[:, None])
-        deq = jnp.where((cbp_chroma == 2)[:, None, None, None], deq, 0)
-        dc_flat = dcd.reshape(n, 4)
-        has_dc = (cbp_chroma != 0)
-        deq = deq.at[:, :, 0, 0].set(
-            jnp.where(has_dc[:, None], dc_flat, deq[:, :, 0, 0]))
-        res = idct4x4(deq)
-        res = jnp.where(has_dc[:, None, None, None] |
-                        (cbp_chroma == 2)[:, None, None, None], res, 0)
-        out = res.reshape(n, 2, 2, 4, 4).transpose(0, 1, 3, 2, 4).reshape(n, 8, 8)
+        # position-major 4x4 path over Bc = n*4 chroma blocks
+        Bc = n * 4
+        ac_pm = (chroma_ac[:, c * 4:(c + 1) * 4].reshape(Bc, 16).T
+                 .astype(jnp.int32))
+        qpc_b = jnp.repeat(qpc, 4)
+        w_pm = jnp.repeat(w.reshape(n, 16).T, 4, axis=1)
+        deq = dequant4_pm(ac_pm, qpc_b, w_pm)            # [16, Bc]
+        has_ac = jnp.repeat(cbp_chroma == 2, 4)
+        deq = jnp.where(has_ac[None, :], deq, 0)
+        has_dc = jnp.repeat(cbp_chroma != 0, 4)
+        deq = deq.at[0].set(jnp.where(has_dc, dcd.reshape(Bc), deq[0]))
+        res = idct4x4_pm(deq)
+        res = jnp.where((has_dc | has_ac)[None, :], res, 0)
+        out = (res.T.reshape(n, 2, 2, 4, 4).transpose(0, 1, 3, 2, 4)
+               .reshape(n, 8, 8))
         outs.append(out)
     return outs[0], outs[1]
 

@@ -344,14 +344,19 @@ inline i32 code_int(IO& io, i32 val, IntPriorT<E, MEXP, ORDER>* prior,
   return neg ? -result : result;
 }
 
+// tag_sign/tag_mag >= 0 re-tag the sign and magnitude decisions for
+// sub-feature billing resolution (reference billTo() granularity); the
+// zero/EOB bit stays on the caller's current tag.
 template <class IO, int THRESH, int M, int E, int MEXP, int ORDER>
 inline i32 code_uegk(IO& io, i32 val, UEGkPriorT<THRESH, M, E, MEXP, ORDER>* prior,
-                     bool hasZero) {
+                     bool hasZero, int tag_sign = -1, int tag_mag = -1) {
   if (hasZero) {
     bool z = io.bit(val == 0, &prior->zero);
     if (z) return 0;
   }
+  if (tag_sign >= 0) io.set_tag(tag_sign);
   bool neg = io.bit(val < 0, &prior->sign);
+  if (tag_mag >= 0) io.set_tag(tag_mag);
   u32 mag = IO::kIsWriter ? u32(val < 0 ? -val : val) : 0;
   int first = code_unary(io, IO::kIsWriter ? int(mag - 1) : 0, &prior->first, THRESH);
   if (first < THRESH) {

@@ -192,7 +192,7 @@ const char* bill_tag_name(int tag) {
       "luma_run",     "chroma_nz",   "chroma_ac",   "chroma_run",
       "pcm",          "startcode",   "nal_hdr",     "param_set",
       "slice_hdr",    "trailing",    "raw_fallback", "container",
-      "other"};
+      "other",        "luma_ac_sign", "luma_ac_mag"};
   return (tag >= 0 && tag < BILL_NUM) ? kNames[tag] : "?";
 }
 

@@ -58,6 +58,11 @@ enum BillTag {
   BILL_RAW_FALLBACK,  // unmodeled VCL NALs passed through verbatim
   BILL_CONTAINER,     // .pip framing overhead (ours only)
   BILL_OTHER,         // SEI + everything unclassified
+  // sub-tag resolution where the money is (reference billTo(label,int)
+  // granularity, billing.h): the luma AC ledger split into its three
+  // decision kinds. BILL_LUMA_AC keeps the zero/EOB structure bits.
+  BILL_LUMA_AC_SIGN,  // AC sign bits
+  BILL_LUMA_AC_MAG,   // AC magnitude (unary + exp-golomb tail) bits
   BILL_NUM,
 };
 

@@ -352,10 +352,14 @@ void code_block(IO& io, ModelCtx& mc, int color, int blk, i16* coeff,
                     [prevb][ctx2];
     }
     // when every remaining position must be nonzero (nzleft == n - i)
-    // the zero bit is deterministic — skip it (both directions know)
+    // the zero bit is deterministic — skip it (both directions know).
+    // Luma decisions bill at sub-tag resolution (zero/sign/magnitude).
     i32 c = code_uegk(io,
                       IO::kIsWriter ? i32(coeff[start + i]) * flip : 0, ap,
-                      /*hasZero=*/nzleft < n - i);
+                      /*hasZero=*/nzleft < n - i,
+                      color == 0 ? BILL_LUMA_AC_SIGN : -1,
+                      color == 0 ? BILL_LUMA_AC_MAG : -1);
+    if (color == 0) io.set_tag(BILL_LUMA_AC);  // next position's EOB bit
     c *= flip;
     if (!IO::kIsWriter) coeff[start + i] = i16(c);
     if (c != 0) --nzleft;
