@@ -217,7 +217,9 @@ struct IntPriorT {
 template <int THRESH, int M, int E, int MEXP, int ORDER>
 struct UEGkPriorT {
   DynProb zero;
-  DynProb sign;
+  DynProb sign;    // used when a sign-prediction cue flipped the value
+  DynProb sign0;   // used when no cue exists (stays near 50/50 without
+                   // polluting the flipped prior's statistics)
   UnaryPrior<M> first;
   IntPriorT<E, MEXP, ORDER> tail;
 };
@@ -349,13 +351,15 @@ inline i32 code_int(IO& io, i32 val, IntPriorT<E, MEXP, ORDER>* prior,
 // zero/EOB bit stays on the caller's current tag.
 template <class IO, int THRESH, int M, int E, int MEXP, int ORDER>
 inline i32 code_uegk(IO& io, i32 val, UEGkPriorT<THRESH, M, E, MEXP, ORDER>* prior,
-                     bool hasZero, int tag_sign = -1, int tag_mag = -1) {
+                     bool hasZero, int tag_sign = -1, int tag_mag = -1,
+                     bool has_sign_cue = true) {
   if (hasZero) {
     bool z = io.bit(val == 0, &prior->zero);
     if (z) return 0;
   }
   if (tag_sign >= 0) io.set_tag(tag_sign);
-  bool neg = io.bit(val < 0, &prior->sign);
+  bool neg = io.bit(val < 0,
+                    has_sign_cue ? &prior->sign : &prior->sign0);
   if (tag_mag >= 0) io.set_tag(tag_mag);
   u32 mag = IO::kIsWriter ? u32(val < 0 ? -val : val) : 0;
   int first = code_unary(io, IO::kIsWriter ? int(mag - 1) : 0, &prior->first, THRESH);

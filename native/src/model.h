@@ -305,6 +305,7 @@ void code_block(IO& io, ModelCtx& mc, int color, int blk, i16* coeff,
   for (int i = 0; i < n && nzleft > 0; ++i) {
     int pastmag = 2;  // no-past bucket (must stay < 3: ctx2 dim is [12])
     int flip = 1;
+    bool flip_cue = false;
     if (past) {
       i16 pv = 0;
       if (IS8x8) {
@@ -319,7 +320,9 @@ void code_block(IO& io, ModelCtx& mc, int color, int blk, i16* coeff,
       // value sign-flipped by the past sign so the adaptive sign prob
       // learns the correlation (static gradients keep DCT signs)
       if (pv < 0) flip = -1;
-    } else if (!IS8x8) {
+      flip_cue = pastmag == 1;
+    }
+    if ((!past || pastmag == 0) && !IS8x8) {
       // no temporal prior (I frames / first frame): fall back to the
       // LEFT neighbor block's same-position sign (spatial gradient
       // continuity across the block edge)
@@ -331,14 +334,36 @@ void code_block(IO& io, ModelCtx& mc, int color, int blk, i16* coeff,
         else if (mc.left && !mc.left->transform_8x8) {
           ln = mc.left; lblk = by * 4 + 3;
         }
-        if (ln && ln->luma_ac[lblk][start + i] < 0) flip = -1;
+        i16 lv = ln ? ln->luma_ac[lblk][start + i] : i16(0);
+        if (lv == 0) {
+          // tertiary cue: ABOVE neighbor block, same position
+          const MbRecord* an = nullptr;
+          int ablk = -1;
+          if (by > 0) { an = rec; ablk = blk - 4; }
+          else if (mc.above && !mc.above->transform_8x8) {
+            an = mc.above; ablk = 12 + bx;
+          }
+          if (an) lv = an->luma_ac[ablk][start + i];
+        }
+        if (lv != 0) {
+          flip_cue = true;
+          if (lv < 0) flip = -1;
+        }
       } else {
         int bx = blk & 1, by = blk >> 1;
         if (bx > 0) { ln = rec; lblk = blk - 1; }
         else if (mc.left) { ln = mc.left; lblk = by * 2 + 1; }
-        if (ln && ln->chroma_ac[(color - 1) * 4 + lblk][start + i] < 0)
-          flip = -1;
+        if (ln) {
+          i16 lv = ln->chroma_ac[(color - 1) * 4 + lblk][start + i];
+          flip_cue = flip_cue || lv != 0;
+          if (lv < 0) flip = -1;
+        }
       }
+    }
+    if (!flip_cue && prev != 0) {
+      // last-resort cue: previous coefficient's sign in this block
+      flip_cue = true;
+      if (prev < 0) flip = -1;
     }
     int a_ = std::abs(int(prev));
     int prevb = a_ >= 5 ? 4 : (a_ >= 3 ? 3 : a_);
@@ -358,7 +383,8 @@ void code_block(IO& io, ModelCtx& mc, int color, int blk, i16* coeff,
                       IO::kIsWriter ? i32(coeff[start + i]) * flip : 0, ap,
                       /*hasZero=*/nzleft < n - i,
                       color == 0 ? BILL_LUMA_AC_SIGN : -1,
-                      color == 0 ? BILL_LUMA_AC_MAG : -1);
+                      color == 0 ? BILL_LUMA_AC_MAG : -1,
+                      /*has_sign_cue=*/flip_cue);
     if (color == 0) io.set_tag(BILL_LUMA_AC);  // next position's EOB bit
     c *= flip;
     if (!IO::kIsWriter) coeff[start + i] = i16(c);
@@ -684,7 +710,8 @@ void code_mb_symbols(IO& io, ModelCtx& mc) {
       }
       i32 v = flip * code_int(io,
                        IO::kIsWriter ? i32(rec.luma_dc[i]) * flip : 0,
-                       &M.luma_dc[i][pastb], /*hasZero=*/true, /*hasSign=*/true);
+                       &M.luma_dc[i][pastb], /*hasZero=*/true,
+                       /*hasSign=*/true);
       if (!IO::kIsWriter) rec.luma_dc[i] = i16(v);
     }
   }

@@ -97,4 +97,7 @@ def test_billing_accounts_for_stream():
     pip, st = native.compress(data, verify=False)
     # both ledgers are exact (bits): see test_billing.py for the full set
     assert st.bill and round(sum(st.bill.values())) == 8 * len(pip)
-    assert st.bill["luma_ac"] > 0.25 * 8 * len(pip)  # dominant feature
+    # luma AC (EOB + sign + magnitude sub-tags) is the dominant feature
+    luma_ac = (st.bill["luma_ac"] + st.bill["luma_ac_sign"]
+               + st.bill["luma_ac_mag"])
+    assert luma_ac > 0.25 * 8 * len(pip)
