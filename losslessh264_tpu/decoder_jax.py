@@ -403,30 +403,6 @@ def _store_ref(ref_y, ref_u, ref_v, Y, U, V, slot):
     return ref_y, ref_u, ref_v
 
 
-@functools.partial(jax.jit, static_argnames=("mb_w", "mb_h", "has_prev"))
-def _conceal(mb_w: int, mb_h: int, Y, U, V, ref_y, ref_u, ref_v,
-             prev_slot, decoded, has_prev: bool):
-    """Slice-copy concealment (reference ERROR_CON_SLICE_COPY): undecoded
-    MBs take co-located pixels of the previous frame (grey if none)."""
-    H, W = mb_h * 16, mb_w * 16
-    mask = decoded.reshape(mb_h, mb_w) != 0
-    my = jnp.repeat(jnp.repeat(mask, 16, 0), 16, 1)
-    mc_ = jnp.repeat(jnp.repeat(mask, 8, 0), 8, 1)
-    if has_prev:
-        cp = PAD // 2
-        pY = jax.lax.dynamic_slice(ref_y, (prev_slot, PAD, PAD), (1, H, W))[0]
-        pU = jax.lax.dynamic_slice(ref_u, (prev_slot, cp, cp),
-                                   (1, H // 2, W // 2))[0]
-        pV = jax.lax.dynamic_slice(ref_v, (prev_slot, cp, cp),
-                                   (1, H // 2, W // 2))[0]
-    else:
-        pY = jnp.full((H, W), 128, jnp.uint8)
-        pU = jnp.full((H // 2, W // 2), 128, jnp.uint8)
-        pV = pU
-    return (jnp.where(my, Y, pY), jnp.where(mc_, U, pU),
-            jnp.where(mc_, V, pV))
-
-
 # ---------------------------------------------------------------------------
 # stream driver
 # ---------------------------------------------------------------------------
@@ -440,18 +416,25 @@ class JaxDecoder:
     frame N+1 overlaps device recon of frame N via JAX async dispatch.
     """
 
-    MAX_REFS = 17
+    MAX_REFS = 18   # 16 DPB refs + previous output (EC) + incoming
 
-    def __init__(self, data: bytes):
+    def __init__(self, data: bytes, error_concealment: bool = True,
+                 ec_mode: str = "mv_copy_freeze"):
         self.sym = native.SymbolDecoder(data)
         self.slot_of = {}   # output_idx -> ring slot
         self.ref_y = None
         self.ref_u = None
         self.ref_v = None
-        self.next_slot = 0
         self.out_idx = 0
         self.concealed = 0
         self._diag_cache = {}
+        # error concealment matches NpDecoder: MV-copy with freeze-output
+        # by default (the reference h264dec default, decoder_core.cpp
+        # bFreezeOutput). Concealment is rare, so the per-MB policy runs
+        # on host via decoder_np.conceal_undecoded over fetched planes.
+        self._ec = error_concealment
+        self._ec_mode = ec_mode if error_concealment else None
+        self._frozen = error_concealment and ec_mode == "mv_copy_freeze"
 
     def _prep_refs(self, mb_w, mb_h):
         H, W = mb_h * 16, mb_w * 16
@@ -491,7 +474,26 @@ class JaxDecoder:
         return jnp.asarray(out), False
 
     def frames(self):
-        for f in self.sym:
+        it = iter(self.sym)
+        while True:
+            try:
+                f = next(it)
+            except StopIteration:
+                return
+            except Exception:
+                # unrecoverable symbol-layer error mid-stream: repeat the
+                # last output once and end (NpDecoder contract)
+                if not self._ec or self.out_idx == 0:
+                    raise
+                self.concealed += 1
+                prev = self.slot_of.get(self.out_idx - 1)
+                if prev is None or self._frozen:
+                    return
+                cp = PAD // 2
+                yield (self.ref_y[prev][PAD:-PAD, PAD:-PAD],
+                       self.ref_u[prev][cp:-cp, cp:-cp],
+                       self.ref_v[prev][cp:-cp, cp:-cp])
+                return
             self.crop_px = f.get("crop_px", (0, 0, 0, 0))
             mb_w, mb_h = f["mb_w"], f["mb_h"]
             self._prep_refs(mb_w, mb_h)
@@ -577,17 +579,42 @@ class JaxDecoder:
                 Yw, Uw, Vw = intra_pass(mb_w, mb_h, Yw, Uw, Vw,
                                         ry, ru, rv, planes, diags)
             Y, U, V = deblock_pass(mb_w, mb_h, Yw, Uw, Vw, planes)
-            if f.get("lost_slices", 0) > 0 or not bool(f["decoded"].all()):
+            damaged = (f.get("lost_slices", 0) > 0
+                       or not bool(f["decoded"].all()))
+            if damaged and not self._ec:
+                raise RuntimeError(
+                    "slice parse error (%d lost slices, %d MBs undecoded)"
+                    % (f.get("lost_slices", 0),
+                       int((f["decoded"] == 0).sum())))
+            if damaged:
+                # rare path: run the shared reference-policy concealment
+                # (decoder_np.conceal_undecoded) on host over fetched
+                # planes, then continue on device
                 self.concealed += 1
-                prev = self.slot_of.get(self.out_idx - 1)
-                Y, U, V = _conceal(
-                    mb_w, mb_h, Y, U, V, self.ref_y, self.ref_u, self.ref_v,
-                    jnp.int32(prev if prev is not None else 0),
-                    jnp.asarray(f["decoded"].astype(np.int32)),
-                    has_prev=prev is not None)
-            # store as reference (device-side ring, donated in-place)
-            slot = self.next_slot
-            self.next_slot = (self.next_slot + 1) % self.MAX_REFS
+                prev = self._fetch_output(self.out_idx - 1, mb_w, mb_h)
+                yuv = (np.asarray(Y), np.asarray(U), np.asarray(V))
+                Y, U, V = (jnp.asarray(p) for p in dn.conceal_undecoded(
+                    f, yuv, prev, self.out_idx - 1, self._ec_mode))
+            # store as reference (device-side ring, donated in-place).
+            # Slot choice is liveness-aware: the symbol layer's ref_list
+            # is the frame's full DPB L0 set, so outputs absent from it
+            # (and not the EC-prev) can never be referenced again — a
+            # plain round-robin ring evicted still-live long-term refs
+            # on the MR conformance streams (sticky refs via MMCO).
+            live = set(int(x) for x in (f.get("ref_list") or []))
+            live.add(self.out_idx - 1)
+            used = set(self.slot_of.values())
+            slot = None
+            if len(used) < self.MAX_REFS:
+                slot = next(s for s in range(self.MAX_REFS)
+                            if s not in used)
+            else:
+                for oi in sorted(self.slot_of):
+                    if oi not in live:
+                        slot = self.slot_of[oi]
+                        break
+                if slot is None:  # pathological: evict the oldest
+                    slot = self.slot_of[min(self.slot_of)]
             self.slot_of = {oi: sl for oi, sl in self.slot_of.items()
                             if sl != slot}
             self.slot_of[self.out_idx] = slot
@@ -595,7 +622,29 @@ class JaxDecoder:
                 self.ref_y, self.ref_u, self.ref_v, Y, U, V,
                 jnp.int32(slot))
             self.out_idx += 1
-            yield Y, U, V
+            # freeze-output: frames suppressed until the first complete
+            # error-free IDR decodes (reference decoder_core.cpp:164-167)
+            if self._frozen and bool(f.get("is_idr")) and not damaged:
+                self._frozen = False
+            if not self._frozen:
+                yield Y, U, V
+
+    def _fetch_output(self, out_idx, mb_w, mb_h):
+        """Host copy of a stored output frame (concealment source), or
+        None when it is not in the ring / has a different geometry."""
+        slot = self.slot_of.get(out_idx)
+        if slot is None:
+            return None
+        H, W = mb_h * 16, mb_w * 16
+        cp = PAD // 2
+        ry = np.asarray(self.ref_y[slot])
+        if ry.shape != (H + 2 * PAD, W + 2 * PAD):
+            return None
+        return (ry[PAD:PAD + H, PAD:PAD + W],
+                np.asarray(self.ref_u[slot])[cp:cp + H // 2,
+                                             cp:cp + W // 2],
+                np.asarray(self.ref_v[slot])[cp:cp + H // 2,
+                                             cp:cp + W // 2])
 
     @staticmethod
     def _nnz_plane(f):

@@ -694,115 +694,11 @@ class NpDecoder:
                 yield yuv
 
     def _conceal_undecoded(self, f, yuv):
-        if self._ec_mode == "mv_copy_freeze":
-            return self._conceal_mv_copy(f, yuv)
-        return self._conceal_slice_copy(f, yuv)
-
-    def _conceal_slice_copy(self, f, yuv):
-        """Per-MB slice-copy concealment (reference ERROR_CON_SLICE_COPY,
-        error_concealment.cpp DoErrorConSliceCopy): each MB whose slice
-        failed to parse takes the co-located pixels of the previous output
-        frame; mid-gray when no previous frame of the same size exists."""
-        Y, U, V = (a.copy() for a in yuv)
         prev = self.outputs[-1] if self.outputs else None
-        if prev is not None and prev[0].shape != Y.shape:
+        if prev is not None and prev[0].shape != yuv[0].shape:
             prev = None
-        for mbi in np.flatnonzero(f["decoded"] == 0):
-            my, mx = divmod(int(mbi), f["mb_w"])
-            sy, sx = my * 16, mx * 16
-            cy, cx = sy // 2, sx // 2
-            if prev is not None:
-                Y[sy:sy + 16, sx:sx + 16] = prev[0][sy:sy + 16, sx:sx + 16]
-                U[cy:cy + 8, cx:cx + 8] = prev[1][cy:cy + 8, cx:cx + 8]
-                V[cy:cy + 8, cx:cx + 8] = prev[2][cy:cy + 8, cx:cx + 8]
-            else:
-                Y[sy:sy + 16, sx:sx + 16] = 128
-                U[cy:cy + 8, cx:cx + 8] = 128
-                V[cy:cy + 8, cx:cx + 8] = 128
-        return Y, U, V
-
-    def _conceal_mv_copy(self, f, yuv):
-        """MV-copy concealment (reference DoErrorConSliceMVCopy +
-        GetAvilInfoFromCorrectMb + DoMbECMvCopy, error_concealment.cpp
-        :165-430): average the MVs of the frame's correctly decoded inter
-        MBs per ref_idx (one sample per motion-partition top-left cell,
-        C-truncating division), then motion-compensate each lost MB
-        16x16 from the previous decoded picture with that MV, clamped to
-        the picture interior (full-pel near borders). Lost MBs with no
-        reference fall back to co-located copy / mid-gray."""
-        Y, U, V = (a.copy() for a in yuv)
-        prev = self.outputs[-1] if self.outputs else None
-        if prev is not None and prev[0].shape != Y.shape:
-            prev = None
-        undec = np.flatnonzero(f["decoded"] == 0)
-        mb_w = f["mb_w"]
-        W, H = Y.shape[1], Y.shape[0]
-        if prev is None:
-            for mbi in undec:
-                my, mx = divmod(int(mbi), mb_w)
-                Y[my*16:my*16+16, mx*16:mx*16+16] = 128
-                U[my*8:my*8+8, mx*8:mx*8+8] = 128
-                V[my*8:my*8+8, mx*8:mx*8+8] = 128
-            return Y, U, V
-
-        # GetAvilInfoFromCorrectMb: per-ref-idx MV average over correct
-        # inter MBs' motion-partition top-left cells
-        ok_inter = (f["decoded"] != 0) & np.isin(
-            f["mb_class"], [3, 4, 5, 6, 7, 11])
-        sel = f["part_tl"].astype(bool) & ok_inter[:, None]
-        ridx = f["ref_idx"]
-        ecmv = {}
-        for r in np.unique(ridx[sel]):
-            m = sel & (ridx == r)
-            cnt = int(m.sum())
-            sx = int(f["mv"][:, :, 0][m].astype(np.int64).sum())
-            sy = int(f["mv"][:, :, 1][m].astype(np.int64).sum())
-            # C integer division truncates toward zero
-            ecmv[int(r)] = (int(sx / cnt), int(sy / cnt))
-        ref_list = f.get("ref_list") or []
-        prev_idx = len(self.outputs) - 1
-        use_copy = (f["is_idr"] or 0 not in ecmv or not ref_list)
-        if not use_copy:
-            mvx, mvy = ecmv[0]
-            if ref_list[0] != prev_idx:
-                # POC-scale (reference uses iFramePoc; output index is an
-                # affine proxy on the non-reordering streams we decode)
-                s0 = ref_list[0] - (prev_idx + 1)
-                s1 = prev_idx - (prev_idx + 1)
-                mvx = 0 if s0 == 0 else int(mvx * s1 / s0)
-                mvy = 0 if s0 == 0 else int(mvy * s1 / s0)
-        pY = np.pad(prev[0], 4, mode="edge")
-        pU = np.pad(prev[1], 4, mode="edge")
-        pV = np.pad(prev[2], 4, mode="edge")
-        for mbi in undec:
-            my, mx = divmod(int(mbi), mb_w)
-            sy, sx = my * 16, mx * 16
-            if use_copy:
-                Y[sy:sy+16, sx:sx+16] = prev[0][sy:sy+16, sx:sx+16]
-                U[my*8:my*8+8, mx*8:mx*8+8] = prev[1][my*8:my*8+8, mx*8:mx*8+8]
-                V[my*8:my*8+8, mx*8:mx*8+8] = prev[2][my*8:my*8+8, mx*8:mx*8+8]
-                continue
-            # clamp full MV per DoMbECMvCopy (crop limits = full picture
-            # here; our planes are already crop-free MB-aligned)
-            fx = (sx << 2) + mvx
-            fy = (sy << 2) + mvy
-            if fx < (0 + 2) << 2:
-                fx = max(0, (fx >> 2) << 2)
-            elif fx > (W - 19) << 2:
-                fx = min((W - 17) << 2, (fx >> 2) << 2)
-            if fy < (0 + 2) << 2:
-                fy = max(0, (fy >> 2) << 2)
-            elif fy > (H - 19) << 2:
-                fy = min((H - 17) << 2, (fy >> 2) << 2)
-            cmvx = fx - (sx << 2)
-            cmvy = fy - (sy << 2)
-            Y[sy:sy+16, sx:sx+16] = mc_luma_block(
-                pY, 4, sy, sx, cmvx, cmvy, 16, 16)
-            U[my*8:my*8+8, mx*8:mx*8+8] = mc_chroma_block(
-                pU, 4, my*8, mx*8, cmvx, cmvy, 8, 8)
-            V[my*8:my*8+8, mx*8:mx*8+8] = mc_chroma_block(
-                pV, 4, my*8, mx*8, cmvx, cmvy, 8, 8)
-        return Y, U, V
+        return conceal_undecoded(f, yuv, prev, len(self.outputs) - 1,
+                                 self._ec_mode)
 
     # -- helpers ---------------------------------------------------------
     def _recon_frame(self, f):
@@ -1287,6 +1183,116 @@ class NpDecoder:
                             pc, qc, bsc, ALPHA_TABLE[ica], BETA_TABLE[icb], tc0c)
                         P[cy - 1, cxx:cxx + 8] = np0c
                         P[cy + 0, cxx:cxx + 8] = nq0c
+
+
+
+def conceal_undecoded(f, yuv, prev, prev_idx, ec_mode):
+    """Shared per-MB concealment (NpDecoder and JaxDecoder drivers):
+    prev = previous OUTPUT frame of matching size or None, prev_idx its
+    decode-order index."""
+    if ec_mode == "mv_copy_freeze":
+        return conceal_mv_copy(f, yuv, prev, prev_idx)
+    return conceal_slice_copy(f, yuv, prev)
+
+
+def conceal_slice_copy(f, yuv, prev):
+    """Per-MB slice-copy concealment (reference ERROR_CON_SLICE_COPY,
+    error_concealment.cpp DoErrorConSliceCopy): each MB whose slice
+    failed to parse takes the co-located pixels of the previous output
+    frame; mid-gray when no previous frame of the same size exists."""
+    Y, U, V = (a.copy() for a in yuv)
+    for mbi in np.flatnonzero(f["decoded"] == 0):
+        my, mx = divmod(int(mbi), f["mb_w"])
+        sy, sx = my * 16, mx * 16
+        cy, cx = sy // 2, sx // 2
+        if prev is not None:
+            Y[sy:sy + 16, sx:sx + 16] = prev[0][sy:sy + 16, sx:sx + 16]
+            U[cy:cy + 8, cx:cx + 8] = prev[1][cy:cy + 8, cx:cx + 8]
+            V[cy:cy + 8, cx:cx + 8] = prev[2][cy:cy + 8, cx:cx + 8]
+        else:
+            Y[sy:sy + 16, sx:sx + 16] = 128
+            U[cy:cy + 8, cx:cx + 8] = 128
+            V[cy:cy + 8, cx:cx + 8] = 128
+    return Y, U, V
+
+def conceal_mv_copy(f, yuv, prev, prev_idx):
+    """MV-copy concealment (reference DoErrorConSliceMVCopy +
+    GetAvilInfoFromCorrectMb + DoMbECMvCopy, error_concealment.cpp
+    :165-430): average the MVs of the frame's correctly decoded inter
+    MBs per ref_idx (one sample per motion-partition top-left cell,
+    C-truncating division), then motion-compensate each lost MB
+    16x16 from the previous decoded picture with that MV, clamped to
+    the picture interior (full-pel near borders). Lost MBs with no
+    reference fall back to co-located copy / mid-gray."""
+    Y, U, V = (a.copy() for a in yuv)
+    undec = np.flatnonzero(f["decoded"] == 0)
+    mb_w = f["mb_w"]
+    W, H = Y.shape[1], Y.shape[0]
+    if prev is None:
+        for mbi in undec:
+            my, mx = divmod(int(mbi), mb_w)
+            Y[my*16:my*16+16, mx*16:mx*16+16] = 128
+            U[my*8:my*8+8, mx*8:mx*8+8] = 128
+            V[my*8:my*8+8, mx*8:mx*8+8] = 128
+        return Y, U, V
+
+    # GetAvilInfoFromCorrectMb: per-ref-idx MV average over correct
+    # inter MBs' motion-partition top-left cells
+    ok_inter = (f["decoded"] != 0) & np.isin(
+        f["mb_class"], [3, 4, 5, 6, 7, 11])
+    sel = f["part_tl"].astype(bool) & ok_inter[:, None]
+    ridx = f["ref_idx"]
+    ecmv = {}
+    for r in np.unique(ridx[sel]):
+        m = sel & (ridx == r)
+        cnt = int(m.sum())
+        sx = int(f["mv"][:, :, 0][m].astype(np.int64).sum())
+        sy = int(f["mv"][:, :, 1][m].astype(np.int64).sum())
+        # C integer division truncates toward zero
+        ecmv[int(r)] = (int(sx / cnt), int(sy / cnt))
+    ref_list = f.get("ref_list") or []
+    use_copy = (f["is_idr"] or 0 not in ecmv or not ref_list)
+    if not use_copy:
+        mvx, mvy = ecmv[0]
+        if ref_list[0] != prev_idx:
+            # POC-scale (reference uses iFramePoc; output index is an
+            # affine proxy on the non-reordering streams we decode)
+            s0 = ref_list[0] - (prev_idx + 1)
+            s1 = prev_idx - (prev_idx + 1)
+            mvx = 0 if s0 == 0 else int(mvx * s1 / s0)
+            mvy = 0 if s0 == 0 else int(mvy * s1 / s0)
+    pY = np.pad(prev[0], 4, mode="edge")
+    pU = np.pad(prev[1], 4, mode="edge")
+    pV = np.pad(prev[2], 4, mode="edge")
+    for mbi in undec:
+        my, mx = divmod(int(mbi), mb_w)
+        sy, sx = my * 16, mx * 16
+        if use_copy:
+            Y[sy:sy+16, sx:sx+16] = prev[0][sy:sy+16, sx:sx+16]
+            U[my*8:my*8+8, mx*8:mx*8+8] = prev[1][my*8:my*8+8, mx*8:mx*8+8]
+            V[my*8:my*8+8, mx*8:mx*8+8] = prev[2][my*8:my*8+8, mx*8:mx*8+8]
+            continue
+        # clamp full MV per DoMbECMvCopy (crop limits = full picture
+        # here; our planes are already crop-free MB-aligned)
+        fx = (sx << 2) + mvx
+        fy = (sy << 2) + mvy
+        if fx < (0 + 2) << 2:
+            fx = max(0, (fx >> 2) << 2)
+        elif fx > (W - 19) << 2:
+            fx = min((W - 17) << 2, (fx >> 2) << 2)
+        if fy < (0 + 2) << 2:
+            fy = max(0, (fy >> 2) << 2)
+        elif fy > (H - 19) << 2:
+            fy = min((H - 17) << 2, (fy >> 2) << 2)
+        cmvx = fx - (sx << 2)
+        cmvy = fy - (sy << 2)
+        Y[sy:sy+16, sx:sx+16] = mc_luma_block(
+            pY, 4, sy, sx, cmvx, cmvy, 16, 16)
+        U[my*8:my*8+8, mx*8:mx*8+8] = mc_chroma_block(
+            pU, 4, my*8, mx*8, cmvx, cmvy, 8, 8)
+        V[my*8:my*8+8, mx*8:mx*8+8] = mc_chroma_block(
+            pV, 4, my*8, mx*8, cmvx, cmvy, 8, 8)
+    return Y, U, V
 
 
 def decode_to_yuv(data: bytes):
