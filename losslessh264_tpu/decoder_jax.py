@@ -386,6 +386,26 @@ intra_pass = jax.jit(_intra_scan, static_argnames=("mb_w", "mb_h"))
 deblock_pass = jax.jit(_deblock_crop, static_argnames=("mb_w", "mb_h"))
 
 
+@functools.partial(jax.jit, static_argnames=("mb_w", "mb_h"))
+def recon_intra_batch(mb_w: int, mb_h: int, planes_b, ref_y, ref_u,
+                      ref_v, diags):
+    """K consecutive ALL-INTRA frames reconstructed in ONE vmapped
+    program: intra frames read no references, so a run of them is
+    embarrassingly parallel over the frame axis — every wavefront scan
+    step then carries K x the lanes, amortizing the per-diagonal
+    overhead that bounds single-frame intra decode (the TPU answer to
+    the serial CPU decoder's per-MB latency advantage on small frames).
+    planes_b: the per-frame symbol dict with a leading K axis."""
+    def one(p):
+        Yw, Uw, Vw, ry, ru, rv = _residual_and_inter(
+            mb_w, mb_h, p, ref_y, ref_u, ref_v)
+        Yw, Uw, Vw = _intra_scan(mb_w, mb_h, Yw, Uw, Vw, ry, ru, rv,
+                                 p, diags)
+        return _deblock_crop(mb_w, mb_h, Yw, Uw, Vw, p)
+
+    return jax.vmap(one)(planes_b)
+
+
 # ---------------------------------------------------------------------------
 # device-side DPB ops
 # ---------------------------------------------------------------------------
@@ -473,14 +493,19 @@ class JaxDecoder:
         out[:len(rows)] = diags[rows]
         return jnp.asarray(out), False
 
+    INTRA_BATCH = 8   # frames per vmapped all-intra run
+
     def frames(self):
         it = iter(self.sym)
+        buf = []   # pending batchable all-intra frames (same geometry)
         while True:
             try:
                 f = next(it)
             except StopIteration:
+                yield from self._flush_intra(buf)
                 return
             except Exception:
+                yield from self._flush_intra(buf)
                 # unrecoverable symbol-layer error mid-stream: repeat the
                 # last output once and end (NpDecoder contract)
                 if not self._ec or self.out_idx == 0:
@@ -494,11 +519,150 @@ class JaxDecoder:
                        self.ref_u[prev][cp:-cp, cp:-cp],
                        self.ref_v[prev][cp:-cp, cp:-cp])
                 return
-            self.crop_px = f.get("crop_px", (0, 0, 0, 0))
-            mb_w, mb_h = f["mb_w"], f["mb_h"]
-            self._prep_refs(mb_w, mb_h)
+            if self._batchable_intra(f):
+                if buf and (buf[0]["mb_w"], buf[0]["mb_h"]) != \
+                        (f["mb_w"], f["mb_h"]):
+                    yield from self._flush_intra(buf)
+                    buf = []
+                buf.append(f)
+                if len(buf) == self.INTRA_BATCH:
+                    yield from self._decode_intra_batch(buf)
+                    buf = []
+                continue
+            yield from self._flush_intra(buf)
+            buf = []
+            yield from self._decode_one(f)
 
-            # remap output-idx refs to ring slots
+    def _batchable_intra(self, f):
+        """Undamaged frames whose every MB is intra read no references —
+        a run of them decodes in one vmapped program (the wavefront's
+        per-diagonal overhead amortizes across the run)."""
+        if f.get("lost_slices", 0) > 0 or not bool(f["decoded"].all()):
+            return False
+        return bool(np.isin(f["mb_class"], [0, 1, 2, 8]).all())
+
+    def _flush_intra(self, buf):
+        """Drain a partial all-intra run through the per-frame path
+        (only the full INTRA_BATCH shape compiles a vmapped program)."""
+        for f in buf:
+            yield from self._decode_one(f)
+
+    def _decode_intra_batch(self, fs):
+        mb_w, mb_h = fs[0]["mb_w"], fs[0]["mb_h"]
+        self._prep_refs(mb_w, mb_h)
+        preps = [self._prep_planes(f) for f in fs]
+        # unify optional-plane presence and coefficient dtypes across
+        # the run (the stacked pytree needs one structure)
+        keys = set()
+        for p, _, _, _ in preps:
+            keys |= set(p.keys())
+        fill = {"luma8": lambda f: f["luma8"],
+                "pcm": lambda f: f["pcm"],
+                "wp_luma": lambda f: f["wp_luma"].astype(np.int16),
+                "wp_cb": lambda f: f["wp_cb"].astype(np.int16),
+                "wp_cr": lambda f: f["wp_cr"].astype(np.int16),
+                "wp_cmask": lambda f: f["wp_cmask"].astype(np.int8)}
+        for (p, _, _, _), f in zip(preps, fs):
+            for k in keys - set(p.keys()):
+                p[k] = fill[k](f)
+        for k in ("luma_ac", "chroma_ac", "luma8"):
+            if k in keys:
+                widest = max(p[k].dtype.itemsize for p, _, _, _ in preps)
+                if widest > 1:
+                    for p, _, _, _ in preps:
+                        p[k] = p[k].astype(np.int16)
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: np.stack(xs), *[p for p, _, _, _ in preps])
+        stacked = jax.device_put(stacked)
+        diags = jnp.asarray(self._diag_cache[(mb_w, mb_h)])
+        Yb, Ub, Vb = recon_intra_batch(mb_w, mb_h, stacked, self.ref_y,
+                                       self.ref_u, self.ref_v, diags)
+        for k, f in enumerate(fs):
+            self.crop_px = f.get("crop_px", (0, 0, 0, 0))
+            out = self._finish_frame(f, Yb[k], Ub[k], Vb[k],
+                                     damaged=False)
+            if out is not None:
+                yield out
+
+    def _decode_one(self, f):
+        self.crop_px = f.get("crop_px", (0, 0, 0, 0))
+        mb_w, mb_h = f["mb_w"], f["mb_h"]
+        self._prep_refs(mb_w, mb_h)
+        planes, diags, has_intra, _ = self._prep_planes(f)
+        planes = jax.device_put(planes)
+        # always the split pipeline: recon_pre/deblock_pass compile
+        # ONCE per geometry and the intra pass at most twice
+        # ({16, full} diag shapes) — the fused whole-frame monolith
+        # measured a 148 s compile on this 2-core host for a ~4 ms
+        # steady-state fusion gain
+        Yw, Uw, Vw, ry, ru, rv = recon_pre(
+            mb_w, mb_h, planes, self.ref_y, self.ref_u, self.ref_v)
+        if has_intra:
+            Yw, Uw, Vw = intra_pass(mb_w, mb_h, Yw, Uw, Vw,
+                                    ry, ru, rv, planes, diags)
+        Y, U, V = deblock_pass(mb_w, mb_h, Yw, Uw, Vw, planes)
+        damaged = (f.get("lost_slices", 0) > 0
+                   or not bool(f["decoded"].all()))
+        if damaged and not self._ec:
+            raise RuntimeError(
+                "slice parse error (%d lost slices, %d MBs undecoded)"
+                % (f.get("lost_slices", 0),
+                   int((f["decoded"] == 0).sum())))
+        if damaged:
+            # rare path: run the shared reference-policy concealment
+            # (decoder_np.conceal_undecoded) on host over fetched
+            # planes, then continue on device
+            self.concealed += 1
+            prev = self._fetch_output(self.out_idx - 1, mb_w, mb_h)
+            yuv = (np.asarray(Y), np.asarray(U), np.asarray(V))
+            Y, U, V = (jnp.asarray(p) for p in dn.conceal_undecoded(
+                f, yuv, prev, self.out_idx - 1, self._ec_mode))
+        out = self._finish_frame(f, Y, U, V, damaged)
+        if out is not None:
+            yield out
+
+    def _finish_frame(self, f, Y, U, V, damaged):
+        """Store the frame in the device ring, advance output state, and
+        return the frame to yield (None while freeze-output holds)."""
+        # Slot choice is liveness-aware: the symbol layer's ref_list
+        # is the frame's full DPB L0 set, so outputs absent from it
+        # (and not the EC-prev) can never be referenced again — a
+        # plain round-robin ring evicted still-live long-term refs
+        # on the MR conformance streams (sticky refs via MMCO).
+        live = set(int(x) for x in (f.get("ref_list") or []))
+        live.add(self.out_idx - 1)
+        used = set(self.slot_of.values())
+        slot = None
+        if len(used) < self.MAX_REFS:
+            slot = next(s for s in range(self.MAX_REFS)
+                        if s not in used)
+        else:
+            for oi in sorted(self.slot_of):
+                if oi not in live:
+                    slot = self.slot_of[oi]
+                    break
+            if slot is None:  # pathological: evict the oldest
+                slot = self.slot_of[min(self.slot_of)]
+        self.slot_of = {oi: sl for oi, sl in self.slot_of.items()
+                        if sl != slot}
+        self.slot_of[self.out_idx] = slot
+        self.ref_y, self.ref_u, self.ref_v = _store_ref(
+            self.ref_y, self.ref_u, self.ref_v, Y, U, V,
+            jnp.int32(slot))
+        self.out_idx += 1
+        # freeze-output: frames suppressed until the first complete
+        # error-free IDR decodes (reference decoder_core.cpp:164-167)
+        if self._frozen and bool(f.get("is_idr")) and not damaged:
+            self._frozen = False
+        return None if self._frozen else (Y, U, V)
+
+    def _prep_planes(self, f):
+        """Host-side symbol-plane prep for one frame: returns
+        (planes_np, diags, has_intra, full_intra)."""
+        mb_w, mb_h = f["mb_w"], f["mb_h"]
+
+        # remap output-idx refs to ring slots
+        if True:
             rf = f["ref_frame"].astype(np.int32)
             slot_map = np.full(max(self.out_idx + 1, 1), -1, np.int32)
             for oi, sl in self.slot_of.items():
@@ -567,67 +731,7 @@ class JaxDecoder:
                 planes["wp_cb"] = f["wp_cb"].astype(np.int16)
                 planes["wp_cr"] = f["wp_cr"].astype(np.int16)
                 planes["wp_cmask"] = f["wp_cmask"].astype(np.int8)
-            planes = jax.device_put(planes)
-            # always the split pipeline: recon_pre/deblock_pass compile
-            # ONCE per geometry and the intra pass at most twice
-            # ({16, full} diag shapes) — the fused whole-frame monolith
-            # measured a 148 s compile on this 2-core host for a ~4 ms
-            # steady-state fusion gain
-            Yw, Uw, Vw, ry, ru, rv = recon_pre(
-                mb_w, mb_h, planes, self.ref_y, self.ref_u, self.ref_v)
-            if has_intra:
-                Yw, Uw, Vw = intra_pass(mb_w, mb_h, Yw, Uw, Vw,
-                                        ry, ru, rv, planes, diags)
-            Y, U, V = deblock_pass(mb_w, mb_h, Yw, Uw, Vw, planes)
-            damaged = (f.get("lost_slices", 0) > 0
-                       or not bool(f["decoded"].all()))
-            if damaged and not self._ec:
-                raise RuntimeError(
-                    "slice parse error (%d lost slices, %d MBs undecoded)"
-                    % (f.get("lost_slices", 0),
-                       int((f["decoded"] == 0).sum())))
-            if damaged:
-                # rare path: run the shared reference-policy concealment
-                # (decoder_np.conceal_undecoded) on host over fetched
-                # planes, then continue on device
-                self.concealed += 1
-                prev = self._fetch_output(self.out_idx - 1, mb_w, mb_h)
-                yuv = (np.asarray(Y), np.asarray(U), np.asarray(V))
-                Y, U, V = (jnp.asarray(p) for p in dn.conceal_undecoded(
-                    f, yuv, prev, self.out_idx - 1, self._ec_mode))
-            # store as reference (device-side ring, donated in-place).
-            # Slot choice is liveness-aware: the symbol layer's ref_list
-            # is the frame's full DPB L0 set, so outputs absent from it
-            # (and not the EC-prev) can never be referenced again — a
-            # plain round-robin ring evicted still-live long-term refs
-            # on the MR conformance streams (sticky refs via MMCO).
-            live = set(int(x) for x in (f.get("ref_list") or []))
-            live.add(self.out_idx - 1)
-            used = set(self.slot_of.values())
-            slot = None
-            if len(used) < self.MAX_REFS:
-                slot = next(s for s in range(self.MAX_REFS)
-                            if s not in used)
-            else:
-                for oi in sorted(self.slot_of):
-                    if oi not in live:
-                        slot = self.slot_of[oi]
-                        break
-                if slot is None:  # pathological: evict the oldest
-                    slot = self.slot_of[min(self.slot_of)]
-            self.slot_of = {oi: sl for oi, sl in self.slot_of.items()
-                            if sl != slot}
-            self.slot_of[self.out_idx] = slot
-            self.ref_y, self.ref_u, self.ref_v = _store_ref(
-                self.ref_y, self.ref_u, self.ref_v, Y, U, V,
-                jnp.int32(slot))
-            self.out_idx += 1
-            # freeze-output: frames suppressed until the first complete
-            # error-free IDR decodes (reference decoder_core.cpp:164-167)
-            if self._frozen and bool(f.get("is_idr")) and not damaged:
-                self._frozen = False
-            if not self._frozen:
-                yield Y, U, V
+        return planes, diags, has_intra, full_intra
 
     def _fetch_output(self, out_idx, mb_w, mb_h):
         """Host copy of a stored output frame (concealment source), or
