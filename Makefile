@@ -12,7 +12,13 @@
 
 PY ?= python
 
-.PHONY: check-fast check check-full native bench evidence
+.PHONY: check-fast check check-full check-tpu native bench evidence
+
+# per-round REAL-CHIP gate (VERDICT r3 #4): deblock impl parity incl.
+# the Pallas kernel across the size grid, 4-stream JaxDecoder parity,
+# batched-P encode bit-exactness. Writes evidence/TPUCHECK.json.
+check-tpu:
+	$(PY) tools/tpu_check.py
 
 # committed per-round evidence artifacts (VERDICT r2 #8): the full
 # 40-stream TPU JaxDecoder sweep + the 8-shard virtual-mesh compress

@@ -137,14 +137,35 @@ def _bench_encode_720p():
     out += enc.encode_frames(frames[1:25])  # 3 pipelined K=8 runs
     t1 = time.perf_counter()
     nf = max(enc.prof["frames"], 1)
+    # machine probe alongside the encode number (VERDICT r3 #2): an
+    # environmental collapse of the shared device must be
+    # distinguishable from a code regression
+    import jax
+    import jax.numpy as jnp
+    import numpy as _np
+    probe = jnp.ones((2048, 2048), jnp.int32)
+    pf = jax.jit(lambda x: x + 1)
+    _np.asarray(pf(probe))
+    t = time.perf_counter()
+    for _ in range(5):
+        r = pf(probe)
+    _np.asarray(r).ravel()[:1]
+    probe_gbps = 2 * probe.nbytes * 5 / (time.perf_counter() - t) / 1e9
     breakdown = {
         "upload_ms_per_frame": round(enc.prof["upload_ms"] / nf, 2),
         "fetch_wait_ms_per_frame": round(
             enc.prof["fetch_wait_ms"] / nf, 2),
+        # fetch_wait split (VERDICT r3 #2): sentinel wait = device
+        # compute (+ anything the tunnel queued ahead); remainder =
+        # pure transfer of the sparse transport
+        "compute_wait_ms_per_frame": round(
+            enc.prof["compute_wait_ms"] / nf, 2),
+        "transfer_ms_per_frame": round(enc.prof["transfer_ms"] / nf, 2),
         "unpack_ms_per_frame": round(enc.prof["unpack_ms"] / nf, 2),
         "entropy_ms_per_frame": round(enc.prof["entropy_ms"] / nf, 2),
         "fetch_kb_per_frame": round(enc.prof["fetch_bytes"] / nf / 1024,
                                     1),
+        "machine_probe_gbps": round(probe_gbps, 2),
     }
     return round(24 / (t1 - t0), 2), b"".join(out), breakdown
 

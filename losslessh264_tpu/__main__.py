@@ -230,6 +230,8 @@ def main(argv=None):
                 f"{st.n_frames} frames, {st.n_fallback_slices} fallback slices",
                 file=sys.stderr,
             )
+    if args.billing and st.bill:
+        print_billing(st, len(data), len(out))
     return 0
 
 

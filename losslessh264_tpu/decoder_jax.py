@@ -406,6 +406,101 @@ def recon_intra_batch(mb_w: int, mb_h: int, planes_b, ref_y, ref_u,
     return jax.vmap(one)(planes_b)
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def _store_refs_k(ref_y, ref_u, ref_v, Yk, Uk, Vk, slots):
+    """Store K frames into the device ring in ONE program (the
+    per-frame `_store_ref` costs a full dispatch each)."""
+    def step(carry, xs):
+        ry, ru, rv = carry
+        Y, U, V, slot = xs
+        py = jnp.pad(Y, PAD, mode="edge")
+        pu = jnp.pad(U, PAD // 2, mode="edge")
+        pv = jnp.pad(V, PAD // 2, mode="edge")
+        ry = jax.lax.dynamic_update_slice(ry, py[None], (slot, 0, 0))
+        ru = jax.lax.dynamic_update_slice(ru, pu[None], (slot, 0, 0))
+        rv = jax.lax.dynamic_update_slice(rv, pv[None], (slot, 0, 0))
+        return (ry, ru, rv), ()
+
+    (ref_y, ref_u, ref_v), _ = jax.lax.scan(
+        step, (ref_y, ref_u, ref_v), (Yk, Uk, Vk, slots))
+    return ref_y, ref_u, ref_v
+
+
+@functools.partial(jax.jit, static_argnames=("mb_w", "mb_h"),
+                   donate_argnums=(3, 4, 5))
+def recon_run(mb_w: int, mb_h: int, planes_k, ref_y, ref_u, ref_v,
+              slots, has_intra_k, diags, diags_sel_k, deblock_k):
+    """K consecutive frames (any I/P mix) reconstructed in ONE scanned
+    device program carrying the DPB ring in the scan carry.
+
+    The per-frame pipeline costs ~5-8 ms of fixed per-dispatch overhead
+    per program on the tunneled device (4-5 programs/frame), capping
+    frame-serial decode at ~30-40 fps regardless of frame size. Ring
+    slot assignment is pure host logic over the symbol layer's ref
+    lists, so a whole run's slots are precomputed and the ring update
+    (pad + dynamic_update_slice, the reference's DPB store + border
+    expansion, decoder_core.cpp:2361-2377) moves inside the scan —
+    one upload + one dispatch per K frames. The intra wavefront runs
+    under lax.cond so frames with no intra MBs skip it.
+
+    Returns (ref_y, ref_u, ref_v, (Y,U,V) per frame as separate
+    buffers — indexing a stacked output later would cost one device
+    dispatch per access)."""
+    k = planes_k["qp"].shape[0]
+
+    def step(carry, xs):
+        ry, ru, rv = carry
+        p, slot, hi, dsel, db = xs
+        Yw, Uw, Vw, res_y, res_u, res_v = _residual_and_inter(
+            mb_w, mb_h, p, ry, ru, rv)
+        # hi: 0 = no intra MBs (skip the wavefront entirely), 1 = very
+        # sparse intra (<=4 populated diagonals), 2 = sparse (<=16),
+        # 3 = dense (full diagonal table). The selected rows ride the
+        # scan xs; the switch makes P frames pay only the diagonals
+        # they populate (a P frame with one intra MB runs 4 wavefront
+        # steps, not the full ~2*mb_h+mb_w).
+        Yw, Uw, Vw = jax.lax.switch(
+            hi,
+            [lambda a: (a[0], a[1], a[2]),
+             lambda a: _intra_scan(mb_w, mb_h, a[0], a[1], a[2], a[3],
+                                   a[4], a[5], a[6], dsel[:4]),
+             lambda a: _intra_scan(mb_w, mb_h, a[0], a[1], a[2], a[3],
+                                   a[4], a[5], a[6], dsel),
+             lambda a: _intra_scan(mb_w, mb_h, a[0], a[1], a[2], a[3],
+                                   a[4], a[5], a[6], diags)],
+            (Yw, Uw, Vw, res_y, res_u, res_v, p))
+        # db: host-proved "every edge has bS == 0" (all-skip frames —
+        # the common case on static content): the whole deblock
+        # wavefront is an identity and is skipped.
+        H, W = mb_h * 16, mb_w * 16
+
+        def crop_only(a):
+            Yw, Uw, Vw, _ = a
+            return (Yw[WPAD:WPAD + H, WPAD:WPAD + W].astype(jnp.uint8),
+                    Uw[WPAD:WPAD + H // 2,
+                       WPAD:WPAD + W // 2].astype(jnp.uint8),
+                    Vw[WPAD:WPAD + H // 2,
+                       WPAD:WPAD + W // 2].astype(jnp.uint8))
+
+        Y, U, V = jax.lax.cond(
+            db,
+            lambda a: _deblock_crop(mb_w, mb_h, a[0], a[1], a[2], a[3]),
+            crop_only, (Yw, Uw, Vw, p))
+        py = jnp.pad(Y, PAD, mode="edge")
+        pu = jnp.pad(U, PAD // 2, mode="edge")
+        pv = jnp.pad(V, PAD // 2, mode="edge")
+        ry = jax.lax.dynamic_update_slice(ry, py[None], (slot, 0, 0))
+        ru = jax.lax.dynamic_update_slice(ru, pu[None], (slot, 0, 0))
+        rv = jax.lax.dynamic_update_slice(rv, pv[None], (slot, 0, 0))
+        return (ry, ru, rv), (Y, U, V)
+
+    (ref_y, ref_u, ref_v), (Yk, Uk, Vk) = jax.lax.scan(
+        step, (ref_y, ref_u, ref_v),
+        (planes_k, slots, has_intra_k, diags_sel_k, deblock_k))
+    outs = tuple((Yk[i], Uk[i], Vk[i]) for i in range(k))
+    return ref_y, ref_u, ref_v, outs
+
+
 # ---------------------------------------------------------------------------
 # device-side DPB ops
 # ---------------------------------------------------------------------------
@@ -459,10 +554,13 @@ class JaxDecoder:
     def _prep_refs(self, mb_w, mb_h):
         H, W = mb_h * 16, mb_w * 16
         if self.ref_y is None or self.ref_y.shape[1] != H + 2 * PAD:
+            # +1 scratch slot: padding frames of a partial batched run
+            # store there without disturbing live references
             self.ref_y = jnp.zeros(
-                (self.MAX_REFS, H + 2 * PAD, W + 2 * PAD), jnp.uint8)
+                (self.MAX_REFS + 1, H + 2 * PAD, W + 2 * PAD), jnp.uint8)
             self.ref_u = jnp.zeros(
-                (self.MAX_REFS, H // 2 + PAD, W // 2 + PAD), jnp.uint8)
+                (self.MAX_REFS + 1, H // 2 + PAD, W // 2 + PAD),
+                jnp.uint8)
             self.ref_v = jnp.zeros_like(self.ref_u)
             self.slot_of = {}
 
@@ -493,19 +591,43 @@ class JaxDecoder:
         out[:len(rows)] = diags[rows]
         return jnp.asarray(out), False
 
-    INTRA_BATCH = 8   # frames per vmapped all-intra run
+    def _intra_sel(self, mb_w, mb_h, intra_mask):
+        """Per-frame intra-pass plan for the scanned run: (kind, sel)
+        with kind 0 = no intra MBs, 1 = very sparse (<=4 populated
+        diagonals), 2 = sparse (<=16, listed in sel [16, Kd]),
+        3 = dense (full table)."""
+        key = (mb_w, mb_h)
+        if key not in self._diag_cache:
+            self._diag_cache[key] = _diagonals(mb_w, mb_h)
+        diags = self._diag_cache[key]
+        sel = np.full((16, diags.shape[1]), -1, np.int32)
+        has = intra_mask[np.maximum(diags, 0)] & (diags >= 0)
+        rows = np.flatnonzero(has.any(axis=1))
+        if len(rows) == 0:
+            return 0, sel
+        if len(rows) > 16 or diags.shape[0] <= 16:
+            return 3, sel
+        sel[:len(rows)] = diags[rows]
+        return 1 if len(rows) <= 4 else 2, sel
+
+    INTRA_BATCH = 16  # frames per batched run (vmapped or scanned):
+                      # per-run dispatch overhead (~8-10 ms through the
+                      # tunnel) amortizes over the run length
 
     def frames(self):
         it = iter(self.sym)
-        buf = []   # pending batchable all-intra frames (same geometry)
+        buf = []   # pending batchable frames (same geometry, undamaged)
         while True:
             try:
                 f = next(it)
             except StopIteration:
-                yield from self._flush_intra(buf)
+                yield from self._flush_run(buf)
                 return
-            except Exception:
-                yield from self._flush_intra(buf)
+            except RuntimeError:
+                # symbol-layer parse error (native.SymbolDecoder raises
+                # RuntimeError; anything else is a real defect and
+                # propagates — ADVICE r3)
+                yield from self._flush_run(buf)
                 # unrecoverable symbol-layer error mid-stream: repeat the
                 # last output once and end (NpDecoder contract)
                 if not self._ec or self.out_idx == 0:
@@ -519,42 +641,52 @@ class JaxDecoder:
                        self.ref_u[prev][cp:-cp, cp:-cp],
                        self.ref_v[prev][cp:-cp, cp:-cp])
                 return
-            if self._batchable_intra(f):
+            if self._batchable(f):
                 if buf and (buf[0]["mb_w"], buf[0]["mb_h"]) != \
                         (f["mb_w"], f["mb_h"]):
-                    yield from self._flush_intra(buf)
+                    yield from self._flush_run(buf)
                     buf = []
                 buf.append(f)
                 if len(buf) == self.INTRA_BATCH:
-                    yield from self._decode_intra_batch(buf)
+                    yield from self._decode_run(buf)
                     buf = []
                 continue
-            yield from self._flush_intra(buf)
+            yield from self._flush_run(buf)
             buf = []
             yield from self._decode_one(f)
 
-    def _batchable_intra(self, f):
-        """Undamaged frames whose every MB is intra read no references —
-        a run of them decodes in one vmapped program (the wavefront's
-        per-diagonal overhead amortizes across the run)."""
-        if f.get("lost_slices", 0) > 0 or not bool(f["decoded"].all()):
-            return False
-        return bool(np.isin(f["mb_class"], [0, 1, 2, 8]).all())
+    def _batchable(self, f):
+        """Undamaged frames join a batched run: a full run of K decodes
+        in ONE device program (vmapped when all-intra, scanned with the
+        DPB ring in the carry otherwise), amortizing the fixed ~5-8 ms
+        per-dispatch overhead that bounds frame-serial decode."""
+        return not (f.get("lost_slices", 0) > 0
+                    or not bool(f["decoded"].all()))
 
-    def _flush_intra(self, buf):
-        """Drain a partial all-intra run through the per-frame path
-        (only the full INTRA_BATCH shape compiles a vmapped program)."""
+    def _flush_run(self, buf):
+        """Drain a partial run. Runs of >=3 are padded to INTRA_BATCH
+        with copies of the last frame targeted at the scratch ring slot
+        (outputs suppressed) so they still ride the single batched
+        program; shorter leftovers use the per-frame path."""
+        if len(buf) >= 3:
+            yield from self._decode_scan_run(buf, pad_to=self.INTRA_BATCH)
+            return
         for f in buf:
             yield from self._decode_one(f)
 
-    def _decode_intra_batch(self, fs):
-        mb_w, mb_h = fs[0]["mb_w"], fs[0]["mb_h"]
-        self._prep_refs(mb_w, mb_h)
-        preps = [self._prep_planes(f) for f in fs]
-        # unify optional-plane presence and coefficient dtypes across
-        # the run (the stacked pytree needs one structure)
+    def _decode_run(self, fs):
+        if all(bool(np.isin(f["mb_class"], [0, 1, 2, 8]).all())
+               for f in fs):
+            yield from self._decode_intra_batch(fs)
+        else:
+            yield from self._decode_scan_run(fs)
+
+    @staticmethod
+    def _unify_stack(preps, fs):
+        """Unify optional-plane presence and coefficient dtypes across
+        a run (the stacked pytree needs one structure), then stack."""
         keys = set()
-        for p, _, _, _ in preps:
+        for p in preps:
             keys |= set(p.keys())
         fill = {"luma8": lambda f: f["luma8"],
                 "pcm": lambda f: f["pcm"],
@@ -562,27 +694,77 @@ class JaxDecoder:
                 "wp_cb": lambda f: f["wp_cb"].astype(np.int16),
                 "wp_cr": lambda f: f["wp_cr"].astype(np.int16),
                 "wp_cmask": lambda f: f["wp_cmask"].astype(np.int8)}
-        for (p, _, _, _), f in zip(preps, fs):
+        for p, f in zip(preps, fs):
             for k in keys - set(p.keys()):
                 p[k] = fill[k](f)
         for k in ("luma_ac", "chroma_ac", "luma8"):
             if k in keys:
-                widest = max(p[k].dtype.itemsize for p, _, _, _ in preps)
+                widest = max(p[k].dtype.itemsize for p in preps)
                 if widest > 1:
-                    for p, _, _, _ in preps:
+                    for p in preps:
                         p[k] = p[k].astype(np.int16)
-        stacked = jax.tree_util.tree_map(
-            lambda *xs: np.stack(xs), *[p for p, _, _, _ in preps])
-        stacked = jax.device_put(stacked)
+        return jax.tree_util.tree_map(
+            lambda *xs: np.stack(xs), *preps)
+
+    def _decode_intra_batch(self, fs):
+        mb_w, mb_h = fs[0]["mb_w"], fs[0]["mb_h"]
+        self._prep_refs(mb_w, mb_h)
+        preps, slots = [], []
+        for f in fs:
+            preps.append(self._prep_planes(f)[0])
+            slots.append(self._assign_slot(f))
+        stacked = jax.device_put(self._unify_stack(preps, fs))
         diags = jnp.asarray(self._diag_cache[(mb_w, mb_h)])
         Yb, Ub, Vb = recon_intra_batch(mb_w, mb_h, stacked, self.ref_y,
                                        self.ref_u, self.ref_v, diags)
+        self.ref_y, self.ref_u, self.ref_v = _store_refs_k(
+            self.ref_y, self.ref_u, self.ref_v, Yb, Ub, Vb,
+            jnp.asarray(slots, jnp.int32))
         for k, f in enumerate(fs):
             self.crop_px = f.get("crop_px", (0, 0, 0, 0))
-            out = self._finish_frame(f, Yb[k], Ub[k], Vb[k],
-                                     damaged=False)
-            if out is not None:
-                yield out
+            if self._advance_output(f, damaged=False):
+                yield Yb[k], Ub[k], Vb[k]
+
+    def _decode_scan_run(self, fs, pad_to=None):
+        """Mixed I/P run: ONE scanned program carrying the DPB ring.
+        Ring slots are precomputed host-side in decode order (slot
+        choice only reads the symbol layer's per-frame ref lists), so
+        frame k's ref remap sees exactly the state the sequential path
+        would. With pad_to, the run is filled out with repeats of the
+        last frame's prepped planes stored to the scratch slot — same
+        program shape, outputs dropped."""
+        mb_w, mb_h = fs[0]["mb_w"], fs[0]["mb_h"]
+        self._prep_refs(mb_w, mb_h)
+        preps, slots, his, sels, dbs = [], [], [], [], []
+        for f in fs:
+            preps.append(self._prep_planes(f)[0])
+            kind, sel = self._intra_sel(
+                mb_w, mb_h, np.isin(f["mb_class"], [0, 1, 2]))
+            his.append(kind)
+            sels.append(sel)
+            dbs.append(self._needs_deblock(f, preps[-1]["nnz"]))
+            slots.append(self._assign_slot(f))
+        n_real = len(fs)
+        pads = fs[:]
+        if pad_to is not None:
+            for _ in range(pad_to - n_real):
+                preps.append(preps[n_real - 1])
+                his.append(his[n_real - 1])
+                sels.append(sels[n_real - 1])
+                dbs.append(dbs[n_real - 1])
+                slots.append(self.MAX_REFS)   # scratch slot
+                pads.append(fs[n_real - 1])
+        stacked = jax.device_put(self._unify_stack(preps, pads))
+        diags = jnp.asarray(self._diag_cache[(mb_w, mb_h)])
+        self.ref_y, self.ref_u, self.ref_v, outs = recon_run(
+            mb_w, mb_h, stacked, self.ref_y, self.ref_u, self.ref_v,
+            jnp.asarray(slots, jnp.int32),
+            jnp.asarray(his, jnp.int32), diags,
+            jnp.asarray(np.stack(sels)), jnp.asarray(dbs))
+        for f, (Y, U, V) in zip(fs, outs[:n_real]):
+            self.crop_px = f.get("crop_px", (0, 0, 0, 0))
+            if self._advance_output(f, damaged=False):
+                yield Y, U, V
 
     def _decode_one(self, f):
         self.crop_px = f.get("crop_px", (0, 0, 0, 0))
@@ -621,15 +803,21 @@ class JaxDecoder:
         if out is not None:
             yield out
 
-    def _finish_frame(self, f, Y, U, V, damaged):
-        """Store the frame in the device ring, advance output state, and
-        return the frame to yield (None while freeze-output holds)."""
-        # Slot choice is liveness-aware: the symbol layer's ref_list
-        # is the frame's full DPB L0 set, so outputs absent from it
-        # (and not the EC-prev) can never be referenced again — a
-        # plain round-robin ring evicted still-live long-term refs
-        # on the MR conformance streams (sticky refs via MMCO).
-        live = set(int(x) for x in (f.get("ref_list") or []))
+    def _assign_slot(self, f):
+        """Pick (and record) the ring slot for the frame about to be
+        stored. Pure host logic over the symbol layer's ref lists —
+        batched runs precompute a whole run's slots with it.
+
+        Slot choice is liveness-aware over the symbol layer's FULL
+        post-marking DPB export (dpb_live): outputs absent from it
+        (and not the EC-prev) can never be referenced again — a
+        plain round-robin ring evicted still-live long-term refs
+        on the MR conformance streams (sticky refs via MMCO), and
+        the L0-truncated ref_list alone dropped long-term pics
+        outside the active range (ADVICE r3: LTR marked >18 frames
+        before recovery)."""
+        live = set(int(x) for x in (f.get("dpb_live") or []))
+        live |= set(int(x) for x in (f.get("ref_list") or []))
         live.add(self.out_idx - 1)
         used = set(self.slot_of.values())
         slot = None
@@ -646,15 +834,28 @@ class JaxDecoder:
         self.slot_of = {oi: sl for oi, sl in self.slot_of.items()
                         if sl != slot}
         self.slot_of[self.out_idx] = slot
+        # out_idx advances HERE (assignment time), not at yield time:
+        # batched runs assign a whole run's slots before any yield, and
+        # each frame's prep must see the preceding frames' assignments
+        self.out_idx += 1
+        return slot
+
+    def _advance_output(self, f, damaged):
+        """Per-frame output bookkeeping; True when the frame is visible.
+        freeze-output: frames suppressed until the first complete
+        error-free IDR decodes (reference decoder_core.cpp:164-167)."""
+        if self._frozen and bool(f.get("is_idr")) and not damaged:
+            self._frozen = False
+        return not self._frozen
+
+    def _finish_frame(self, f, Y, U, V, damaged):
+        """Store the frame in the device ring, advance output state, and
+        return the frame to yield (None while freeze-output holds)."""
+        slot = self._assign_slot(f)
         self.ref_y, self.ref_u, self.ref_v = _store_ref(
             self.ref_y, self.ref_u, self.ref_v, Y, U, V,
             jnp.int32(slot))
-        self.out_idx += 1
-        # freeze-output: frames suppressed until the first complete
-        # error-free IDR decodes (reference decoder_core.cpp:164-167)
-        if self._frozen and bool(f.get("is_idr")) and not damaged:
-            self._frozen = False
-        return None if self._frozen else (Y, U, V)
+        return (Y, U, V) if self._advance_output(f, damaged) else None
 
     def _prep_planes(self, f):
         """Host-side symbol-plane prep for one frame: returns
@@ -749,6 +950,38 @@ class JaxDecoder:
                                              cp:cp + W // 2],
                 np.asarray(self.ref_v[slot])[cp:cp + H // 2,
                                              cp:cp + W // 2])
+
+    @staticmethod
+    def _needs_deblock(f, nnz):
+        """Host-side proof that EVERY edge in the frame has bS == 0, in
+        which case the deblock wavefront is an identity and the scanned
+        run skips it (all-skip P frames on static content — black.264's
+        steady state). Conservative: any intra/PCM MB, any nonzero
+        coefficient, any ref mismatch, or any adjacent-cell MV delta
+        >= 4 quarter-pels keeps the filter on (8.7 bS derivation)."""
+        if (f["deblock_idc"] == 1).all():
+            return False
+        cls = f["mb_class"]
+        if np.isin(cls, [0, 1, 2, 8]).any():
+            return True
+        if nnz.any():
+            return True
+        mb_w, mb_h = f["mb_w"], f["mb_h"]
+
+        def grid(a):
+            return a.reshape(mb_h, mb_w, 4, 4).transpose(0, 2, 1, 3) \
+                    .reshape(mb_h * 4, mb_w * 4).astype(np.int32)
+
+        rg = grid(f["ref_idx"])
+        if (np.diff(rg, axis=0) != 0).any() or \
+                (np.diff(rg, axis=1) != 0).any():
+            return True
+        for comp in range(2):
+            g = grid(f["mv"][:, :, comp])
+            if (np.abs(np.diff(g, axis=0)) >= 4).any() or \
+                    (np.abs(np.diff(g, axis=1)) >= 4).any():
+                return True
+        return False
 
     @staticmethod
     def _nnz_plane(f):

@@ -45,6 +45,8 @@ BILL_NAMES = [
     "luma_ac", "luma_run", "chroma_nz", "chroma_ac", "chroma_run", "pcm",
     "startcode", "nal_hdr", "param_set", "slice_hdr", "trailing",
     "raw_fallback", "container", "other", "luma_ac_sign", "luma_ac_mag",
+    "cabac_cbf", "cabac_sig", "cabac_last", "cabac_sign",
+    "mvd_sub_x", "mvd_sub_y", "chroma_ac_sign", "chroma_ac_mag",
 ]
 
 
@@ -334,7 +336,7 @@ class SymbolDecoder:
                 ctypes.POINTER(ctypes.c_int), ctypes.c_char_p, ctypes.c_size_t,
             ]
             lib.pip_sym_planes.restype = ctypes.c_int
-            lib.pip_sym_planes.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 30
+            lib.pip_sym_planes.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 31
             lib.pip_sym_close.argtypes = [ctypes.c_void_p]
             lib.pip_sym_open._configured = True
         self._lib = lib
@@ -405,6 +407,7 @@ class SymbolDecoder:
         meta = np.zeros(12, np.int32)
         scaling = np.zeros(96 + 384, np.uint8)
         ref_list = np.zeros(19, np.int32)
+        dpb_live = np.zeros(18, np.int32)
         ptr = lambda a: a.ctypes.data_as(ctypes.c_void_p)
         rc = self._lib.pip_sym_planes(
             self._h, ptr(f["mb_class"]), ptr(f["qp"]), ptr(f["cbp_luma"]),
@@ -416,12 +419,15 @@ class SymbolDecoder:
             ptr(f["alpha_off"]), ptr(f["beta_off"]), ptr(meta), ptr(scaling),
             ptr(f["wp_luma"]), ptr(f["wp_cb"]), ptr(f["wp_cr"]),
             ptr(f["wp_cmask"]), ptr(f["ref_idx"]), ptr(f["decoded"]),
-            ptr(f["part_tl"]), ptr(ref_list),
+            ptr(f["part_tl"]), ptr(ref_list), ptr(dpb_live),
         )
         if rc != 0:
             raise RuntimeError("pip_sym_planes failed")
         # frame-level L0 ref list (ref_idx -> output index)
         f["ref_list"] = ref_list[1:1 + int(ref_list[0])].tolist()
+        # full post-marking DPB (eviction liveness — includes long-term
+        # pics outside the active L0 range; ADVICE r3)
+        f["dpb_live"] = dpb_live[1:1 + int(dpb_live[0])].tolist()
         f["use_scaling"] = bool(meta[0])
         f["chroma_qp_offset"] = int(meta[1])
         f["second_chroma_qp_offset"] = int(meta[2])

@@ -156,8 +156,7 @@ def dequant4_pm(coeff_pm, qp_b, w_pm):
     """coeff_pm [16, B] int, qp_b [B] int, w_pm [16, B] weights."""
     qp_b = qp_b.astype(jnp.int32)
     deq = jnp.asarray(DEQ4_V.reshape(6, 16).T)          # [16, 6]
-    ls = w_pm * deq[:, qp_b % 6] if False else w_pm * jnp.take(
-        deq, qp_b % 6, axis=1)                           # [16, B]
+    ls = w_pm * jnp.take(deq, qp_b % 6, axis=1)          # [16, B]
     c = coeff_pm.astype(jnp.int32) * ls
     qdiv = (qp_b // 6)[None, :]
     hi = c << jnp.maximum(qdiv - 4, 0)

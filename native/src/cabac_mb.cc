@@ -214,8 +214,13 @@ static u32 code_egk_bypass(BIO& io, int k, u32 val) {
 
 // mvd component: full UEG3 with neighbor ctx
 template <class BIO>
-static i16 code_mvd(BIO& io, SliceCtx& sc, int cell, int comp, i16 val) {
-  io.set_tag(comp == 0 ? BILL_MVD_X : BILL_MVD_Y);
+static i16 code_mvd(BIO& io, SliceCtx& sc, int cell, int comp, i16 val,
+                    bool sub_part = false) {
+  // bench resolution by partition class: sub-16x16 partitions carry
+  // most of the MVD volume on detailed content and need their own
+  // ledger row to see whether the model's MVD contexts keep up
+  io.set_tag(sub_part ? (comp == 0 ? BILL_MVD_SUB_X : BILL_MVD_SUB_Y)
+                      : (comp == 0 ? BILL_MVD_X : BILL_MVD_Y));
   int base = (comp == 0 ? CTX_MVD_X : CTX_MVD_Y);
   int sum = mvd_nbr_abs(sc, cell, comp, true) + mvd_nbr_abs(sc, cell, comp, false);
   int inc = sum < 3 ? 0 : (sum > 32 ? 2 : 1);
@@ -264,7 +269,11 @@ static int code_cabac_block(BIO& io, SliceCtx& sc, int cat, int cbf_ctx_inc,
     case 4: tag_nz = BILL_CHROMA_NZ; tag_lvl = BILL_CHROMA_AC; break;
     default: tag_nz = BILL_LUMA_NZ; tag_lvl = BILL_LUMA_AC; break;
   }
-  io.set_tag(tag_nz);
+  // luma non-DC blocks bill at sub-decision resolution (cbf / sig /
+  // last / sign) so the bench columns can be compared against our
+  // recompressed position/sign columns one decision class at a time
+  bool sub = (cat == 1 || cat == 2 || cat == 5);
+  io.set_tag(sub ? BILL_CABAC_CBF : tag_nz);
 
   if (!is8x8) {
     int cnt = 0;
@@ -283,6 +292,7 @@ static int code_cabac_block(BIO& io, SliceCtx& sc, int cat, int cbf_ctx_inc,
   int last_base = is8x8 ? CTX_LAST_8X8 : CTX_LAST + kCatOffMap[cat];
   bool sig[64];
   int total = 0;
+  if (sub) io.set_tag(BILL_CABAC_SIG);
   if (BIO::kIsWriter) {
     int last = -1;
     for (int i = 0; i < n; ++i) {
@@ -295,10 +305,12 @@ static int code_cabac_block(BIO& io, SliceCtx& sc, int cat, int cbf_ctx_inc,
     PIP_CHECK(total > 0, "cabac block with no coeffs");
     for (int i = 0; i < n - 1; ++i) {
       int sctx = is8x8 ? kSigCtx8x8[i] : i;
+      if (sub) io.set_tag(BILL_CABAC_SIG);
       io.d(sig_base + sctx, sig[i]);
       if (sig[i]) {
         int lctx = is8x8 ? kLastCtx8x8[i] : i;
         bool is_last = (i == last);
+        if (sub) io.set_tag(BILL_CABAC_LAST);
         io.d(last_base + lctx, is_last);
         if (is_last) break;
       }
@@ -308,10 +320,12 @@ static int code_cabac_block(BIO& io, SliceCtx& sc, int cat, int cbf_ctx_inc,
     bool done = false;
     for (int i = 0; i < n - 1 && !done; ++i) {
       int sctx = is8x8 ? kSigCtx8x8[i] : i;
+      if (sub) io.set_tag(BILL_CABAC_SIG);
       if (io.d(sig_base + sctx, false)) {
         sig[i] = true;
         ++total;
         int lctx = is8x8 ? kLastCtx8x8[i] : i;
+        if (sub) io.set_tag(BILL_CABAC_LAST);
         if (io.d(last_base + lctx, false)) done = true;
       }
     }
@@ -361,7 +375,9 @@ static int code_cabac_block(BIO& io, SliceCtx& sc, int cat, int cbf_ctx_inc,
         if (c1 > 4) c1 = 4;
       }
     }
+    if (sub) io.set_tag(BILL_CABAC_SIGN);
     bool neg = io.byp(BIO::kIsWriter ? coeff[i] < 0 : false);
+    if (sub) io.set_tag(tag_lvl);
     if (!BIO::kIsWriter) coeff[i] = i16(neg ? -i32(rmag) : i32(rmag));
   }
   return total;
@@ -624,7 +640,8 @@ static void code_mb_cabac(BIO& io, SliceCtx& sc, MbRecord& rec) {
     auto do_mvd = [&](int cell, int slot, int w, int h) {
       for (int comp = 0; comp < 2; ++comp) {
         i16 v = code_mvd(io, sc, cell, comp,
-                         BIO::kIsWriter ? rec.mvd[slot][comp] : i16(0));
+                         BIO::kIsWriter ? rec.mvd[slot][comp] : i16(0),
+                         rec.mb_class != MB_P16x16);
         if (!BIO::kIsWriter) rec.mvd[slot][comp] = v;
       }
       int bx = cell & 3, by = cell >> 2;

@@ -57,7 +57,7 @@ int pip_sym_planes(void* hv, u8* mb_class, u8* qp, u8* cbp_l, u8* cbp_c,
                    u8* deblock_idc, i8* aoff, i8* boff, i32* meta,
                    u8* scaling, i16* wp_luma, i16* wp_cb, i16* wp_cr,
                    u8* wp_cmask, i8* ref_idx, u8* decoded, u8* part_tl,
-                   i32* ref_list) {
+                   i32* ref_list, i32* dpb_live) {
   SymHandle* h = static_cast<SymHandle*>(hv);
   const FramePlanes& f = h->cur;
   size_t n = size_t(f.mb_w) * f.mb_h;
@@ -102,6 +102,8 @@ int pip_sym_planes(void* hv, u8* mb_class, u8* qp, u8* cbp_l, u8* cbp_c,
   memcpy(part_tl, f.part_tl.data(), n * 16);
   ref_list[0] = f.n_ref_list;
   memcpy(ref_list + 1, f.ref_list, sizeof(f.ref_list));
+  dpb_live[0] = f.n_dpb_live;
+  memcpy(dpb_live + 1, f.dpb_live, sizeof(f.dpb_live));
   return 0;
 }
 

@@ -489,10 +489,11 @@ static void parse_inter_pred(BitReader& br, SliceCtx& ctx, MbRecord& rec) {
     return r;
   };
   auto read_mvd = [&](int slot) {
+    bool sub = rec.mb_class != MB_P16x16;   // bench MVD-by-partition
     rec.mvd[slot][0] = i16(br.se());
-    bill(BILL_MVD_X);
+    bill(sub ? BILL_MVD_SUB_X : BILL_MVD_X);
     rec.mvd[slot][1] = i16(br.se());
-    bill(BILL_MVD_Y);
+    bill(sub ? BILL_MVD_SUB_Y : BILL_MVD_Y);
   };
   switch (rec.mb_class) {
     case MB_P16x16:

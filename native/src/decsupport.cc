@@ -1048,6 +1048,12 @@ bool SymbolDecoder::next_frame(FramePlanes* out) {
   const Pps& fp = im.pps_map.at(first_sh.pps_id);
   const Sps& fs = im.sps_map.at(fp.sps_id);
   mark_refs(im, fs, first_sh, im.output_idx);
+  // export the post-marking DPB (future frames can only reference
+  // these outputs — the pixel layer's ring-eviction liveness set)
+  out->n_dpb_live = 0;
+  for (auto& p : im.dpb) {
+    if (out->n_dpb_live < 17) out->dpb_live[out->n_dpb_live++] = p.output_idx;
+  }
   ++im.output_idx;
   return true;
 }

@@ -45,9 +45,18 @@ struct FramePlanes {
   // (error_concealment.cpp GetAvilInfoFromCorrectMb:247-355)
   std::vector<u8> part_tl;       // n*16
   // frame-level L0 reference list (ref_idx -> output index, -1 pad) from
-  // the last P slice — what EC's pECRefPic[] indexes
+  // the last P slice — what EC's pECRefPic[] indexes. NB: truncated to
+  // num_ref_idx_l0_active — NOT the full live set (see dpb_live).
   int ref_list[18];
   int n_ref_list = 0;
+  // the FULL DPB after this frame's reference marking (sliding window /
+  // MMCO applied): output indices of every picture still referenceable
+  // by future frames. The pixel layer's ring eviction must keep these
+  // live — ref_list alone drops long-term pics outside the active L0
+  // range (ADVICE r3: LTR marked >18 frames before recovery was
+  // evicted and silently mispredicted).
+  int dpb_live[17];
+  int n_dpb_live = 0;
   std::vector<u8> pcm;           // n*384
   std::vector<u8> slice_id;      // per MB
   std::vector<u8> deblock_idc;   // per MB (from its slice)

@@ -10,6 +10,12 @@
 
 namespace h264pip {
 
+// Container format / model revision. Bump whenever the prior layout or
+// any coding decision changes (ADVICE r3: a stale .pip from an older
+// model otherwise fails later with a misleading reconstruction-CRC
+// error instead of a clear version mismatch). History: 1 = rounds 1-3.
+static const u8 kPipVersion = 2;
+
 // ---------------------------------------------------------------------------
 // Annex-B scanning
 // ---------------------------------------------------------------------------
@@ -192,7 +198,10 @@ const char* bill_tag_name(int tag) {
       "luma_run",     "chroma_nz",   "chroma_ac",   "chroma_run",
       "pcm",          "startcode",   "nal_hdr",     "param_set",
       "slice_hdr",    "trailing",    "raw_fallback", "container",
-      "other",        "luma_ac_sign", "luma_ac_mag"};
+      "other",        "luma_ac_sign", "luma_ac_mag",
+      "cabac_cbf",    "cabac_sig",   "cabac_last",  "cabac_sign",
+      "mvd_sub_x",    "mvd_sub_y",   "chroma_ac_sign",
+      "chroma_ac_mag"};
   return (tag >= 0 && tag < BILL_NUM) ? kNames[tag] : "?";
 }
 
@@ -764,7 +773,7 @@ std::vector<u8> pip_compress(const u8* data, size_t size, bool verify,
   out.push_back('I');
   out.push_back('P');
   out.push_back('T');
-  out.push_back(1);  // version
+  out.push_back(kPipVersion);
   put_varint(out, size);
   put_varint(out, crc32_ieee(data, size));
   put_varint(out, context_size);
@@ -954,7 +963,7 @@ std::vector<u8> pip_compress_sharded(const u8* data, size_t size,
   out.push_back('I');
   out.push_back('P');
   out.push_back('S');
-  out.push_back(1);
+  out.push_back(kPipVersion);
   put_varint(out, size);
   put_varint(out, crc32_ieee(data, size));
   put_varint(out, S);
@@ -986,6 +995,11 @@ std::vector<u8> pip_compress_sharded(const u8* data, size_t size,
 
 static std::vector<u8> decompress_sharded(const u8* data, size_t size,
                                           EngineStats* stats) {
+  PIP_CHECK(data[4] == kPipVersion,
+            "pip version/model-revision mismatch (file " +
+                std::to_string(int(data[4])) + ", this build " +
+                std::to_string(int(kPipVersion)) +
+                "): recompress the original .264 with this build");
   size_t pos = 5;
   u64 orig_size = get_varint(data, size, &pos);
   u64 orig_crc = get_varint(data, size, &pos);
@@ -1038,7 +1052,11 @@ std::vector<u8> pip_decompress(const u8* data, size_t size,
             "bad magic");
   if (data[3] == 'S') return decompress_sharded(data, size, stats);
   PIP_CHECK(data[3] == 'T', "bad magic");
-  PIP_CHECK(data[4] == 1, "bad version");
+  PIP_CHECK(data[4] == kPipVersion,
+            "pip version/model-revision mismatch (file " +
+                std::to_string(int(data[4])) + ", this build " +
+                std::to_string(int(kPipVersion)) +
+                "): recompress the original .264 with this build");
   pos = 5;
   u64 orig_size = get_varint(data, size, &pos);
   u64 orig_crc = get_varint(data, size, &pos);

@@ -63,6 +63,21 @@ enum BillTag {
   // decision kinds. BILL_LUMA_AC keeps the zero/EOB structure bits.
   BILL_LUMA_AC_SIGN,  // AC sign bits
   BILL_LUMA_AC_MAG,   // AC magnitude (unary + exp-golomb tail) bits
+  // CABAC bench-side sub-tags (luma non-DC blocks): the original
+  // stream's position bits resolved into their three decision kinds
+  // plus the bypass sign — the reference bills these separately via
+  // billTo sub-labels (billing.h:6-55); needed to locate which CABAC
+  // decision class leaks vs our recompressed columns.
+  BILL_CABAC_CBF,     // coded_block_flag bits
+  BILL_CABAC_SIG,     // significant_coeff_flag bits
+  BILL_CABAC_LAST,    // last_significant_coeff_flag bits
+  BILL_CABAC_SIGN,    // bypass-coded level sign bits
+  // MVD bench resolution by partition class (16x16 vs smaller): where
+  // motion cost concentrates decides which MVD contexts to deepen
+  BILL_MVD_SUB_X,     // MVDs of sub-16x16 partitions
+  BILL_MVD_SUB_Y,
+  BILL_CHROMA_AC_SIGN,  // chroma AC sign bits (ours)
+  BILL_CHROMA_AC_MAG,   // chroma AC magnitude bits (ours)
   BILL_NUM,
 };
 

@@ -378,14 +378,15 @@ void code_block(IO& io, ModelCtx& mc, int color, int blk, i16* coeff,
     }
     // when every remaining position must be nonzero (nzleft == n - i)
     // the zero bit is deterministic — skip it (both directions know).
-    // Luma decisions bill at sub-tag resolution (zero/sign/magnitude).
+    // All AC decisions bill at sub-tag resolution (zero/sign/magnitude).
     i32 c = code_uegk(io,
                       IO::kIsWriter ? i32(coeff[start + i]) * flip : 0, ap,
                       /*hasZero=*/nzleft < n - i,
-                      color == 0 ? BILL_LUMA_AC_SIGN : -1,
-                      color == 0 ? BILL_LUMA_AC_MAG : -1,
+                      color == 0 ? BILL_LUMA_AC_SIGN : BILL_CHROMA_AC_SIGN,
+                      color == 0 ? BILL_LUMA_AC_MAG : BILL_CHROMA_AC_MAG,
                       /*has_sign_cue=*/flip_cue);
-    if (color == 0) io.set_tag(BILL_LUMA_AC);  // next position's EOB bit
+    // next position's EOB bit bills to the structural AC tag
+    io.set_tag(color == 0 ? BILL_LUMA_AC : BILL_CHROMA_AC);
     c *= flip;
     if (!IO::kIsWriter) coeff[start + i] = i16(c);
     if (c != 0) --nzleft;
@@ -643,8 +644,10 @@ void code_mb_symbols(IO& io, ModelCtx& mc) {
       return a == 0 ? 0 : (a <= 3 ? 1 : 2);
     };
     auto code_mv = [&](int slot) {
+      bool subp = rec.mb_class != MB_P16x16;  // ours MVD-by-partition
       for (int xy = 0; xy < 2; ++xy) {
-        io.set_tag(xy == 0 ? BILL_MVD_X : BILL_MVD_Y);
+        io.set_tag(subp ? (xy == 0 ? BILL_MVD_SUB_X : BILL_MVD_SUB_Y)
+                        : (xy == 0 ? BILL_MVD_X : BILL_MVD_Y));
         // temporal motion-coherence context: the co-located (PAST) MB's
         // MVD magnitude (reference conditions its 200x16 MVD priors on
         // the prior-frame motion the same way, macroblock_model.h:44)

@@ -84,3 +84,37 @@ def test_jax_decode_matches_reference(name):
         Y, U, V = (np.asarray(p) for p in next(it))
         got = zlib.crc32(Y.tobytes() + U.tobytes() + V.tobytes())
         assert got == g["crc32"][i], f"{name} frame {i}: CRC mismatch"
+
+
+@pytest.mark.slow
+def test_jax_ltr_long_gap_eviction():
+    """LTR marked >18 decoded frames before recovery must survive the
+    device ring: the symbol layer's L0 list is truncated to
+    num_ref_idx_l0_active, so liveness keyed on it evicted long-term
+    refs once all 18 ring slots filled (ADVICE r3 medium). Eviction
+    liveness now unions the full post-marking DPB export (dpb_live)."""
+    from losslessh264_tpu import decoder_jax, encoder_jax
+
+    rng = np.random.RandomState(5)
+    bg = rng.randint(0, 255, (160, 200)).astype(np.uint8)
+    n_frames = 24  # > MAX_REFS gap between mark and recovery
+    frames = [
+        (np.ascontiguousarray(bg[i * 2:i * 2 + 48, i * 3:i * 3 + 64]),
+         np.full((24, 32), 100, np.uint8),
+         np.full((24, 32), 200, np.uint8)) for i in range(n_frames)]
+    enc = encoder_jax.JaxEncoder(64, 48, qp=28, ltr=True)
+    data = b""
+    for i, f in enumerate(frames):
+        if i == 1:
+            enc.mark_ltr()
+        if i == n_frames - 1:
+            enc.recover_from_ltr()
+        data += enc.encode_frame(*f)
+    ref = list(decoder_np.NpDecoder(data, error_concealment=False).frames())
+    got = list(decoder_jax.JaxDecoder(data,
+                                      error_concealment=False).frames())
+    assert len(got) == len(ref) == n_frames
+    for i, (g, r) in enumerate(zip(got, ref)):
+        for a, b, pl in zip(g, r, "YUV"):
+            np.testing.assert_array_equal(np.asarray(a), b,
+                                          err_msg=f"frame {i} plane {pl}")
