@@ -93,6 +93,13 @@ def main():
         extra["kernels"] = _kernel_report()
     except Exception as e:
         extra["kernels"] = {"error": f"{type(e).__name__}: {e}"}
+    # encoder-vs-reference-encoder comparison (bytes + PSNR at matched
+    # QP): produced by tools/encoder_vs_ref.py (builds and runs the
+    # reference h264enc), committed as evidence/ENCVSREF.json
+    ev = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "evidence", "ENCVSREF.json")
+    if os.path.exists(ev):
+        extra["encoder_vs_ref"] = json.load(open(ev))
 
     result = {
         "metric": "roundtrip_compress_fps_tibby",

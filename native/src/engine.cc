@@ -333,8 +333,11 @@ static void cavlc_model_slice(StreamWriter& io, WalkState& ws,
         ++mb_index;
       }
       if (run > 0) {
+        // addr already points at the NEXT uncoded MB (the skip loop
+        // advanced it): end is deterministic iff the walk is exhausted
         bool end = (k == recs.size());
-        code_end_bit(io, *ws.model, mb_index, /*after_skip=*/true, end);
+        code_end_bit(io, *ws.model, mb_index, ws.pic.num_mbs() - addr,
+                     addr >= ws.pic.num_mbs(), /*after_skip=*/true, end);
         if (end) break;
       }
     }
@@ -352,8 +355,10 @@ static void cavlc_model_slice(StreamWriter& io, WalkState& ws,
     ++mb_index;
     if (stats) ++stats->n_mbs;
     bool end = (k == recs.size());
-    code_end_bit(io, *ws.model, mb_index, /*after_skip=*/false, end);
-    addr = next_mb_address(ws.pic, addr);
+    int nxt = next_mb_address(ws.pic, addr);
+    code_end_bit(io, *ws.model, mb_index, ws.pic.num_mbs() - 1 - addr,
+                 nxt >= ws.pic.num_mbs(), /*after_skip=*/false, end);
+    addr = nxt;
     if (end) break;
   }
 }
@@ -403,9 +408,12 @@ static void cabac_model_slice(IO& io, WalkState& ws, const Sps& sps,
     ws.fi.store(addr % w, addr / w, *rec);
     if (!IO::kIsWriter) recs->push_back(*rec);
     ++k;
-    bool end = code_end_bit(io, *ws.model, int(k), /*after_skip=*/false,
+    int nxt = next_mb_address(ws.pic, addr);
+    bool end = code_end_bit(io, *ws.model, int(k),
+                            ws.pic.num_mbs() - 1 - addr,
+                            nxt >= ws.pic.num_mbs(), /*after_skip=*/false,
                             IO::kIsWriter ? (k == recs->size()) : false);
-    addr = next_mb_address(ws.pic, addr);
+    addr = nxt;
     if (end) break;
   }
 }
@@ -448,7 +456,9 @@ static std::vector<u8> recode_slice_cavlc(StreamReader& io, WalkState& ws,
         ++mb_index;
       }
       if (run > 0) {
-        bool end = code_end_bit(io, *ws.model, mb_index, true, false);
+        bool end = code_end_bit(io, *ws.model, mb_index,
+                                ws.pic.num_mbs() - addr,
+                                addr >= ws.pic.num_mbs(), true, false);
         if (end) break;
       }
     }
@@ -466,8 +476,11 @@ static std::vector<u8> recode_slice_cavlc(StreamReader& io, WalkState& ws,
     sc.commit(rec);
     ws.fi.store(addr % w, addr / w, rec);
     ++mb_index;
-    bool end = code_end_bit(io, *ws.model, mb_index, false, false);
-    addr = next_mb_address(ws.pic, addr);
+    int nxt = next_mb_address(ws.pic, addr);
+    bool end = code_end_bit(io, *ws.model, mb_index,
+                            ws.pic.num_mbs() - 1 - addr,
+                            nxt >= ws.pic.num_mbs(), false, false);
+    addr = nxt;
     if (end) break;
   }
   bw.rbsp_trailing_bits();

@@ -133,7 +133,11 @@ struct Model {
   DcPrior chroma_dc[8][3];
   NzPrior nz_4x4[3][3][5][5][5];  // [color][clsb(<=2)][past][left][above]
   NzPrior nz_8x8[5][5][5];        // [past][left][above]
-  AcPrior ac_4x4[3][2][16][12][5][12];  // [color][intra][scan][nzleft][prev]
+  // [color][intra][scan][nzleft][prev][ctx2]; ctx2 = (pastmag*4 + runb)
+  // + 12*gt1seen — gt1seen (any |coeff| > 1 coded so far in the block)
+  // is the CABAC c2-analog block-energy cue the magnitude coder needs
+  // to stop overpaying on large-level blocks (tibbycabac mag column)
+  AcPrior ac_4x4[3][2][16][12][5][24];
                                       // [pastnz*2 + (prev2 != 0)]
                                       // (a 0/|1|/>=2 past-magnitude bucket
                                       // was measured WORSE: QP changes
@@ -142,7 +146,7 @@ struct Model {
                                       // 4-way energy dim likewise WORSE
                                       // — context dilution on short
                                       // streams)
-  AcPrior ac_8x8[32][12][5][12];        // [scan>>2][nzleft][prev][same]
+  AcPrior ac_8x8[32][12][5][24];        // [scan>>2][nzleft][prev][same]
   BranchPrior<8> pcm_byte[3];         // [plane]
 
   Model() = default;
@@ -296,6 +300,7 @@ void code_block(IO& io, ModelCtx& mc, int color, int blk, i16* coeff,
   int nzleft = nonzeros;
   i32 prev = 0, prev2 = 0;
   int runz = 0;  // consecutive zeros immediately before position i
+  int gt1seen = 0;  // any |coeff| > 1 coded so far (CABAC c2 analog)
   const MbRecord* past = mc.past;
   // Forward scan with early stop: positions after the last nonzero are
   // implied zero. (Measured BETTER than the reference's reverse-zigzag
@@ -368,7 +373,7 @@ void code_block(IO& io, ModelCtx& mc, int color, int blk, i16* coeff,
     int a_ = std::abs(int(prev));
     int prevb = a_ >= 5 ? 4 : (a_ >= 3 ? 3 : a_);
     int runb = runz >= 3 ? 3 : runz;
-    int ctx2 = pastmag * 4 + runb;
+    int ctx2 = pastmag * 4 + runb + 12 * gt1seen;
     AcPrior* ap;
     if (IS8x8) {
       ap = &M.ac_8x8[(start + i) >> 1][std::min(11, nzleft)][prevb][ctx2];
@@ -390,6 +395,7 @@ void code_block(IO& io, ModelCtx& mc, int color, int blk, i16* coeff,
     c *= flip;
     if (!IO::kIsWriter) coeff[start + i] = i16(c);
     if (c != 0) --nzleft;
+    if (c > 1 || c < -1) gt1seen = 1;
     prev2 = prev;
     prev = c;
     runz = c == 0 ? runz + 1 : 0;
@@ -773,10 +779,22 @@ inline int code_skip_run(IO& io, Model& M, FreqImage& fi, int mbx, int mby,
 }
 
 template <class IO>
-inline bool code_end_bit(IO& io, Model& M, int mb_index, bool after_skip,
-                         bool end) {
-  DynProb* p = after_skip ? &M.end_bit_skip[std::min(mb_index, 2047)]
-                          : &M.end_bit[std::min(mb_index, 2047)];
+inline bool code_end_bit(IO& io, Model& M, int mb_index, int remain,
+                         bool last_possible, bool after_skip, bool end) {
+  // No further MB exists in this frame's walk: the end symbol is
+  // deterministic — skip it (both directions know the walk).
+  if (last_possible) {
+    PIP_CHECK(!IO::kIsWriter || end, "records continue past frame end");
+    return true;
+  }
+  // Near the frame end the remaining-MB count is THE cue (slices end
+  // at the frame edge on single-slice streams); far from it, the
+  // per-slice MB index captures fixed-size slicing. The old pure
+  // mb_index context spent ~2x the reference's end_of_slice bits
+  // re-learning the frame length at every position.
+  DynProb* base = after_skip ? M.end_bit_skip : M.end_bit;
+  DynProb* p = remain <= 8 ? &base[remain]
+                           : &base[9 + std::min(mb_index, 2038)];
   io.set_tag(BILL_END);
   return io.bit(end, p);
 }

@@ -74,14 +74,18 @@ def test_inter_layer_prediction_beats_simulcast():
     SimulcastDecoder recombination must reach sane fidelity."""
     from losslessh264_tpu.simulcast import SimulcastDecoder
 
-    # smooth, cross-scale-correlated content (gradients + slow motion)
+    # smooth, cross-scale-correlated content (gradients + slow motion).
+    # NB: no %256 wraps — a wrap edge saturates the inter-layer residual
+    # and the per-MB mode decision rightly falls those MBs back to
+    # source coding (the point of the adaptive mode), which is not what
+    # this test measures.
     H, W = 64, 96
     yy, xx = np.mgrid[0:H, 0:W]
     frames = []
     for i in range(4):
-        Y = ((xx * 2 + yy + i * 3) % 256).astype(np.uint8)
-        U = ((xx + 64) % 256)[:H // 2, :W // 2].astype(np.uint8)
-        V = ((yy + 128) % 256)[:H // 2, :W // 2].astype(np.uint8)
+        Y = ((xx * 2 + yy) // 2 + i * 3).astype(np.uint8)
+        U = (xx // 2 + 64)[:H // 2, :W // 2].astype(np.uint8)
+        V = (yy + 128)[:H // 2, :W // 2].astype(np.uint8)
         frames.append((Y, U, V))
 
     enh_plain = b""
@@ -114,3 +118,49 @@ def test_inter_layer_prediction_beats_simulcast():
     mse = np.mean((got.astype(np.float64) - ref) ** 2)
     psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-9))
     assert psnr > 30, f"ILP recombination PSNR {psnr:.1f}"
+
+
+def test_inter_layer_saturated_content_parity():
+    """High-contrast content whose residual saturates: the old
+    whole-frame clip(resid+128) silently flattened it (ADVICE r3). The
+    per-MB mode plane must fall such MBs back to source coding, making
+    ILP pixel-identical to plain simulcast there — and never worse."""
+    from losslessh264_tpu.simulcast import SimulcastDecoder
+
+    H, W = 64, 96
+    rng = np.random.RandomState(3)
+    # checkerboard of 0/255 16px tiles: downsampling+upsampling the base
+    # makes mid-grey predictions, so residuals reach +-255 everywhere
+    yy, xx = np.mgrid[0:H, 0:W]
+    board = (((yy // 16) + (xx // 16)) % 2 * 255).astype(np.uint8)
+    frames = []
+    for i in range(3):
+        Y = np.roll(board, i, axis=1)
+        U = np.full((H // 2, W // 2), 60, np.uint8)
+        V = ((xx[:H // 2, :W // 2] // 8 % 2) * 255).astype(np.uint8)
+        frames.append((Y, np.ascontiguousarray(U),
+                       np.ascontiguousarray(V)))
+
+    def fidelity(enc):
+        streams = [b"", b""]
+        for f in frames:
+            for i, p in enumerate(enc.encode_frame_layers(*f)):
+                streams[i] += p
+        dec = SimulcastDecoder(streams, error_concealment=False)
+        outs = list(dec.frames())
+        assert len(outs) == len(frames)
+        se = n = 0
+        for (gy, gu, gv), (sy, su, sv) in zip(outs, frames):
+            for a, b in ((gy, sy), (gu, su), (gv, sv)):
+                d = a.astype(np.float64) - b.astype(np.float64)
+                se += (d * d).sum()
+                n += d.size
+        return 10 * np.log10(255 ** 2 / max(se / n, 1e-9))
+
+    plain = fidelity(SimulcastEncoder(W, H, spatial_layers=2, qp=30))
+    ilp = fidelity(SimulcastEncoder(W, H, spatial_layers=2, qp=30,
+                                    inter_layer=True))
+    # saturating MBs take source mode, so ILP fidelity tracks plain
+    # simulcast instead of collapsing (whole-frame residual clip lost
+    # ~all contrast here: the old path measured far below this)
+    assert ilp >= plain - 0.1, (ilp, plain)
