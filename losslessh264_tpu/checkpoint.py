@@ -158,7 +158,7 @@ class CheckpointedCompressor:
                     for i in range(len(self.ranges))]
         if len(payloads) == 1:
             return payloads[0]
-        out = bytearray(b"PIPS\x01")
+        out = bytearray(b"PIPS") + bytes([native.container_version()])
         out += _varint(len(self.data))
         out += _varint(_crc32_ieee(self.data))
         out += _varint(len(payloads))

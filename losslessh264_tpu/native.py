@@ -132,8 +132,17 @@ def load():
     lib.pip_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
     lib.pip_selftest_arith.restype = ctypes.c_int
     lib.pip_selftest_arith.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
+    lib.pip_version_c.restype = ctypes.c_int
     _lib = lib
     return lib
+
+
+def container_version() -> int:
+    """The native engine's .pip format/model revision byte. Python-side
+    container assemblers (checkpoint, multihost shard assembly) write
+    this instead of hardcoding it — a mismatch makes decompress reject
+    the file with a clear version error."""
+    return int(load().pip_version_c())
 
 
 def _stats_from(c: PipStats) -> Stats:

@@ -73,7 +73,7 @@ def assemble(data: bytes, payloads: dict[int, bytes],
     ordered = [payloads[i] for i in range(len(plan))]
     if len(ordered) == 1:
         return ordered[0]
-    out = bytearray(b"PIPS\x01")
+    out = bytearray(b"PIPS") + bytes([native.container_version()])
     out += _varint(len(data))
     out += _varint(zlib.crc32(data) & 0xFFFFFFFF)
     out += _varint(len(ordered))

@@ -44,6 +44,7 @@ static void copy_bill(PipStats* o, const EngineStats& st) {
 }
 
 int pip_bill_num_c() { return BILL_NUM; }
+int pip_version_c() { return int(pip_container_version()); }
 const char* pip_bill_name_c(int tag) { return bill_tag_name(tag); }
 
 int pip_compress_c(const u8* data, size_t size, int verify, u8** out,

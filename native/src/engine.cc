@@ -16,6 +16,8 @@ namespace h264pip {
 // error instead of a clear version mismatch). History: 1 = rounds 1-3.
 static const u8 kPipVersion = 2;
 
+u8 pip_container_version() { return kPipVersion; }
+
 // ---------------------------------------------------------------------------
 // Annex-B scanning
 // ---------------------------------------------------------------------------

@@ -102,6 +102,12 @@ struct EngineStats {
 
 const char* bill_tag_name(int tag);
 
+// Container format / model revision byte written into every .pip
+// header (PIPT/PIPS). Python-side assemblers (checkpoint, multihost
+// shard assembly) must write the same byte — they read it via the
+// pip_version_c C export instead of hardcoding it.
+u8 pip_container_version();
+
 // Compress an Annex-B .264 stream into the .pip container.
 // Throws PipError on malformed input. `verify` re-synthesizes every slice
 // during compression and asserts bit-equality with the original.

@@ -140,9 +140,9 @@ SliceNum 1
     return open(out264, "rb").read(), dt
 
 
-def run_ours(frames, W, H):
+def run_ours(frames, W, H, qp):
     from losslessh264_tpu import encoder_jax
-    enc = encoder_jax.JaxEncoder(W, H, qp=QP)
+    enc = encoder_jax.JaxEncoder(W, H, qp=qp)
     t0 = time.time()
     out = [enc.encode_frame(*frames[0])]
     out += enc.encode_frames(frames[1:])
@@ -159,18 +159,40 @@ def main():
         write_yuv(src, yuv_path)
         ref_bytes, ref_s = run_reference(enc, name, yuv_path, W, H,
                                          len(src))
-        ours_bytes, ours_s = run_ours(src, W, H)
         ref_dec = decode_to_yuv_bytes(ref_bytes)
-        ours_dec = decode_to_yuv_bytes(ours_bytes)
+        ref_p = psnr(src, ref_dec)
+        # our rate-distortion curve: the reference at the same nominal
+        # QP lands at a lower PSNR (deadzone quant / psy rounding), so
+        # the honest comparison is BITS AT EQUAL PSNR — sweep our QP
+        # around it and interpolate our bits at the reference's PSNR
+        pts = []
+        for q in (QP, QP + 1, QP + 2, QP + 3):
+            ob, osec = run_ours(src, W, H, q)
+            op = psnr(src, decode_to_yuv_bytes(ob))
+            pts.append({"qp": q, "bytes": len(ob),
+                        "psnr": round(op, 3),
+                        "fps_incl_compile": round(len(src) / osec, 1)})
+        # linear interpolation of log(bits) over psnr
+        import math
+        eq_bits = None
+        for a, b in zip(pts, pts[1:]):
+            lo, hi = min(a["psnr"], b["psnr"]), max(a["psnr"], b["psnr"])
+            if lo <= ref_p <= hi and hi > lo:
+                t = (ref_p - a["psnr"]) / (b["psnr"] - a["psnr"])
+                eq_bits = math.exp(
+                    math.log(a["bytes"]) * (1 - t)
+                    + math.log(b["bytes"]) * t)
+                break
         r = {
             "frames": len(src),
             "ref_bytes": len(ref_bytes),
-            "ours_bytes": len(ours_bytes),
-            "bytes_ratio": round(len(ours_bytes) / len(ref_bytes), 3),
-            "ref_psnr": round(psnr(src, ref_dec), 3),
-            "ours_psnr": round(psnr(src, ours_dec), 3),
+            "ref_psnr": round(ref_p, 3),
             "ref_fps": round(len(src) / ref_s, 1),
-            "ours_fps": round(len(src) / ours_s, 1),
+            "ours": pts,
+            "ours_bytes_at_ref_psnr": (round(eq_bits)
+                                       if eq_bits else None),
+            "bytes_ratio_at_equal_psnr": (
+                round(eq_bits / len(ref_bytes), 3) if eq_bits else None),
         }
         result["streams"][name] = r
         print(name, json.dumps(r))
