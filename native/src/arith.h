@@ -217,9 +217,15 @@ struct IntPriorT {
 template <int THRESH, int M, int E, int MEXP, int ORDER>
 struct UEGkPriorT {
   DynProb zero;
-  DynProb sign;    // used when a sign-prediction cue flipped the value
+  DynProb sign;    // used when a STRONG sign-prediction cue flipped the
+                   // value (co-located PAST / neighbor-block value)
   DynProb sign0;   // used when no cue exists (stays near 50/50 without
                    // polluting the flipped prior's statistics)
+  DynProb sign_w;  // weak cue (previous coefficient in this block):
+                   // real but much less reliable than the strong cues —
+                   // sharing its statistics with `sign` diluted both
+  DynProb sign_n;  // neighbor-block cue (left/above same position):
+                   // spatial sign coherence, between past and weak
   UnaryPrior<M> first;
   IntPriorT<E, MEXP, ORDER> tail;
 };
@@ -352,14 +358,19 @@ inline i32 code_int(IO& io, i32 val, IntPriorT<E, MEXP, ORDER>* prior,
 template <class IO, int THRESH, int M, int E, int MEXP, int ORDER>
 inline i32 code_uegk(IO& io, i32 val, UEGkPriorT<THRESH, M, E, MEXP, ORDER>* prior,
                      bool hasZero, int tag_sign = -1, int tag_mag = -1,
-                     bool has_sign_cue = true) {
+                     int sign_cue = 1) {
   if (hasZero) {
     bool z = io.bit(val == 0, &prior->zero);
     if (z) return 0;
   }
   if (tag_sign >= 0) io.set_tag(tag_sign);
-  bool neg = io.bit(val < 0,
-                    has_sign_cue ? &prior->sign : &prior->sign0);
+  DynProb* sp = sign_cue == 0
+                    ? &prior->sign0
+                    : (sign_cue == 2
+                           ? &prior->sign_w
+                           : (sign_cue == 3 ? &prior->sign_n
+                                            : &prior->sign));
+  bool neg = io.bit(val < 0, sp);
   if (tag_mag >= 0) io.set_tag(tag_mag);
   u32 mag = IO::kIsWriter ? u32(val < 0 ? -val : val) : 0;
   int first = code_unary(io, IO::kIsWriter ? int(mag - 1) : 0, &prior->first, THRESH);

@@ -311,6 +311,7 @@ void code_block(IO& io, ModelCtx& mc, int color, int blk, i16* coeff,
     int pastmag = 2;  // no-past bucket (must stay < 3: ctx2 dim is [12])
     int flip = 1;
     bool flip_cue = false;
+    bool nbr_cue = false;  // cue came from a spatial neighbor block
     if (past) {
       i16 pv = 0;
       if (IS8x8) {
@@ -352,6 +353,7 @@ void code_block(IO& io, ModelCtx& mc, int color, int blk, i16* coeff,
         }
         if (lv != 0) {
           flip_cue = true;
+          nbr_cue = true;
           if (lv < 0) flip = -1;
         }
       } else {
@@ -360,14 +362,15 @@ void code_block(IO& io, ModelCtx& mc, int color, int blk, i16* coeff,
         else if (mc.left) { ln = mc.left; lblk = by * 2 + 1; }
         if (ln) {
           i16 lv = ln->chroma_ac[(color - 1) * 4 + lblk][start + i];
-          flip_cue = flip_cue || lv != 0;
+          if (lv != 0) { flip_cue = true; nbr_cue = true; }
           if (lv < 0) flip = -1;
         }
       }
     }
+    int cue_kind = flip_cue ? (nbr_cue ? 3 : 1) : 0;
     if (!flip_cue && prev != 0) {
-      // last-resort cue: previous coefficient's sign in this block
-      flip_cue = true;
+      // last-resort WEAK cue: previous coefficient's sign in this block
+      cue_kind = 2;
       if (prev < 0) flip = -1;
     }
     int a_ = std::abs(int(prev));
@@ -389,7 +392,7 @@ void code_block(IO& io, ModelCtx& mc, int color, int blk, i16* coeff,
                       /*hasZero=*/nzleft < n - i,
                       color == 0 ? BILL_LUMA_AC_SIGN : BILL_CHROMA_AC_SIGN,
                       color == 0 ? BILL_LUMA_AC_MAG : BILL_CHROMA_AC_MAG,
-                      /*has_sign_cue=*/flip_cue);
+                      /*sign_cue=*/cue_kind);
     // next position's EOB bit bills to the structural AC tag
     io.set_tag(color == 0 ? BILL_LUMA_AC : BILL_CHROMA_AC);
     c *= flip;
