@@ -44,9 +44,16 @@ def test_ledger_feature_split():
 def test_ledger_cabac():
     data = open(reference_stream("tibbycabac.264"), "rb").read()
     _, st = native.compress(data, verify=False)
-    for tag in ("mb_type", "skip", "luma_nz", "luma_ac", "cbp_luma",
-                "qp_delta", "ref_idx"):
+    # luma position bits bill at sub-decision resolution on CABAC
+    # streams (cbf / significance / last / bypass sign), matching the
+    # reference's billTo granularity — not the merged luma_nz row
+    for tag in ("mb_type", "skip", "cabac_cbf", "cabac_sig",
+                "cabac_last", "cabac_sign", "luma_ac", "cbp_luma",
+                "qp_delta", "ref_idx", "mvd_sub_x"):
         assert st.bench.get(tag, 0) > 0, f"bench[{tag}] empty"
+    assert st.bench.get("luma_nz", 0) == 0  # fully resolved into sub-tags
+    # both ledgers still sum exactly to their file sizes
+    assert round(sum(st.bench.values())) == 8 * len(data)
 
 
 def test_ledger_sharded():
