@@ -1,11 +1,16 @@
 """Roundtrip + TPU benchmark vs the reference's committed baselines
 (BASELINE.md / walk.stats).
 
-Prints ONE JSON line:
+Prints ONE COMPACT JSON line (the driver captures only a ~2000-byte
+stdout tail — VERDICT r4 #4):
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
+with extra holding just the gate numbers (savings, decompress fps,
+encode/decode fps + same-run probe + degraded flags) and pointers to
+evidence/BENCH_FULL.json (the complete record, written every run) and
+evidence/JAXSWEEP.json (committed healthy-state decode evidence).
 
 Headline: roundtrip compress frames/s on tibby.264 vs the reference's
-103.5 fps (walk.stats:27). extra carries:
+103.5 fps (walk.stats:27). BENCH_FULL.json carries:
   - decompress fps, savings (vs reference ratio),
   - long-stream gate (tests/data/walk_analog.264, the walk.264 analog:
     1000 frames 640x352): compress/decompress fps + savings + bit-exact,
@@ -63,8 +68,9 @@ def _roundtrip(path, reps):
 
 
 def main():
+    here = os.path.dirname(os.path.abspath(__file__))
     r = _roundtrip(STREAM, reps=5)
-    extra = {
+    full = {
         "decompress_fps": r["decompress_fps"],
         "savings": r["savings"],
         "savings_vs_ref": round(r["savings"] / REF_SAVINGS, 3),
@@ -72,7 +78,7 @@ def main():
     }
     if os.path.exists(LONG):
         lr = _roundtrip(LONG, reps=1)
-        extra["longstream"] = {
+        full["longstream"] = {
             "frames": lr["frames"],
             "compress_fps": lr["compress_fps"],
             "decompress_fps": lr["decompress_fps"],
@@ -83,24 +89,58 @@ def main():
                 lr["decompress_fps"] / REF_WALK_DECOMPRESS_FPS, 2),
         }
     enc_fps, stream_720p, enc_breakdown = _bench_encode_720p()
-    extra["encode_720p_fps"] = enc_fps
-    extra["encode_720p_breakdown"] = enc_breakdown
+    full["encode_720p_fps"] = enc_fps
+    full["encode_720p_breakdown"] = enc_breakdown
     try:
-        extra["decode"] = _bench_decode(stream_720p)
+        full["decode"] = _bench_decode(stream_720p)
     except Exception as e:  # decode bench must not kill the headline
-        extra["decode"] = {"error": f"{type(e).__name__}: {e}"}
+        full["decode"] = {"error": f"{type(e).__name__}: {e}"}
     try:
-        extra["kernels"] = _kernel_report()
+        full["kernels"] = _kernel_report()
     except Exception as e:
-        extra["kernels"] = {"error": f"{type(e).__name__}: {e}"}
+        full["kernels"] = {"error": f"{type(e).__name__}: {e}"}
     # encoder-vs-reference-encoder comparison (bytes + PSNR at matched
     # QP): produced by tools/encoder_vs_ref.py (builds and runs the
     # reference h264enc), committed as evidence/ENCVSREF.json
-    ev = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                      "evidence", "ENCVSREF.json")
+    ev = os.path.join(here, "evidence", "ENCVSREF.json")
     if os.path.exists(ev):
-        extra["encoder_vs_ref"] = json.load(open(ev))
+        full["encoder_vs_ref"] = json.load(open(ev))
 
+    # VERDICT r4 #4: the driver captures only a ~2000-byte tail of
+    # stdout, so the printed line must stay COMPACT — headline + gate
+    # numbers.  The complete record goes to evidence/BENCH_FULL.json.
+    full_path = os.path.join(here, "evidence", "BENCH_FULL.json")
+    os.makedirs(os.path.dirname(full_path), exist_ok=True)
+    with open(full_path, "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+
+    dec = full.get("decode", {})
+    compact_dec = {}
+    for name, row in dec.items():
+        if not isinstance(row, dict) or "fps" not in row:
+            continue
+        cd = {"fps": row["fps"]}
+        if "vs_ref_decompress" in row:
+            cd["vs_ref"] = row["vs_ref_decompress"]
+        if "degraded" in row:
+            cd["degraded"] = row["degraded"]
+        compact_dec[name] = cd
+    extra = {
+        "savings": r["savings"],
+        "decompress_fps": r["decompress_fps"],
+        "encode_720p_fps": enc_fps,
+        "encode_probe_gbps": enc_breakdown.get("machine_probe_gbps"),
+        "decode": compact_dec,
+        "decode_probe_gbps": dec.get("machine_probe_gbps"),
+        # decode rows with degraded:true reflect a collapsed shared
+        # device, not the code — the committed healthy-state record is:
+        "healthy_evidence": "evidence/JAXSWEEP.json",
+        "full": "evidence/BENCH_FULL.json",
+    }
+    if "longstream" in full:
+        extra["longstream_compress_fps"] = \
+            full["longstream"]["compress_fps"]
+        extra["longstream_savings"] = full["longstream"]["savings"]
     result = {
         "metric": "roundtrip_compress_fps_tibby",
         "value": r["compress_fps"],
@@ -108,7 +148,9 @@ def main():
         "vs_baseline": round(r["compress_fps"] / REF_COMPRESS_FPS, 3),
         "extra": extra,
     }
-    print(json.dumps(result))
+    line = json.dumps(result)
+    assert len(line) < 1900, f"bench line too long ({len(line)} bytes)"
+    print(line)
 
 
 def _make_720p_frames(n):
@@ -177,10 +219,35 @@ def _bench_encode_720p():
     return round(24 / (t1 - t0), 2), b"".join(out), breakdown
 
 
+def _probe_gbps():
+    """Same-run machine-state probe (elementwise bandwidth through the
+    shared axon device).  Healthy sessions measure O(100+) GB/s;
+    a collapsed device measures < ~1 GB/s and poisons every TPU fps
+    number in the same run (observed range 0.26-1544 GB/s across
+    rounds)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    probe = jnp.ones((2048, 2048), jnp.int32)
+    pf = jax.jit(lambda x: x + 1)
+    np.asarray(pf(probe))
+    t = time.perf_counter()
+    r = probe
+    for _ in range(5):
+        r = pf(r)
+    np.asarray(r).ravel()[:1]
+    return 2 * probe.nbytes * 5 / (time.perf_counter() - t) / 1e9
+
+
 def _bench_decode(stream_720p):
     """JaxDecoder (TPU pixel pipeline) YUV throughput. Reference
     comparison: the reference's own decompress-side fps on the same
-    streams (walk.stats; its pure-decode fps is not published)."""
+    streams (walk.stats; its pure-decode fps is not published).  Every
+    row carries the same-run machine probe and a degraded flag (VERDICT
+    r4 #4) so a collapsed shared device can't be misread as a code
+    regression; the committed healthy-state record is
+    evidence/JAXSWEEP.json."""
     import numpy as np
 
     from losslessh264_tpu import decoder_jax
@@ -198,14 +265,18 @@ def _bench_decode(stream_720p):
         np.asarray(Y)
         return n / (time.perf_counter() - t0)
 
-    out = {}
+    probe = _probe_gbps()
+    degraded = probe < 1.0
+    out = {"machine_probe_gbps": round(probe, 2)}
     for name, path, ref_fps in (
             ("tibby", "/root/reference/roundtriptest/tibby.264", 60.8),
             ("black", "/root/reference/roundtriptest/black.264", 87.9)):
         fps = sustained(open(path, "rb").read())
         out[name] = {"fps": round(fps, 2),
-                     "vs_ref_decompress": round(fps / ref_fps, 2)}
-    out["synth_720p"] = {"fps": round(sustained(stream_720p), 2)}
+                     "vs_ref_decompress": round(fps / ref_fps, 2),
+                     "degraded": degraded}
+    out["synth_720p"] = {"fps": round(sustained(stream_720p), 2),
+                         "degraded": degraded}
     return out
 
 

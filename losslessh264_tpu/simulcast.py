@@ -98,9 +98,11 @@ def _split_ilp_seis(stream):
         if j < 0:
             break
         k = stream.find(b"\x00\x00\x01", j + 3)
-        # back off trailing zeros that belong to the next start code
+        # back off trailing zeros that form the NEXT start code's prefix
+        # (at most one for a 4-byte start code) — further zeros can
+        # legally belong to this NAL (cabac_zero_words) and must stay
         end = n if k < 0 else k
-        while end > j + 3 and k >= 0 and stream[end - 1] == 0:
+        if k >= 0 and end > j + 3 and stream[end - 1] == 0:
             end -= 1
         spans.append((j, j + 3, end))
         if k < 0:
@@ -133,12 +135,52 @@ def _split_ilp_seis(stream):
                         if not body[b - 1] & 0x80:
                             break
                     masks[au_idx] = body[b:]
-                    pos = pe  # drop this NAL (incl. its start code)
+                    # drop exactly the bytes _sei_mask_nal emitted: the
+                    # 4-byte start code (one zero before "00 00 01")
+                    # through the last payload byte.  Zeros further back
+                    # belong to the preceding NAL and are preserved.
+                    drop = sc - 1 if sc > 0 and stream[sc - 1] == 0 else sc
+                    out += stream[pos:drop]
+                    pos = pe
                     continue
         out += stream[pos:pe]
         pos = pe
     out += stream[pos:]
     return bytes(out), masks
+
+
+def _pad_mb(a, t):
+    """Edge-pad a plane up to a whole multiple of t (the MB grid), the
+    same boundary policy JaxEncoder uses for non-aligned dims."""
+    h, w = a.shape
+    ph, pw = -(-h // t) * t - h, -(-w // t) * t - w
+    if ph == 0 and pw == 0:
+        return a
+    return np.pad(a, ((0, ph), (0, pw)), mode="edge")
+
+
+def _mbgrid(a, t):
+    """(H, W) plane -> (mb_h, mb_w, t, t) MB grid (dims must be
+    t-aligned; callers pad first)."""
+    h, w = a.shape
+    return a.reshape(h // t, t, w // t, t).transpose(0, 2, 1, 3)
+
+
+_H4 = np.array([[1, 1, 1, 1], [1, 1, -1, -1],
+                [1, -1, -1, 1], [1, -1, 1, -1]], np.int64)
+
+
+def _satd_mb(plane):
+    """Per-MB DC-excluded 4x4 Hadamard SATD of a 16-aligned int32 plane:
+    sum over each MB's 16 4x4 blocks of (sum|H b H^T| - |dc|).  The
+    standard texture/rate proxy (reference satd_sad.asm; SampleSatd in
+    sample.cpp)."""
+    mb = _mbgrid(plane, 16)                              # (mh,mw,16,16)
+    mh, mw = mb.shape[:2]
+    b = mb.reshape(mh, mw, 4, 4, 4, 4).transpose(0, 1, 2, 4, 3, 5)
+    t = np.einsum("ij,mnpqjk,lk->mnpqil", _H4, b.astype(np.int64), _H4)
+    return (np.abs(t).sum(axis=(2, 3, 4, 5))
+            - np.abs(t[..., 0, 0]).sum(axis=(2, 3)))
 
 
 class SimulcastEncoder:
@@ -243,29 +285,33 @@ class SimulcastEncoder:
     def _ilp_decide(src, pred):
         """Per-MB residual-vs-source mode: residual only when it cannot
         saturate (luma AND chroma fit in [-127, 127]) and the luma
-        residual is flatter than the source (variance proxy for coded
-        cost)."""
-        sy, su, sv = (p.astype(np.int32) for p in src)
-        py, pu, pv = (p.astype(np.int32) for p in pred)
-        mh, mw = sy.shape[0] // 16, sy.shape[1] // 16
-
-        def mbgrid(a, t):
-            return a[:mh * t, :mw * t].reshape(mh, t, mw, t) \
-                    .transpose(0, 2, 1, 3)
-
-        ry = mbgrid(sy - py, 16)
-        rc = [mbgrid(s - p, 8) for s, p in ((su, pu), (sv, pv))]
-        sat = (np.abs(ry) > 127).any(axis=(2, 3))
-        for r in rc:
+        residual is CHEAPER TO CODE than the source by a transform-domain
+        rate proxy — DC-excluded 4x4 Hadamard SATD, the same texture-cost
+        measure the reference's mode decision uses
+        (svc_mode_decision.cpp:1-684 cost-based MD; satd_sad.asm).
+        Variance was the old proxy and is wrong on structured content: a
+        pixel-scale checkerboard residual has LOW variance but HIGH coded
+        cost, while a blocky high-contrast source has HIGH variance but
+        near-zero AC energy.  Partial edge MBs (non-multiple-of-16 dims)
+        are edge-padded to whole MBs for the decision."""
+        sy = _pad_mb(src[0], 16).astype(np.int32)
+        py = _pad_mb(pred[0], 16).astype(np.int32)
+        sat = np.zeros((sy.shape[0] // 16, sy.shape[1] // 16), bool)
+        for i, (s, p) in enumerate(zip(src, pred)):
+            t = 16 if i == 0 else 8
+            r = _mbgrid(_pad_mb(s, t).astype(np.int32)
+                        - _pad_mb(p, t).astype(np.int32), t)
             sat |= (np.abs(r) > 127).any(axis=(2, 3))
-        var_r = ry.astype(np.float64).var(axis=(2, 3))
-        var_s = mbgrid(sy, 16).astype(np.float64).var(axis=(2, 3))
-        return (~sat) & (var_r <= var_s)
+        cost_r = _satd_mb(sy - py)
+        cost_s = _satd_mb(sy)
+        return (~sat) & (cost_r <= cost_s)
 
     @staticmethod
     def _ilp_mix(src, pred, mask):
         """Build the enhancement encoder's input: residual+128 on mask
-        MBs, source pixels elsewhere."""
+        MBs, source pixels elsewhere.  The ceil-sized MB mask covers
+        partial edge MBs, so the kron expansion always reaches the full
+        plane before the crop."""
         out = []
         for i, (s, p) in enumerate(zip(src, pred)):
             t = 16 if i == 0 else 8
@@ -326,7 +372,6 @@ class SimulcastDecoder:
     def frames(self):
         from . import processing as proc
         its = [d.frames() for d in self.decs]
-        fidx = 0
         while True:
             try:
                 layers = [next(it) for it in its]
@@ -336,8 +381,18 @@ class SimulcastDecoder:
                        for f, d in zip(layers, self.decs)]
             recon = cropped[0]
             for li, coded in enumerate(cropped[1:], start=1):
-                mh, mw = coded[0].shape[0] // 16, coded[0].shape[1] // 16
-                mb = self.masks[li].get(fidx)
+                # ceil MB grid (masks cover partial edge MBs too)
+                mh = -(-coded[0].shape[0] // 16)
+                mw = -(-coded[0].shape[1] // 16)
+                # key mask lookup on the layer's true AU index — with
+                # freeze-output error concealment the yielded-frame
+                # count lags the AU count, so a yield counter would
+                # apply masks to the wrong frames.  NpDecoder appends
+                # every decoded AU to .outputs before yielding, so the
+                # AU index of the frame just pulled is len(outputs)-1
+                # (the SEI embeds au_idx precisely for this alignment).
+                au_idx = len(self.decs[li].outputs) - 1
+                mb = self.masks[li].get(au_idx)
                 if mb is not None:
                     bits = np.unpackbits(np.frombuffer(mb, np.uint8))
                     mask = bits[:mh * mw].reshape(mh, mw).astype(bool)
@@ -347,4 +402,3 @@ class SimulcastDecoder:
                         for lo in recon]
                 recon = _ilp_combine(pred, coded, mask)
             yield recon
-            fidx += 1

@@ -308,7 +308,8 @@ void code_block(IO& io, ModelCtx& mc, int color, int blk, i16* coeff,
   // for the whole high-frequency tail; forward stops at the last
   // nonzero, and the nzleft context recovers the magnitude cue.)
   for (int i = 0; i < n && nzleft > 0; ++i) {
-    int pastmag = 2;  // no-past bucket (must stay < 3: ctx2 dim is [12])
+    int pastmag = 2;  // no-past bucket (pastmag*4 + runb must stay < 12:
+                      // gt1seen selects the upper half of the [24] ctx2 dim)
     int flip = 1;
     bool flip_cue = false;
     bool nbr_cue = false;  // cue came from a spatial neighbor block

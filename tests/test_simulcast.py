@@ -164,3 +164,116 @@ def test_inter_layer_saturated_content_parity():
     # simulcast instead of collapsing (whole-frame residual clip lost
     # ~all contrast here: the old path measured far below this)
     assert ilp >= plain - 0.1, (ilp, plain)
+
+
+def test_ilp_decide_cost_not_variance():
+    """VERDICT r4 #6: the per-MB mode decision must be grounded in coded
+    cost, not variance.  Adversarial MB pair where the two disagree:
+    - source = flat 16x16 tiles at 64/192 -> HIGH variance, ZERO
+      DC-excluded SATD (codes for almost nothing);
+    - residual = pixel-scale +-24 checkerboard -> LOW variance, HIGH
+      SATD (expensive to code).
+    Variance picks residual (wrong); cost must pick source."""
+    from losslessh264_tpu.simulcast import SimulcastEncoder
+
+    H, W = 32, 32
+    yy, xx = np.mgrid[0:H, 0:W]
+    src_y = (((yy // 16) + (xx // 16)) % 2 * 128 + 64).astype(np.uint8)
+    # prediction that leaves a pixel-scale checkerboard residual
+    checker = ((yy + xx) % 2 * 48 - 24)
+    pred_y = np.clip(src_y.astype(np.int32) - checker, 0, 255) \
+        .astype(np.uint8)
+    flatc = np.full((H // 2, W // 2), 128, np.uint8)
+    src = (src_y, flatc, flatc)
+    pred = (pred_y, flatc, flatc)
+
+    ry = src_y.astype(np.float64) - pred_y.astype(np.float64)
+    assert ry.var() < src_y.astype(np.float64).var()  # variance disagrees
+    mask = SimulcastEncoder._ilp_decide(src, pred)
+    assert not mask.any(), "cost-based decision must choose source mode"
+
+    # and on genuinely cheap residuals it still chooses residual mode
+    smooth_pred = np.clip(src_y.astype(np.int32) - 2, 0, 255) \
+        .astype(np.uint8)
+    mask2 = SimulcastEncoder._ilp_decide(src, (smooth_pred, flatc, flatc))
+    assert mask2.all()
+
+
+def test_ilp_adversarial_content_not_worse_than_simulcast():
+    """Structured high-contrast content where variance and coded cost
+    disagree (VERDICT r4 #6): the cost-based per-MB decision must keep
+    the ILP enhancement stream within simulcast's size, and fidelity
+    must not collapse."""
+    from losslessh264_tpu.simulcast import SimulcastDecoder
+
+    H, W = 64, 96
+    yy, xx = np.mgrid[0:H, 0:W]
+    frames = []
+    for i in range(3):
+        # MB-aligned flat tiles (zero AC) at medium contrast: the
+        # up(base) residual is edge ringing - low variance, high SATD
+        Y = ((((yy // 16) + ((xx + i * 16) // 16)) % 2) * 128 + 64) \
+            .astype(np.uint8)
+        U = np.full((H // 2, W // 2), 96, np.uint8)
+        V = np.full((H // 2, W // 2), 160, np.uint8)
+        frames.append((Y, U, V))
+
+    def psnr_y(outs):
+        se = n = 0
+        for (gy, gu, gv), (sy, su, sv) in zip(outs, frames):
+            d = gy.astype(np.float64) - sy.astype(np.float64)
+            se += (d * d).sum()
+            n += d.size
+        return 10 * np.log10(255 ** 2 / max(se / n, 1e-9))
+
+    def run(enc):
+        streams = [b"", b""]
+        for f in frames:
+            for i, p in enumerate(enc.encode_frame_layers(*f)):
+                streams[i] += p
+        if enc.inter_layer:
+            dec = SimulcastDecoder(streams, error_concealment=False)
+            outs = list(dec.frames())
+        else:  # plain simulcast: the enhancement stream IS the display
+            d = decoder_np.NpDecoder(streams[1], error_concealment=False)
+            outs = [(y, u, v) for y, u, v in d.frames()]
+        return len(streams[1]), psnr_y(outs)
+
+    plain_b, plain_p = run(SimulcastEncoder(W, H, spatial_layers=2, qp=30))
+    ilp_b, ilp_p = run(SimulcastEncoder(W, H, spatial_layers=2, qp=30,
+                                        inter_layer=True))
+    # the cost decision must fall back to source coding here, so the
+    # only size delta allowed is the per-AU SEI mode-plane overhead
+    assert ilp_b <= plain_b + 64 * len(frames), (ilp_b, plain_b)
+    assert ilp_p >= plain_p - 0.1, (ilp_p, plain_p)
+
+
+def test_inter_layer_non_mb_aligned_dims():
+    """ADVICE r4 (medium): 200x120 passes the dyadic asserts but is not
+    a multiple of 16 -> the per-MB ILP mask must cover partial edge MBs
+    (ceil grid + edge padding) on both encoder and decoder sides."""
+    from losslessh264_tpu.simulcast import SimulcastDecoder
+
+    H, W = 120, 200
+    yy, xx = np.mgrid[0:H, 0:W]
+    frames = []
+    for i in range(3):
+        Y = ((xx + yy + i * 2) // 2).astype(np.uint8)
+        U = (xx[:H // 2, :W // 2] // 4 + 60).astype(np.uint8)
+        V = np.full((H // 2, W // 2), 140, np.uint8)
+        frames.append((Y, np.ascontiguousarray(U), V))
+
+    enc = SimulcastEncoder(W, H, spatial_layers=2, qp=30,
+                           inter_layer=True)
+    streams = [b"", b""]
+    for f in frames:
+        for i, p in enumerate(enc.encode_frame_layers(*f)):
+            streams[i] += p
+    dec = SimulcastDecoder(streams, error_concealment=False)
+    outs = list(dec.frames())
+    assert len(outs) == len(frames)
+    assert outs[0][0].shape == (H, W)
+    got = outs[-1][0].astype(np.float64)
+    ref = frames[-1][0].astype(np.float64)
+    psnr = 10 * np.log10(255 ** 2 / max(np.mean((got - ref) ** 2), 1e-9))
+    assert psnr > 30, psnr
