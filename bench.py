@@ -154,18 +154,27 @@ def main():
 
 
 def _make_720p_frames(n):
+    """Synthetic 720p: global motion + texture luma, smooth chroma with
+    mild texture (real 4:2:0 content carries most energy in luma; the
+    old all-texture U/V planes were unrepresentative — no camera
+    produces full-amplitude random chroma)."""
     import numpy as np
     rng = np.random.RandomState(1)
     W, H = 1280, 720
     base = (np.indices((H + 64, W + 64)).sum(0) % 256).astype(np.uint8)
     tex = rng.randint(0, 40, (H + 64, W + 64)).astype(np.uint8)
     scene = ((base.astype(int) + tex) % 256).astype(np.uint8)
+    cgrad = (np.indices((H // 2 + 32, W // 2 + 32)).sum(0) // 8 % 64
+             + 96).astype(np.int32)
+    ctex = rng.randint(-3, 4, cgrad.shape)
+    cscene = np.clip(cgrad + ctex, 0, 255).astype(np.uint8)
     frames = []
     for i in range(n):
         s = i % 10
         Y = np.ascontiguousarray(scene[s * 3:s * 3 + H, s * 5:s * 5 + W])
-        U = np.ascontiguousarray(scene[:H // 2, :W // 2])
-        V = np.ascontiguousarray(scene[1:H // 2 + 1, 1:W // 2 + 1])
+        U = np.ascontiguousarray(cscene[s:s + H // 2, s * 2:s * 2 + W // 2])
+        V = np.ascontiguousarray(
+            cscene[s + 8:s + 8 + H // 2, s * 3:s * 3 + W // 2])
         frames.append((Y, U, V))
     return frames
 

@@ -165,31 +165,11 @@ def _recon_mb_chroma(locc, resc, cls, cmode, aL, aT):
 # big residual+inter+deblock programs: those compile once per geometry,
 # only the small intra-pass program varies per bucket.
 # ---------------------------------------------------------------------------
-def _residual_and_inter(mb_w: int, mb_h: int, p, ref_y, ref_u, ref_v):
+def _mc_legacy_cells(mb_w: int, mb_h: int, p, ref_y, ref_u, ref_v):
+    """General per-cell MC (gather path): exact for every legal stream —
+    arbitrary per-cell MVs/refs, iFullMV clipping, explicit weighted
+    prediction. Returns per-MB tiles ([n,16,16], [n,8,8], [n,8,8])."""
     n = mb_w * mb_h
-    H, W = mb_h * 16, mb_w * 16
-    cls = p["mb_class"].astype(jnp.int32)
-    qp = p["qp"].astype(jnp.int32)
-    flat4 = jnp.full((4, 4), 16, jnp.int32)
-    flat8 = jnp.full((8, 8), 16, jnp.int32)
-    w4 = [jnp.where(p["use_scaling"], w, flat4) for w in p["w4"]]
-    w8 = [jnp.where(p["use_scaling"], w, flat8) for w in p["w8"]]
-
-    luma8 = (p["luma8"].astype(jnp.int32) if "luma8" in p
-             else jnp.zeros((n, 4, 8, 8), jnp.int32))
-    res_y = jt.luma_residuals(cls, qp, p["cbp_luma"].astype(jnp.int32),
-                              p["transform8"].astype(jnp.int32),
-                              p["luma_ac"].astype(jnp.int32),
-                              p["luma_dc"].astype(jnp.int32),
-                              luma8, w4[0], w4[3], w8[0], w8[1])
-    res_u, res_v = jt.chroma_residuals(
-        cls, qp, p["cbp_chroma"].astype(jnp.int32),
-        p["chroma_ac"].astype(jnp.int32),
-        p["chroma_dc"].astype(jnp.int32), p["chroma_qp_offset"],
-        p["second_chroma_qp_offset"],
-        w4[1], w4[2], w4[4], w4[5])
-
-    # ---- inter prediction ----
     mbi = jnp.arange(n)
     mby0 = (mbi // mb_w) * 16
     mbx0 = (mbi % mb_w) * 16
@@ -199,7 +179,6 @@ def _residual_and_inter(mb_w: int, mb_h: int, p, ref_y, ref_u, ref_v):
     refp = p["ref_slot"].reshape(-1).astype(jnp.int32)
     mvx = p["mv"][:, :, 0].reshape(-1).astype(jnp.int32)
     mvy = p["mv"][:, :, 1].reshape(-1).astype(jnp.int32)
-    valid = refp >= 0
     refc = jnp.clip(refp, 0, ref_y.shape[0] - 1)
     pred_cells = jmc.mc_luma_cells(ref_y, PAD, refc, cy0, cx0, mvx, mvy)
     predc_u = jmc.mc_chroma_cells(ref_u, PAD // 2, refc, cy0 // 2, cx0 // 2,
@@ -210,8 +189,8 @@ def _residual_and_inter(mb_w: int, mb_h: int, p, ref_y, ref_u, ref_v):
     # Luma: per cell (partitions are cell-uniform). Chroma: only the
     # reference decoder's quarter-size region (wp_cmask) — parity with
     # rec_mb.cpp WeightPrediction. The wp planes are omitted from the
-    # transport on frames without WP (the common case) and the whole
-    # pass is skipped.
+    # transport on frames without WP (the common case) and WP frames
+    # always take this branch (mc_fast_plan is never used with WP).
     has_wp = "wp_luma" in p
     if has_wp:
         wpl = p["wp_luma"].reshape(-1, 3).astype(jnp.int32)
@@ -257,37 +236,138 @@ def _residual_and_inter(mb_w: int, mb_h: int, p, ref_y, ref_u, ref_v):
 
         pred_u_mb = _wp_chroma(pred_u_mb, p["wp_cb"])
         pred_v_mb = _wp_chroma(pred_v_mb, p["wp_cr"])
+    return pred_y_mb, pred_u_mb, pred_v_mb
+
+
+def _tiles_to_plane(tiles, mb_w, mb_h, t):
+    return tiles.reshape(mb_h, mb_w, t, t).transpose(0, 2, 1, 3) \
+        .reshape(mb_h * t, mb_w * t)
+
+
+# virtual layout of the combined sparse coefficient stream, in units of
+# one MB: [luma_ac 256 | luma8 256 | luma_dc 16 | chroma_ac 128 |
+# chroma_dc 8] — 664 int slots per MB. Residual coefficients are
+# overwhelmingly zero at normal QPs (measured 0.6% nonzero luma at
+# 720p/QP28), so uploading (index, value) pairs through the ~45 MB/s
+# host->device tunnel replaces the 1.4 MB/frame dense coefficient
+# transport with a few tens of KB.
+_COEF_SLOTS = 664
+
+
+def _expand_coeffs(p, n):
+    """Device-side expansion of the combined sparse coefficient stream
+    (padded entries point at the +1 scratch slot)."""
+    L = n * _COEF_SLOTS
+    dense = jnp.zeros((L + 1,), jnp.int32).at[
+        p["coef_idx"].astype(jnp.int32)].set(
+            p["coef_val"].astype(jnp.int32))
+    return (dense[:n * 256].reshape(n, 16, 4, 4),
+            dense[n * 256:n * 512].reshape(n, 4, 8, 8),
+            dense[n * 512:n * 528].reshape(n, 4, 4),
+            dense[n * 528:n * 656].reshape(n, 8, 4, 4),
+            dense[n * 656:n * 664].reshape(n, 2, 2, 2))
+
+
+def _residual_and_inter(mb_w: int, mb_h: int, p, ref_y, ref_u, ref_v,
+                        mc: str = "dyn"):
+    """mc: "dyn" = per-frame lax.cond between the bucketed dense-shift
+    fast path (mc_fast_plan served the frame) and the general per-cell
+    gather path; "none" = all-intra caller (recon_intra_batch vmaps
+    this function, and vmap turns cond into select-both-branches, so
+    the MC stage must be compiled out entirely there)."""
+    n = mb_w * mb_h
+    H, W = mb_h * 16, mb_w * 16
+    cls = p["mb_class"].astype(jnp.int32)
+    qp = p["qp"].astype(jnp.int32)
+    flat4 = jnp.full((4, 4), 16, jnp.int32)
+    flat8 = jnp.full((8, 8), 16, jnp.int32)
+    w4 = [jnp.where(p["use_scaling"], w, flat4) for w in p["w4"]]
+    w8 = [jnp.where(p["use_scaling"], w, flat8) for w in p["w8"]]
+
+    if "coef_idx" in p:
+        luma_ac, luma8, luma_dc, chroma_ac, chroma_dc = \
+            _expand_coeffs(p, n)
+    else:
+        luma_ac = p["luma_ac"].astype(jnp.int32)
+        luma_dc = p["luma_dc"].astype(jnp.int32)
+        chroma_ac = p["chroma_ac"].astype(jnp.int32)
+        chroma_dc = p["chroma_dc"].astype(jnp.int32)
+        luma8 = (p["luma8"].astype(jnp.int32) if "luma8" in p
+                 else jnp.zeros((n, 4, 8, 8), jnp.int32))
+    res_y = jt.luma_residuals(cls, qp, p["cbp_luma"].astype(jnp.int32),
+                              p["transform8"].astype(jnp.int32),
+                              luma_ac, luma_dc,
+                              luma8, w4[0], w4[3], w8[0], w8[1])
+    res_u, res_v = jt.chroma_residuals(
+        cls, qp, p["cbp_chroma"].astype(jnp.int32),
+        chroma_ac, chroma_dc, p["chroma_qp_offset"],
+        p["second_chroma_qp_offset"],
+        w4[1], w4[2], w4[4], w4[5])
+
+    # ---- inter prediction (whole-frame planes) ----
+    refp = p["ref_slot"].reshape(-1).astype(jnp.int32)
+    valid = refp >= 0
+    if mc == "none":
+        pred_y = jnp.zeros((H, W), jnp.int32)
+        pred_u = jnp.zeros((H // 2, W // 2), jnp.int32)
+        pred_v = jnp.zeros_like(pred_u)
+    else:
+        def slow(_):
+            ty, tu, tv = _mc_legacy_cells(mb_w, mb_h, p, ref_y, ref_u,
+                                          ref_v)
+            return (_tiles_to_plane(ty, mb_w, mb_h, 16),
+                    _tiles_to_plane(tu, mb_w, mb_h, 8),
+                    _tiles_to_plane(tv, mb_w, mb_h, 8))
+
+        if "mc_bucket" in p:
+            def fast(_):
+                return jmc.mc_bucketed(ref_y, ref_u, ref_v, PAD, p,
+                                       mb_w, mb_h)
+
+            def some_mc(_):
+                return jax.lax.cond(p["mc_fast"], fast, slow, 0)
+
+            pred_y, pred_u, pred_v = jax.lax.cond(
+                p["mc_any"], some_mc,
+                lambda _: (jnp.zeros((H, W), jnp.int32),
+                           jnp.zeros((H // 2, W // 2), jnp.int32),
+                           jnp.zeros((H // 2, W // 2), jnp.int32)), 0)
+        else:
+            pred_y, pred_u, pred_v = slow(0)
+
     inter_mb = valid.reshape(n, 16).all(axis=1)
-    tile_y = jnp.where(inter_mb[:, None, None],
-                       jnp.clip(pred_y_mb + res_y, 0, 255), 0)
-    tile_u = jnp.where(inter_mb[:, None, None],
-                       jnp.clip(pred_u_mb + res_u, 0, 255), 0)
-    tile_v = jnp.where(inter_mb[:, None, None],
-                       jnp.clip(pred_v_mb + res_v, 0, 255), 0)
+    im_y = jnp.repeat(jnp.repeat(inter_mb.reshape(mb_h, mb_w), 16, 0),
+                      16, 1)
+    im_c = jnp.repeat(jnp.repeat(inter_mb.reshape(mb_h, mb_w), 8, 0),
+                      8, 1)
+    py = jnp.where(im_y, jnp.clip(
+        pred_y + _tiles_to_plane(res_y, mb_w, mb_h, 16), 0, 255), 0)
+    pu = jnp.where(im_c, jnp.clip(
+        pred_u + _tiles_to_plane(res_u, mb_w, mb_h, 8), 0, 255), 0)
+    pv = jnp.where(im_c, jnp.clip(
+        pred_v + _tiles_to_plane(res_v, mb_w, mb_h, 8), 0, 255), 0)
     # PCM overlay (plane omitted from transport on PCM-free frames)
     if "pcm" in p:
         pcm = p["pcm"].astype(jnp.int32)
         is_pcm = cls == 8
-        tile_y = jnp.where(is_pcm[:, None, None],
-                           pcm[:, :256].reshape(n, 16, 16), tile_y)
-        tile_u = jnp.where(is_pcm[:, None, None],
-                           pcm[:, 256:320].reshape(n, 8, 8), tile_u)
-        tile_v = jnp.where(is_pcm[:, None, None],
-                           pcm[:, 320:384].reshape(n, 8, 8), tile_v)
+        pm_y = jnp.repeat(jnp.repeat(is_pcm.reshape(mb_h, mb_w), 16, 0),
+                          16, 1)
+        pm_c = jnp.repeat(jnp.repeat(is_pcm.reshape(mb_h, mb_w), 8, 0),
+                          8, 1)
+        py = jnp.where(pm_y, _tiles_to_plane(
+            pcm[:, :256].reshape(n, 16, 16), mb_w, mb_h, 16), py)
+        pu = jnp.where(pm_c, _tiles_to_plane(
+            pcm[:, 256:320].reshape(n, 8, 8), mb_w, mb_h, 8), pu)
+        pv = jnp.where(pm_c, _tiles_to_plane(
+            pcm[:, 320:384].reshape(n, 8, 8), mb_w, mb_h, 8), pv)
 
-    # scatter tiles into working planes (padded)
+    # place into padded working planes
     Yw = jnp.zeros((H + 2 * WPAD, W + 2 * WPAD), jnp.int32)
     Uw = jnp.zeros((H // 2 + 2 * WPAD, W // 2 + 2 * WPAD), jnp.int32)
     Vw = jnp.zeros_like(Uw)
-    Yw = Yw.at[WPAD:WPAD + H, WPAD:WPAD + W].set(
-        tile_y.reshape(mb_h, mb_w, 16, 16).transpose(0, 2, 1, 3)
-        .reshape(H, W))
-    Uw = Uw.at[WPAD:WPAD + H // 2, WPAD:WPAD + W // 2].set(
-        tile_u.reshape(mb_h, mb_w, 8, 8).transpose(0, 2, 1, 3)
-        .reshape(H // 2, W // 2))
-    Vw = Vw.at[WPAD:WPAD + H // 2, WPAD:WPAD + W // 2].set(
-        tile_v.reshape(mb_h, mb_w, 8, 8).transpose(0, 2, 1, 3)
-        .reshape(H // 2, W // 2))
+    Yw = Yw.at[WPAD:WPAD + H, WPAD:WPAD + W].set(py)
+    Uw = Uw.at[WPAD:WPAD + H // 2, WPAD:WPAD + W // 2].set(pu)
+    Vw = Vw.at[WPAD:WPAD + H // 2, WPAD:WPAD + W // 2].set(pv)
     return Yw, Uw, Vw, res_y, res_u, res_v
 
 
@@ -381,7 +461,7 @@ def recon_frame(mb_w: int, mb_h: int, planes, ref_y, ref_u, ref_v, diags,
 # split-stage entry points (P frames with sparse intra MBs): the big
 # stages compile once per geometry; only intra_pass varies per bucket.
 recon_pre = jax.jit(_residual_and_inter,
-                    static_argnames=("mb_w", "mb_h"))
+                    static_argnames=("mb_w", "mb_h", "mc"))
 intra_pass = jax.jit(_intra_scan, static_argnames=("mb_w", "mb_h"))
 deblock_pass = jax.jit(_deblock_crop, static_argnames=("mb_w", "mb_h"))
 
@@ -398,7 +478,7 @@ def recon_intra_batch(mb_w: int, mb_h: int, planes_b, ref_y, ref_u,
     planes_b: the per-frame symbol dict with a leading K axis."""
     def one(p):
         Yw, Uw, Vw, ry, ru, rv = _residual_and_inter(
-            mb_w, mb_h, p, ref_y, ref_u, ref_v)
+            mb_w, mb_h, p, ref_y, ref_u, ref_v, mc="none")
         Yw, Uw, Vw = _intra_scan(mb_w, mb_h, Yw, Uw, Vw, ry, ru, rv,
                                  p, diags)
         return _deblock_crop(mb_w, mb_h, Yw, Uw, Vw, p)
@@ -659,9 +739,21 @@ class JaxDecoder:
         """Undamaged frames join a batched run: a full run of K decodes
         in ONE device program (vmapped when all-intra, scanned with the
         DPB ring in the carry otherwise), amortizing the fixed ~5-8 ms
-        per-dispatch overhead that bounds frame-serial decode."""
-        return not (f.get("lost_slices", 0) > 0
-                    or not bool(f["decoded"].all()))
+        per-dispatch overhead that bounds frame-serial decode.
+
+        Coefficient-dense frames (> 32 nonzero ints per MB, typically a
+        noisy I frame) are excluded: a batched run shares ONE sparse
+        (idx, val) bucket, so a single dense frame would balloon every
+        frame's upload through the ~45 MB/s tunnel."""
+        if (f.get("lost_slices", 0) > 0
+                or not bool(f["decoded"].all())):
+            return False
+        nnz = (np.count_nonzero(f["luma_ac"])
+               + np.count_nonzero(f["chroma_ac"])
+               + np.count_nonzero(f["luma_dc"])
+               + np.count_nonzero(f["chroma_dc"])
+               + np.count_nonzero(f["luma8"]))
+        return nnz <= 32 * f["mb_w"] * f["mb_h"]
 
     def _flush_run(self, buf):
         """Drain a partial run. Runs of >=3 are padded to INTRA_BATCH
@@ -680,6 +772,46 @@ class JaxDecoder:
             yield from self._decode_intra_batch(fs)
         else:
             yield from self._decode_scan_run(fs)
+
+    COEF_SPARSE_MIN = 4096   # smallest (idx, val) bucket — bucket sizes
+                             # are pow2 so each geometry compiles at
+                             # most a handful of sparse variants
+
+    @staticmethod
+    def _sparsify_run(preps, n):
+        """Replace each prep's dense coefficient planes with ONE
+        combined (coef_idx, coef_val) sparse pair, padded to a shared
+        pow2 bucket across the run (the scan stacks them)."""
+        L = n * _COEF_SLOTS
+        pairs = []
+        for p in preps:
+            idxs, vals = [], []
+            off = 0
+            for key, size in (("luma_ac", 256), ("luma8", 256),
+                              ("luma_dc", 16), ("chroma_ac", 128),
+                              ("chroma_dc", 8)):
+                if key in p:
+                    a = np.ascontiguousarray(p[key]).reshape(-1)
+                    nz = np.flatnonzero(a)
+                    idxs.append(nz.astype(np.int64) + off)
+                    vals.append(a[nz].astype(np.int16))
+                    del p[key]
+                off += n * size
+            pairs.append((np.concatenate(idxs) if idxs else
+                          np.zeros(0, np.int64),
+                          np.concatenate(vals) if vals else
+                          np.zeros(0, np.int16)))
+        need = max(len(i) for i, _ in pairs)
+        bucket = JaxDecoder.COEF_SPARSE_MIN
+        while bucket < need:
+            bucket *= 2
+        for p, (idx, val) in zip(preps, pairs):
+            ii = np.full(bucket, L, np.int32)
+            vv = np.zeros(bucket, np.int16)
+            ii[:len(idx)] = idx
+            vv[:len(val)] = val
+            p["coef_idx"] = ii
+            p["coef_val"] = vv
 
     @staticmethod
     def _unify_stack(preps, fs):
@@ -713,6 +845,7 @@ class JaxDecoder:
         for f in fs:
             preps.append(self._prep_planes(f)[0])
             slots.append(self._assign_slot(f))
+        self._sparsify_run(preps, mb_w * mb_h)
         stacked = jax.device_put(self._unify_stack(preps, fs))
         diags = jnp.asarray(self._diag_cache[(mb_w, mb_h)])
         Yb, Ub, Vb = recon_intra_batch(mb_w, mb_h, stacked, self.ref_y,
@@ -744,6 +877,7 @@ class JaxDecoder:
             sels.append(sel)
             dbs.append(self._needs_deblock(f, preps[-1]["nnz"]))
             slots.append(self._assign_slot(f))
+        self._sparsify_run(preps, mb_w * mb_h)
         n_real = len(fs)
         pads = fs[:]
         if pad_to is not None:
@@ -927,11 +1061,23 @@ class JaxDecoder:
             if (f["mb_class"] == 8).any():
                 planes["pcm"] = f["pcm"]
             wp = f["wp_luma"]
-            if (wp[:, :, 2] >= 0).any() or (f["wp_cb"][:, :, 2] >= 0).any():
+            has_wp = ((wp[:, :, 2] >= 0).any()
+                      or (f["wp_cb"][:, :, 2] >= 0).any())
+            if has_wp:
                 planes["wp_luma"] = wp.astype(np.int16)
                 planes["wp_cb"] = f["wp_cb"].astype(np.int16)
                 planes["wp_cr"] = f["wp_cr"].astype(np.int16)
                 planes["wp_cmask"] = f["wp_cmask"].astype(np.int8)
+            # bucketed dense-shift MC plan (ops/mc.py mc_fast_plan):
+            # frames the caps or WP exclude take the general per-cell
+            # branch via mc_fast=False (WP math is cell-local, so the
+            # dense path never serves it)
+            plan = jmc.mc_fast_plan(mb_w, mb_h, ref_slot,
+                                    f["mv"].astype(np.int32), PAD)
+            if has_wp:
+                plan["mc_fast"] = np.bool_(False)
+            plan["mc_any"] = np.bool_(bool((ref_slot >= 0).any()))
+            planes.update(plan)
         return planes, diags, has_intra, full_intra
 
     def _fetch_output(self, out_idx, mb_w, mb_h):

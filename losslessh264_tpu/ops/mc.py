@@ -299,3 +299,242 @@ def mc_chroma_cells(ref_stack: jax.Array, pad: int, ref_idx: jax.Array,
     D = win[:, 1:h + 1, 1:w + 1]
     return ((8 - fx) * (8 - fy) * A + fx * (8 - fy) * B +
             (8 - fx) * fy * C + fx * fy * D + 32) >> 6
+
+
+# ---------------------------------------------------------------------------
+# Bucketed dense-shift MC (decoder fast path).
+#
+# The per-cell window gather above is exact and fully general, but TPU
+# gathers run at ~9 ns/element through XLA — 40+ ms/frame at 720p
+# (57600 cells x 81 elements), which alone sinks a 30 fps target. Real
+# P frames cluster around FEW distinct (ref, mv) values, and for one
+# (ref, mv) the whole prediction is an AFFINE read: a dynamic_slice of
+# a half-pel plane. So: build G/b/h/j planes for the (<=2) active
+# reference slots once per frame (dense FIR, MXU/VPU-friendly), then
+# for each unique (slot, mv) triple take two shifted dense slices,
+# average per the spec's quarter-pel rules (QTAB), and select per
+# pixel by a precomputed bucket plane. Cells the dense path cannot
+# serve exactly (reference-style iFullMV clipping near frame edges,
+# |mv| beyond the slice range) get a per-cell fix-up gather; frames
+# exceeding the caps fall back to the general path (lax.cond).
+#
+# Reference: rec_mb.cpp BaseMC/GetInterPred per-block dispatch + the
+# mc.cpp SIMD kernels — redesigned as whole-frame dense ops.
+# ---------------------------------------------------------------------------
+MC_CAP = 32        # unique (slot, mv) triples served by the fast path
+MC_SLOT_CAP = 2    # active reference slots served by the fast path
+MC_FIX_CAP = 512   # per-cell fix-ups (clipped/out-of-range/spilled cells)
+MC_MV_MAX = 112    # |mv| quarter-pels the dense slices can shift
+
+
+def mc_fast_plan(mb_w, mb_h, ref_slot, mv, pad):
+    """Host-side fast-path plan (numpy). Returns a dict of plan arrays
+    (always the same shapes, so scanned runs can stack them) with
+    plan["mc_fast"] False when the frame exceeds the caps and must take
+    the general per-cell branch."""
+    n = mb_w * mb_h
+    H, W = mb_h * 16, mb_w * 16
+    rs = ref_slot.reshape(-1).astype(np.int64)
+    vx = mv[:, :, 0].reshape(-1).astype(np.int64)
+    vy = mv[:, :, 1].reshape(-1).astype(np.int64)
+    valid = rs >= 0
+
+    mbi = np.arange(n)
+    cell = np.arange(16)
+    cy0 = ((mbi // mb_w)[:, None] * 16 + (cell // 4)[None, :] * 4) \
+        .reshape(-1)
+    cx0 = ((mbi % mb_w)[:, None] * 16 + (cell % 4)[None, :] * 4) \
+        .reshape(-1)
+    # cells where the reference-style iFullMV clip engages (the chroma
+    # clip bound reduces to the same inequality: cell coords are 4-px
+    # aligned and lpad == 2*(pad//2) == pad)
+    lo = (-pad + 2) << 2
+    fullx = (cx0 << 2) + vx
+    fully = (cy0 << 2) + vy
+    clip = ((fullx < lo) | (fullx > ((W + pad - 19) << 2))
+            | (fully < lo) | (fully > ((H + pad - 19) << 2)))
+    big = (np.abs(vx) > MC_MV_MAX) | (np.abs(vy) > MC_MV_MAX)
+    fix = valid & (clip | big)
+    fast = valid & ~fix
+
+    plan = {
+        "mc_fast": np.bool_(False),
+        "mc_nuniq": np.int32(0),
+        "mc_uniq": np.zeros((MC_CAP, 16), np.int32),
+        "mc_slots": np.zeros((MC_SLOT_CAP,), np.int32),
+        "mc_nslots": np.int32(0),
+        "mc_bucket": np.full((n, 16), MC_CAP, np.uint8),
+        "mc_fix": np.full((MC_FIX_CAP,), -1, np.int32),
+    }
+    if not valid.any():
+        return plan      # nothing to predict: either branch is fine
+    key = ((rs << 28) + ((vy + (1 << 13)) << 14) + (vx + (1 << 13)))
+    uk, inv, cnt = np.unique(key[fast], return_inverse=True,
+                             return_counts=True)
+    slots = np.unique(rs[fast]) if fast.any() else np.zeros(0, np.int64)
+    if len(uk) > MC_CAP:
+        # serve the MC_CAP most-populated triples densely; spill the
+        # long tail's cells to the per-cell fix-up gather
+        keep = np.argsort(-cnt)[:MC_CAP]
+        keep_mask = np.zeros(len(uk), bool)
+        keep_mask[keep] = True
+        spill = np.zeros(len(fast), bool)
+        spill[fast] = ~keep_mask[inv]
+        fix |= spill
+        fast &= ~spill
+        uk, inv = np.unique(key[fast], return_inverse=True)
+        slots = np.unique(rs[fast]) if fast.any() else \
+            np.zeros(0, np.int64)
+    if (len(uk) > MC_CAP or len(slots) > MC_SLOT_CAP
+            or int(fix.sum()) > MC_FIX_CAP):
+        return plan
+    slot_local = {int(s): i for i, s in enumerate(slots)}
+    uniq = np.zeros((MC_CAP, 16), np.int32)
+    for u, k in enumerate(uk):
+        s = int(k >> 28)
+        uvy = int(((k >> 14) & 0x3fff) - (1 << 13))
+        uvx = int((k & 0x3fff) - (1 << 13))
+        q = QTAB[(uvy & 3) * 4 + (uvx & 3)]
+        uniq[u, 0] = slot_local[s]
+        uniq[u, 1] = uvy >> 2
+        uniq[u, 2] = uvx >> 2
+        uniq[u, 3:9] = q
+        uniq[u, 9] = uvy >> 3
+        uniq[u, 10] = uvx >> 3
+        uniq[u, 11] = uvy & 7
+        uniq[u, 12] = uvx & 7
+    bucket = np.full(n * 16, MC_CAP, np.uint8)
+    bucket[fast] = inv.astype(np.uint8)
+    fx_list = np.flatnonzero(fix)
+    mc_fix = np.full((MC_FIX_CAP,), -1, np.int32)
+    mc_fix[:len(fx_list)] = fx_list
+    plan.update(
+        mc_fast=np.bool_(True),
+        mc_nuniq=np.int32(len(uk)),
+        mc_uniq=uniq,
+        mc_slots=np.concatenate(
+            [slots, np.zeros(MC_SLOT_CAP - len(slots), np.int64)]
+        ).astype(np.int32),
+        mc_nslots=np.int32(len(slots)),
+        mc_bucket=bucket.reshape(n, 16),
+        mc_fix=mc_fix)
+    return plan
+
+
+def mc_bucketed(ref_y, ref_u, ref_v, pad, p, mb_w, mb_h):
+    """Device fast path: whole-frame pred planes from the plan built by
+    mc_fast_plan. Returns (pred_y [H,W], pred_uv [2,H/2,W/2]) int32.
+    Element-exact vs mc_luma_cells / mc_chroma_cells on every cell the
+    plan marks fast (validated by tests/test_jax_ops.py)."""
+    from jax import lax
+
+    n = mb_w * mb_h
+    H, W = mb_h * 16, mb_w * 16
+    R, Hp, Wp = ref_y.shape
+    uniq = p["mc_uniq"].astype(jnp.int32)
+    slots = p["mc_slots"].astype(jnp.int32)
+    bucket = p["mc_bucket"].astype(jnp.uint8)
+
+    # half-pel planes for the active slots (slot 1 reuses slot 0's when
+    # inactive — same shapes, no compute on the taken branch)
+    g0 = lax.dynamic_slice(ref_y, (slots[0], 0, 0), (1, Hp, Wp))[0]
+    hp0 = halfpel_planes_pallas(g0).astype(jnp.uint8)
+    hp1 = lax.cond(
+        p["mc_nslots"] > 1,
+        lambda: halfpel_planes_pallas(
+            lax.dynamic_slice(ref_y, (slots[1], 0, 0),
+                              (1, Hp, Wp))[0]).astype(jnp.uint8),
+        lambda: hp0)
+    hps = jnp.stack([hp0, hp1])                 # [2, 4, Hp-5, Wp-5]
+
+    # bucket planes (cell = 4x4 luma px, 2x2 chroma px)
+    bg = bucket.reshape(mb_h, mb_w, 4, 4).transpose(0, 2, 1, 3) \
+        .reshape(mb_h * 4, mb_w * 4)
+    bplane = jnp.repeat(jnp.repeat(bg, 4, 0), 4, 1)          # [H, W]
+    bplane_c = jnp.repeat(jnp.repeat(bg, 2, 0), 2, 1)        # [H/2, W/2]
+
+    cpad = pad // 2
+    uv = jnp.stack([ref_u, ref_v])              # [2, R, Hc, Wc]
+    uv0 = lax.dynamic_slice(
+        uv, (0, slots[0], 0, 0), (2, 1, uv.shape[2], uv.shape[3]))[:, 0]
+    uv1 = lax.cond(
+        p["mc_nslots"] > 1,
+        lambda: lax.dynamic_slice(
+            uv, (0, slots[1], 0, 0),
+            (2, 1, uv.shape[2], uv.shape[3]))[:, 0],
+        lambda: uv0)
+    uvs = jnp.stack([uv0, uv1]).astype(jnp.uint8)  # [2, 2, Hc, Wc]
+
+    def body(u, carry):
+        out_y, out_uv = carry
+        e = uniq[u]
+        sl = e[0]
+
+        def tap(pl, dy, dx):
+            return lax.dynamic_slice(
+                hps, (sl, pl, pad - 2 + e[1] + dy, pad - 2 + e[2] + dx),
+                (1, 1, H, W))[0, 0].astype(jnp.int32)
+
+        val = ((tap(e[3], e[4], e[5]) + tap(e[6], e[7], e[8]) + 1) >> 1) \
+            .astype(jnp.uint8)
+        out_y = jnp.where(bplane == u.astype(jnp.uint8), val, out_y)
+
+        def ctap(dy, dx):
+            return lax.dynamic_slice(
+                uvs, (sl, 0, cpad + e[9] + dy, cpad + e[10] + dx),
+                (1, 2, H // 2, W // 2))[0].astype(jnp.int32)
+
+        fy, fx = e[11], e[12]
+        cval = (((8 - fx) * (8 - fy) * ctap(0, 0)
+                 + fx * (8 - fy) * ctap(0, 1)
+                 + (8 - fx) * fy * ctap(1, 0)
+                 + fx * fy * ctap(1, 1) + 32) >> 6).astype(jnp.uint8)
+        out_uv = jnp.where(bplane_c[None] == u.astype(jnp.uint8),
+                           cval, out_uv)
+        return out_y, out_uv
+
+    out_y = jnp.zeros((H, W), jnp.uint8)
+    out_uv = jnp.zeros((2, H // 2, W // 2), jnp.uint8)
+    # dynamic trip count: the loop cost tracks the frame's real number
+    # of distinct (slot, mv) values, not the cap
+    out_y, out_uv = lax.fori_loop(0, p["mc_nuniq"].astype(jnp.int32),
+                                  body, (out_y, out_uv))
+
+    # per-cell fix-ups (clipped / long MVs): general gather on at most
+    # MC_FIX_CAP cells, scattered over the dense planes
+    fixi = p["mc_fix"].astype(jnp.int32)
+    fmask = fixi >= 0
+    fc = jnp.clip(fixi, 0, n * 16 - 1)
+    fmb, fcell = fc // 16, fc % 16
+    fy0 = (fmb // mb_w) * 16 + (fcell // 4) * 4
+    fx0 = (fmb % mb_w) * 16 + (fcell % 4) * 4
+    rsl = jnp.clip(p["ref_slot"].reshape(-1).astype(jnp.int32)[fc], 0,
+                   R - 1)
+    fvx = p["mv"][:, :, 0].reshape(-1).astype(jnp.int32)[fc]
+    fvy = p["mv"][:, :, 1].reshape(-1).astype(jnp.int32)[fc]
+    tiles = mc_luma_cells(ref_y, pad, rsl, fy0, fx0, fvx, fvy)
+    o4 = jnp.arange(4)
+    yidx = jnp.where(fmask, fy0, H)[:, None, None] + o4[None, :, None]
+    xidx = fx0[:, None, None] + o4[None, None, :]
+    flatidx = jnp.where(fmask[:, None, None], yidx * W + xidx, H * W)
+    out_y = out_y.reshape(-1).at[flatidx.reshape(-1)].set(
+        tiles.astype(jnp.uint8).reshape(-1), mode="drop") \
+        .reshape(H, W)
+    ctiles_u = mc_chroma_cells(ref_u, cpad, rsl, fy0 // 2, fx0 // 2,
+                               fvx, fvy)
+    ctiles_v = mc_chroma_cells(ref_v, cpad, rsl, fy0 // 2, fx0 // 2,
+                               fvx, fvy)
+    o2 = jnp.arange(2)
+    cyi = jnp.where(fmask, fy0 // 2, H // 2)[:, None, None] \
+        + o2[None, :, None]
+    cxi = (fx0 // 2)[:, None, None] + o2[None, None, :]
+    cflat = jnp.where(fmask[:, None, None],
+                      cyi * (W // 2) + cxi, (H // 2) * (W // 2))
+    out_u = out_uv[0].reshape(-1).at[cflat.reshape(-1)].set(
+        ctiles_u.astype(jnp.uint8).reshape(-1), mode="drop") \
+        .reshape(H // 2, W // 2)
+    out_v = out_uv[1].reshape(-1).at[cflat.reshape(-1)].set(
+        ctiles_v.astype(jnp.uint8).reshape(-1), mode="drop") \
+        .reshape(H // 2, W // 2)
+    return (out_y.astype(jnp.int32), out_u.astype(jnp.int32),
+            out_v.astype(jnp.int32))

@@ -149,3 +149,77 @@ def test_mc_chroma():
         want = dn.mc_chroma_block(ref_pad, PAD, int(ys[i]), int(xs[i]),
                                   int(mvx[i]), int(mvy[i]), 2, 2)
         np.testing.assert_array_equal(got[i], want)
+
+
+def test_mc_bucketed_parity():
+    """Bucketed dense-shift MC (ops/mc.py mc_fast_plan/mc_bucketed) is
+    element-exact vs the general per-cell gather path on every fast
+    cell: small MV sets, spilled long tails (> MC_CAP uniques), clipped
+    / out-of-range MVs (fix-up gather), and intra cells."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(7)
+    mb_w, mb_h, pad = 6, 5, 32
+    n = mb_w * mb_h
+    R = 4
+    ref_y = jnp.asarray(rng.randint(0, 255,
+                                    (R, mb_h * 16 + 2 * pad,
+                                     mb_w * 16 + 2 * pad), np.uint8))
+    ref_u = jnp.asarray(rng.randint(0, 255,
+                                    (R, mb_h * 8 + pad, mb_w * 8 + pad),
+                                    np.uint8))
+    ref_v = jnp.asarray(rng.randint(0, 255, ref_u.shape, np.uint8))
+    fn = jax.jit(jmc.mc_bucketed,
+                 static_argnames=("pad", "mb_w", "mb_h"))
+
+    mbi = np.arange(n)
+    cell = np.arange(16)
+    cy0 = ((mbi // mb_w)[:, None] * 16
+           + (cell // 4)[None, :] * 4).reshape(-1)
+    cx0 = ((mbi % mb_w)[:, None] * 16
+           + (cell % 4)[None, :] * 4).reshape(-1)
+
+    for trial, n_mvs in enumerate((5, 60)):
+        mvset = rng.randint(-100, 100, (n_mvs, 2))
+        mv = mvset[rng.randint(0, n_mvs, (n, 16))].astype(np.int16)
+        ref_slot = rng.randint(0, 2, (n, 16)).astype(np.int8)
+        wild = rng.rand(n, 16) < 0.02
+        mv[wild] = rng.randint(-400, 400, (wild.sum(), 2))
+        ref_slot[rng.rand(n, 16) < 0.05] = -1
+        plan = jmc.mc_fast_plan(mb_w, mb_h, ref_slot,
+                                mv.astype(np.int32), pad)
+        assert plan["mc_fast"], f"plan rejected (trial {trial})"
+        p = {k: jnp.asarray(v) for k, v in plan.items()}
+        p["ref_slot"] = jnp.asarray(ref_slot)
+        p["mv"] = jnp.asarray(mv)
+        py, pu, pv = (np.asarray(a) for a in fn(
+            ref_y, ref_u, ref_v, pad, p, mb_w=mb_w, mb_h=mb_h))
+
+        rs = ref_slot.reshape(-1).astype(np.int32)
+        vx = mv[:, :, 0].reshape(-1).astype(np.int32)
+        vy = mv[:, :, 1].reshape(-1).astype(np.int32)
+        rc = np.clip(rs, 0, R - 1)
+        cells = np.asarray(jmc.mc_luma_cells(
+            ref_y, pad, jnp.asarray(rc), jnp.asarray(cy0),
+            jnp.asarray(cx0), jnp.asarray(vx), jnp.asarray(vy)))
+        cu = np.asarray(jmc.mc_chroma_cells(
+            ref_u, pad // 2, jnp.asarray(rc), jnp.asarray(cy0 // 2),
+            jnp.asarray(cx0 // 2), jnp.asarray(vx), jnp.asarray(vy)))
+        cv = np.asarray(jmc.mc_chroma_cells(
+            ref_v, pad // 2, jnp.asarray(rc), jnp.asarray(cy0 // 2),
+            jnp.asarray(cx0 // 2), jnp.asarray(vx), jnp.asarray(vy)))
+        for i in range(n * 16):
+            if rs[i] < 0:
+                continue
+            np.testing.assert_array_equal(
+                py[cy0[i]:cy0[i] + 4, cx0[i]:cx0[i] + 4], cells[i],
+                err_msg=f"luma cell {i} trial {trial}")
+            np.testing.assert_array_equal(
+                pu[cy0[i] // 2:cy0[i] // 2 + 2,
+                   cx0[i] // 2:cx0[i] // 2 + 2], cu[i],
+                err_msg=f"cb cell {i} trial {trial}")
+            np.testing.assert_array_equal(
+                pv[cy0[i] // 2:cy0[i] // 2 + 2,
+                   cx0[i] // 2:cx0[i] // 2 + 2], cv[i],
+                err_msg=f"cr cell {i} trial {trial}")
