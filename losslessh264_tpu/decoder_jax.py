@@ -244,28 +244,78 @@ def _tiles_to_plane(tiles, mb_w, mb_h, t):
         .reshape(mb_h * t, mb_w * t)
 
 
-# virtual layout of the combined sparse coefficient stream, in units of
+# virtual layout of the combined sparse transport stream, in units of
 # one MB: [luma_ac 256 | luma8 256 | luma_dc 16 | chroma_ac 128 |
-# chroma_dc 8] — 664 int slots per MB. Residual coefficients are
-# overwhelmingly zero at normal QPs (measured 0.6% nonzero luma at
-# 720p/QP28), so uploading (index, value) pairs through the ~45 MB/s
-# host->device tunnel replaces the 1.4 MB/frame dense coefficient
-# transport with a few tens of KB.
-_COEF_SLOTS = 664
+# chroma_dc 8 | mvx_d 16 | mvy_d 16 | ref_slot_d 16 | ref_idx_d 16 |
+# i4_modes 16 | bucket_d 16] — 760 int slots per MB. Residual
+# coefficients are overwhelmingly zero at normal QPs (measured 0.6%
+# nonzero luma at 720p/QP28), per-cell MVs/refs/buckets are almost
+# always MB-uniform (stored as per-MB base + sparse per-cell deltas),
+# and intra mode planes are zero on inter MBs — so uploading
+# (index, value) pairs through the ~45 MB/s host->device tunnel
+# replaces ~700 KB/frame of dense planes with a few tens of KB.
+_COEF_PLANES = (("luma_ac", 256), ("luma8", 256), ("luma_dc", 16),
+                ("chroma_ac", 128), ("chroma_dc", 8), ("mvx_d", 16),
+                ("mvy_d", 16), ("ref_slot_d", 16), ("ref_idx_d", 16),
+                ("i4_modes", 16), ("bucket_d", 16))
+_COEF_SLOTS = sum(s for _, s in _COEF_PLANES)
+_COEF_OFF = {}
+_o = 0
+for _k, _s in _COEF_PLANES:
+    _COEF_OFF[_k] = _o
+    _o += _s
 
 
-def _expand_coeffs(p, n):
-    """Device-side expansion of the combined sparse coefficient stream
-    (padded entries point at the +1 scratch slot)."""
+def _densify_planes(p, n):
+    """Device-side expansion of the combined sparse transport stream
+    into the dense per-frame planes the pipeline consumes (padded
+    entries point at the +1 scratch slot). Also rebuilds the deblock
+    nnz plane from the expanded coefficients (decoder_np semantics —
+    the host no longer uploads it). No-op on dense dicts."""
+    if "coef_idx" not in p:
+        return p
     L = n * _COEF_SLOTS
     dense = jnp.zeros((L + 1,), jnp.int32).at[
         p["coef_idx"].astype(jnp.int32)].set(
             p["coef_val"].astype(jnp.int32))
-    return (dense[:n * 256].reshape(n, 16, 4, 4),
-            dense[n * 256:n * 512].reshape(n, 4, 8, 8),
-            dense[n * 512:n * 528].reshape(n, 4, 4),
-            dense[n * 528:n * 656].reshape(n, 8, 4, 4),
-            dense[n * 656:n * 664].reshape(n, 2, 2, 2))
+
+    def seg(key, shape):
+        o = n * _COEF_OFF[key]
+        return dense[o:o + n * int(np.prod(shape))].reshape((n,) + shape)
+
+    q = dict(p)
+    q["luma_ac"] = seg("luma_ac", (16, 4, 4))
+    q["luma8"] = seg("luma8", (4, 8, 8))
+    q["luma_dc"] = seg("luma_dc", (4, 4))
+    q["chroma_ac"] = seg("chroma_ac", (8, 4, 4))
+    q["chroma_dc"] = seg("chroma_dc", (2, 2, 2))
+    q["mv"] = (p["mv_base"].astype(jnp.int32)[:, None, :]
+               + jnp.stack([seg("mvx_d", (16,)), seg("mvy_d", (16,))],
+                           axis=-1))
+    q["ref_slot"] = (p["ref_slot_base"].astype(jnp.int32)[:, None]
+                     + seg("ref_slot_d", (16,)))
+    q["ref_idx"] = (p["ref_idx_base"].astype(jnp.int32)[:, None]
+                    + seg("ref_idx_d", (16,)))
+    q["i4_modes"] = seg("i4_modes", (16,))
+    q["mc_bucket"] = (p["mc_bucket_base"].astype(jnp.int32)[:, None]
+                      + seg("bucket_d", (16,))).astype(jnp.uint8)
+
+    # deblock nnz plane (mirror of JaxDecoder._nnz_plane)
+    cls = p["mb_class"].astype(jnp.int32)
+    t8f = (p["transform8"].astype(jnp.int32) != 0) & (cls != 1)
+    cbp = p["cbp_luma"].astype(jnp.int32)
+    cnt4 = jnp.count_nonzero(q["luma_ac"].reshape(n, 16, 16), axis=2) \
+        .astype(jnp.int32)
+    cnt8 = jnp.count_nonzero(q["luma8"].reshape(n, 4, 64), axis=2) \
+        .astype(jnp.int32)
+    blk = jnp.arange(16)
+    b8_of = (blk // 4 // 2) * 2 + (blk % 4) // 2
+    coded = ((cbp[:, None] >> b8_of[None, :]) & 1) != 0
+    nnz4 = jnp.where(coded, cnt4, 0)
+    nnz8 = jnp.where(coded, cnt8[:, b8_of], 0)
+    nnz = jnp.where(t8f[:, None], nnz8, nnz4)
+    q["nnz"] = jnp.where((cls == 8)[:, None], 16, nnz)
+    return q
 
 
 def _residual_and_inter(mb_w: int, mb_h: int, p, ref_y, ref_u, ref_v,
@@ -284,16 +334,12 @@ def _residual_and_inter(mb_w: int, mb_h: int, p, ref_y, ref_u, ref_v,
     w4 = [jnp.where(p["use_scaling"], w, flat4) for w in p["w4"]]
     w8 = [jnp.where(p["use_scaling"], w, flat8) for w in p["w8"]]
 
-    if "coef_idx" in p:
-        luma_ac, luma8, luma_dc, chroma_ac, chroma_dc = \
-            _expand_coeffs(p, n)
-    else:
-        luma_ac = p["luma_ac"].astype(jnp.int32)
-        luma_dc = p["luma_dc"].astype(jnp.int32)
-        chroma_ac = p["chroma_ac"].astype(jnp.int32)
-        chroma_dc = p["chroma_dc"].astype(jnp.int32)
-        luma8 = (p["luma8"].astype(jnp.int32) if "luma8" in p
-                 else jnp.zeros((n, 4, 8, 8), jnp.int32))
+    luma_ac = p["luma_ac"].astype(jnp.int32)
+    luma_dc = p["luma_dc"].astype(jnp.int32)
+    chroma_ac = p["chroma_ac"].astype(jnp.int32)
+    chroma_dc = p["chroma_dc"].astype(jnp.int32)
+    luma8 = (p["luma8"].astype(jnp.int32) if "luma8" in p
+             else jnp.zeros((n, 4, 8, 8), jnp.int32))
     res_y = jt.luma_residuals(cls, qp, p["cbp_luma"].astype(jnp.int32),
                               p["transform8"].astype(jnp.int32),
                               luma_ac, luma_dc,
@@ -477,6 +523,7 @@ def recon_intra_batch(mb_w: int, mb_h: int, planes_b, ref_y, ref_u,
     the serial CPU decoder's per-MB latency advantage on small frames).
     planes_b: the per-frame symbol dict with a leading K axis."""
     def one(p):
+        p = _densify_planes(p, mb_w * mb_h)
         Yw, Uw, Vw, ry, ru, rv = _residual_and_inter(
             mb_w, mb_h, p, ref_y, ref_u, ref_v, mc="none")
         Yw, Uw, Vw = _intra_scan(mb_w, mb_h, Yw, Uw, Vw, ry, ru, rv,
@@ -531,6 +578,7 @@ def recon_run(mb_w: int, mb_h: int, planes_k, ref_y, ref_u, ref_v,
     def step(carry, xs):
         ry, ru, rv = carry
         p, slot, hi, dsel, db = xs
+        p = _densify_planes(p, mb_w * mb_h)
         Yw, Uw, Vw, res_y, res_u, res_v = _residual_and_inter(
             mb_w, mb_h, p, ry, ru, rv)
         # hi: 0 = no intra MBs (skip the wavefront entirely), 1 = very
@@ -779,24 +827,48 @@ class JaxDecoder:
 
     @staticmethod
     def _sparsify_run(preps, n):
-        """Replace each prep's dense coefficient planes with ONE
-        combined (coef_idx, coef_val) sparse pair, padded to a shared
-        pow2 bucket across the run (the scan stacks them)."""
+        """Replace each prep's dense coefficient planes, per-cell
+        MV/ref/bucket planes (per-MB base + per-cell deltas) and
+        intra-only mode planes with ONE combined (coef_idx, coef_val)
+        sparse pair, padded to a shared pow2 bucket across the run (the
+        scan stacks them). The deblock nnz plane is dropped entirely —
+        _densify_planes rebuilds it on device from the coefficients."""
         L = n * _COEF_SLOTS
         pairs = []
         for p in preps:
+            # derive the delta planes
+            mvv = p.pop("mv").astype(np.int16)
+            p["mv_base"] = np.ascontiguousarray(mvv[:, 0, :])
+            p["mvx_d"] = mvv[:, :, 0] - p["mv_base"][:, 0:1]
+            p["mvy_d"] = mvv[:, :, 1] - p["mv_base"][:, 1:2]
+            rsv = p.pop("ref_slot").astype(np.int16)
+            p["ref_slot_base"] = np.ascontiguousarray(
+                rsv[:, 0]).astype(np.int8)
+            p["ref_slot_d"] = rsv - rsv[:, 0:1]
+            riv = p.pop("ref_idx").astype(np.int16)
+            p["ref_idx_base"] = np.ascontiguousarray(
+                riv[:, 0]).astype(np.int8)
+            p["ref_idx_d"] = riv - riv[:, 0:1]
+            bkv = p.pop("mc_bucket").astype(np.int16)
+            p["mc_bucket_base"] = np.ascontiguousarray(
+                bkv[:, 0]).astype(np.uint8)
+            p["bucket_d"] = bkv - bkv[:, 0:1]
+            # intra mode plane: only I4x4/I8x8 MBs read it — zero the
+            # rest so inter frames cost ~nothing
+            i4 = p["i4_modes"].astype(np.int16).copy()
+            i4[~np.isin(p["mb_class"], (0, 2))] = 0
+            p["i4_modes"] = i4
+            p.pop("nnz", None)
+
             idxs, vals = [], []
-            off = 0
-            for key, size in (("luma_ac", 256), ("luma8", 256),
-                              ("luma_dc", 16), ("chroma_ac", 128),
-                              ("chroma_dc", 8)):
+            for key, size in _COEF_PLANES:
                 if key in p:
                     a = np.ascontiguousarray(p[key]).reshape(-1)
                     nz = np.flatnonzero(a)
-                    idxs.append(nz.astype(np.int64) + off)
+                    idxs.append(nz.astype(np.int64)
+                                + n * _COEF_OFF[key])
                     vals.append(a[nz].astype(np.int16))
                     del p[key]
-                off += n * size
             pairs.append((np.concatenate(idxs) if idxs else
                           np.zeros(0, np.int64),
                           np.concatenate(vals) if vals else
@@ -843,7 +915,7 @@ class JaxDecoder:
         self._prep_refs(mb_w, mb_h)
         preps, slots = [], []
         for f in fs:
-            preps.append(self._prep_planes(f)[0])
+            preps.append(self._prep_planes(f, lean=True)[0])
             slots.append(self._assign_slot(f))
         self._sparsify_run(preps, mb_w * mb_h)
         stacked = jax.device_put(self._unify_stack(preps, fs))
@@ -870,12 +942,12 @@ class JaxDecoder:
         self._prep_refs(mb_w, mb_h)
         preps, slots, his, sels, dbs = [], [], [], [], []
         for f in fs:
-            preps.append(self._prep_planes(f)[0])
+            preps.append(self._prep_planes(f, lean=True)[0])
             kind, sel = self._intra_sel(
                 mb_w, mb_h, np.isin(f["mb_class"], [0, 1, 2]))
             his.append(kind)
             sels.append(sel)
-            dbs.append(self._needs_deblock(f, preps[-1]["nnz"]))
+            dbs.append(self._needs_deblock(f))
             slots.append(self._assign_slot(f))
         self._sparsify_run(preps, mb_w * mb_h)
         n_real = len(fs)
@@ -991,9 +1063,11 @@ class JaxDecoder:
             jnp.int32(slot))
         return (Y, U, V) if self._advance_output(f, damaged) else None
 
-    def _prep_planes(self, f):
+    def _prep_planes(self, f, lean=False):
         """Host-side symbol-plane prep for one frame: returns
-        (planes_np, diags, has_intra, full_intra)."""
+        (planes_np, diags, has_intra, full_intra). lean=True skips the
+        deblock nnz plane (batched runs rebuild it on device from the
+        sparse coefficients — _densify_planes)."""
         mb_w, mb_h = f["mb_w"], f["mb_h"]
 
         # remap output-idx refs to ring slots
@@ -1005,8 +1079,9 @@ class JaxDecoder:
             ref_slot = np.where(
                 rf >= 0, slot_map[np.clip(rf, 0, len(slot_map) - 1)], -1)
 
-            # nnz plane for deblock (from coeffs, spec semantics)
-            nnz = self._nnz_plane(f)
+            # nnz plane for deblock (from coeffs, spec semantics);
+            # lean callers rebuild it on device instead
+            nnz = None if lean else self._nnz_plane(f)
             avail = self._avail_plane(f)
             intra_mask = np.isin(f["mb_class"], [0, 1, 2])
             diags, full_intra = self._intra_diags(mb_w, mb_h, intra_mask)
@@ -1039,7 +1114,6 @@ class JaxDecoder:
                 "deblock_idc": f["deblock_idc"].astype(np.int8),
                 "alpha_off": f["alpha_off"].astype(np.int8),
                 "beta_off": f["beta_off"].astype(np.int8),
-                "nnz": nnz.astype(np.int8),
                 "avail": avail,
                 "use_scaling": np.bool_(bool(f["use_scaling"])),
                 "chroma_qp_offset": np.int32(f["chroma_qp_offset"]),
@@ -1048,6 +1122,8 @@ class JaxDecoder:
                 "w4": [dn._weights4(f["scaling4"][i]) for i in range(6)],
                 "w8": [dn._weights8(f["scaling8"][i]) for i in range(2)],
             }
+            if nnz is not None:
+                planes["nnz"] = nnz.astype(np.int8)
             # coefficient planes: int8 when every value fits (the usual
             # case at normal QPs), int16 otherwise
             for key in ("luma_ac", "chroma_ac"):
@@ -1098,19 +1174,26 @@ class JaxDecoder:
                                              cp:cp + W // 2])
 
     @staticmethod
-    def _needs_deblock(f, nnz):
+    def _needs_deblock(f, nnz=None):
         """Host-side proof that EVERY edge in the frame has bS == 0, in
         which case the deblock wavefront is an identity and the scanned
         run skips it (all-skip P frames on static content — black.264's
         steady state). Conservative: any intra/PCM MB, any nonzero
         coefficient, any ref mismatch, or any adjacent-cell MV delta
-        >= 4 quarter-pels keeps the filter on (8.7 bS derivation)."""
+        >= 4 quarter-pels keeps the filter on (8.7 bS derivation).
+        nnz is optional — a raw coefficient-plane check is equivalent
+        for this conservative gate and skips the _nnz_plane build."""
         if (f["deblock_idc"] == 1).all():
             return False
         cls = f["mb_class"]
         if np.isin(cls, [0, 1, 2, 8]).any():
             return True
-        if nnz.any():
+        if nnz is not None:
+            if nnz.any():
+                return True
+        elif (f["luma_ac"].any() or f["luma8"].any()
+              or f["luma_dc"].any() or f["chroma_ac"].any()
+              or f["chroma_dc"].any()):
             return True
         mb_w, mb_h = f["mb_w"], f["mb_h"]
 

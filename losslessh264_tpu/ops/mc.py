@@ -369,8 +369,20 @@ def mc_fast_plan(mb_w, mb_h, ref_slot, mv, pad):
     if not valid.any():
         return plan      # nothing to predict: either branch is fine
     key = ((rs << 28) + ((vy + (1 << 13)) << 14) + (vx + (1 << 13)))
-    uk, inv, cnt = np.unique(key[fast], return_inverse=True,
-                             return_counts=True)
+    # MB-uniform reduction: most MBs carry one (slot, mv) for all 16
+    # cells, so unique() runs over ~n keys instead of 16n
+    kg = key.reshape(-1, 16)
+    fg = fast.reshape(-1, 16)
+    uni = ((kg == kg[:, :1]).all(axis=1) & fg.all(axis=1))
+    redu = np.concatenate([kg[uni, 0], kg[~uni][fg[~uni]]])
+    uk = np.unique(redu)
+    nuni = int(uni.sum())
+    # cell counts: a uniform MB contributes 16 cells per key
+    cnt = np.bincount(np.searchsorted(uk, redu),
+                      weights=np.where(np.arange(len(redu)) < nuni,
+                                       16, 1),
+                      minlength=len(uk)).astype(np.int64)
+    inv = np.searchsorted(uk, key[fast])
     slots = np.unique(rs[fast]) if fast.any() else np.zeros(0, np.int64)
     if len(uk) > MC_CAP:
         # serve the MC_CAP most-populated triples densely; spill the
