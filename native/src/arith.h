@@ -37,6 +37,26 @@ struct DynProb {
   }
 };
 
+// Count-weighted backoff mix (the PAQ/Kneser-Ney idea, binary case):
+// blend a rich context's probability with its coarse parent's by the
+// rich context's sample count, so sparse contexts inherit the parent's
+// statistics until they have evidence of their own. Writer and reader
+// see identical counts (both update in lockstep), so the mixed
+// probability is reproducible.
+inline u8 mix_prob(const DynProb* rich, const DynProb* coarse, u32 K) {
+  u32 n = u32(rich->c0) + u32(rich->c1);
+  if (n >= 96) return rich->prob;  // confidence gate: a well-trained
+                                   // rich context should not be dragged
+                                   // toward the parent forever (the
+                                   // count rescale caps n, so the
+                                   // parent would keep ~K/(n+K) weight
+                                   // for the whole stream)
+  u32 p = (n * rich->prob + K * coarse->prob) / (n + K);
+  if (p < 1) p = 1;
+  if (p > 255) p = 255;
+  return u8(p);
+}
+
 // ---------------------------------------------------------------------------
 // Bool writer (VP8-style range coder, carry propagation into buffer)
 // ---------------------------------------------------------------------------
@@ -259,6 +279,19 @@ class StreamWriter {
     if (bill) bill[tag] += 8.0 * double(w.size() - before);
     return b;
   }
+  inline bool bit_mix(bool b, DynProb* rich, DynProb* coarse, u32 K) {
+    size_t before = w.size();
+    u8 p = mix_prob(rich, coarse, K);
+    if (prior_total) {
+      prior_total[tag] += 1.0;
+      prior_hits[tag] += double((p >= 128) == !b);
+    }
+    w.put(b, p);
+    rich->update(b);
+    coarse->update(b);
+    if (bill) bill[tag] += 8.0 * double(w.size() - before);
+    return b;
+  }
   inline u32 raw_bits(u32 v, int n) {
     size_t before = w.size();
     for (int i = n - 1; i >= 0; --i) w.put((v >> i) & 1, 128);
@@ -275,6 +308,12 @@ class StreamReader {
 
   inline void set_tag(int) {}
   inline bool bit(bool /*unused*/, DynProb* p) { return r.get_adaptive(p); }
+  inline bool bit_mix(bool, DynProb* rich, DynProb* coarse, u32 K) {
+    bool b = r.get(mix_prob(rich, coarse, K));
+    rich->update(b);
+    coarse->update(b);
+    return b;
+  }
   inline u32 raw_bits(u32 /*unused*/, int n) {
     u32 v = 0;
     for (int i = 0; i < n; ++i) v = (v << 1) | u32(r.get(128));
@@ -283,6 +322,27 @@ class StreamReader {
 };
 
 // --- generic symbol codecs (templated over StreamWriter/StreamReader) ---
+
+// Helper: one adaptive bit, optionally mixed with a coarse parent.
+template <class IO>
+inline bool mbit(IO& io, bool b, DynProb* rich, DynProb* coarse, u32 K) {
+  return coarse ? io.bit_mix(b, rich, coarse, K) : io.bit(b, rich);
+}
+
+// Branch-tree codec mixed with a coarse parent (context mixing).
+template <class IO, int N>
+inline u32 code_branch_mix(IO& io, u32 val, BranchPrior<N>* prior,
+                           BranchPrior<N>* parent, u32 K) {
+  u32 out = 0;
+  int node = 0;
+  for (int d = N - 1; d >= 0; --d) {
+    bool b = io.bit_mix((val >> d) & 1, &prior->p[node],
+                        &parent->p[node], K);
+    out = (out << 1) | u32(b);
+    node = 2 * node + 1 + (b ? 1 : 0);
+  }
+  return out;
+}
 
 template <class IO, int N>
 inline u32 code_branch(IO& io, u32 val, BranchPrior<N>* prior) {
@@ -305,6 +365,20 @@ inline int code_unary(IO& io, int val, UnaryPrior<N>* prior, int cap = -1) {
   while (true) {
     if (cap >= 0 && i == cap) return i;
     bool more = io.bit(i < val, prior->at(i));
+    if (!more) return i;
+    ++i;
+    PIP_CHECK(i < (1 << 20), "unary runaway");
+  }
+}
+
+// code_unary blended with a coarse parent prior (context mixing).
+template <class IO, int N, int NC>
+inline int code_unary_mix(IO& io, int val, UnaryPrior<N>* prior,
+                          UnaryPrior<NC>* parent, u32 K, int cap = -1) {
+  int i = 0;
+  while (true) {
+    if (cap >= 0 && i == cap) return i;
+    bool more = io.bit_mix(i < val, prior->at(i), parent->at(i), K);
     if (!more) return i;
     ++i;
     PIP_CHECK(i < (1 << 20), "unary runaway");
@@ -352,6 +426,49 @@ inline i32 code_int(IO& io, i32 val, IntPriorT<E, MEXP, ORDER>* prior,
   return neg ? -result : result;
 }
 
+// code_int with every decision blended against a coarse parent prior
+// of the same shape (context mixing — sparse rich contexts inherit the
+// parent's statistics until they accumulate their own evidence).
+template <class IO, int E, int MEXP, int ORDER>
+inline i32 code_int_mix(IO& io, i32 val, IntPriorT<E, MEXP, ORDER>* prior,
+                        IntPriorT<E, MEXP, ORDER>* parent, u32 K,
+                        bool hasZero, bool hasSign) {
+  if (hasZero) {
+    bool z = io.bit_mix(val == 0, &prior->zero, &parent->zero, K);
+    if (z) return 0;
+  }
+  bool neg = false;
+  if (hasSign) {
+    neg = io.bit_mix(val < 0, &prior->sign, &parent->sign, K);
+  }
+  u32 mag = 0;
+  if (IO::kIsWriter) {
+    mag = u32(val < 0 ? -val : val);
+    PIP_CHECK(mag >= 1, "code_int needs |val| >= 1");
+  }
+  u32 data = mag - 1;
+  u32 high = 1 + (data >> ORDER);
+  int log2 = IO::kIsWriter ? ilog2_floor(high) : 0;
+  log2 = code_unary_mix(io, log2, &prior->exponent, &parent->exponent, K);
+  PIP_CHECK(log2 < 30, "code_int exponent overflow");
+  u32 rhigh = 1;
+  for (int i = log2 - 1; i >= 0; --i) {
+    bool b = io.bit_mix((high >> i) & 1, prior->mant(log2, log2 - 1 - i),
+                        parent->mant(log2, log2 - 1 - i), K);
+    rhigh = (rhigh << 1) | u32(b);
+  }
+  u32 rlow = 0;
+  for (int i = ORDER - 1; i >= 0; --i) {
+    bool b = io.bit_mix((data >> i) & 1,
+                        prior->mant(log2, log2 + (ORDER - 1 - i)),
+                        parent->mant(log2, log2 + (ORDER - 1 - i)), K);
+    rlow = (rlow << 1) | u32(b);
+  }
+  u32 rdata = ((rhigh - 1) << ORDER) | rlow;
+  i32 result = i32(rdata + 1);
+  return neg ? -result : result;
+}
+
 // tag_sign/tag_mag >= 0 re-tag the sign and magnitude decisions for
 // sub-feature billing resolution (reference billTo() granularity); the
 // zero/EOB bit stays on the caller's current tag.
@@ -381,6 +498,97 @@ inline i32 code_uegk(IO& io, i32 val, UEGkPriorT<THRESH, M, E, MEXP, ORDER>* pri
   i32 second = code_int(io, IO::kIsWriter ? i32(mag - 1 - THRESH) : 0, &prior->tail,
                         /*hasZero=*/true, /*hasSign=*/false);
   i32 r = THRESH + second + 1;
+  return neg ? -r : r;
+}
+
+// UEGk codec with every decision blended against a coarse parent of
+// the same prior type (context mixing).
+template <class IO, int THRESH, int M, int E, int MEXP, int ORDER>
+inline i32 code_uegk_mix(IO& io, i32 val,
+                         UEGkPriorT<THRESH, M, E, MEXP, ORDER>* prior,
+                         UEGkPriorT<THRESH, M, E, MEXP, ORDER>* parent,
+                         u32 K, bool hasZero, int sign_cue = 1) {
+  if (hasZero) {
+    bool z = io.bit_mix(val == 0, &prior->zero, &parent->zero, K);
+    if (z) return 0;
+  }
+  DynProb* sp = sign_cue == 0 ? &prior->sign0
+                              : (sign_cue == 2 ? &prior->sign_w
+                                               : (sign_cue == 3
+                                                      ? &prior->sign_n
+                                                      : &prior->sign));
+  DynProb* spp = sign_cue == 0 ? &parent->sign0
+                               : (sign_cue == 2 ? &parent->sign_w
+                                                : (sign_cue == 3
+                                                       ? &parent->sign_n
+                                                       : &parent->sign));
+  bool neg = io.bit_mix(val < 0, sp, spp, K);
+  u32 mag = IO::kIsWriter ? u32(val < 0 ? -val : val) : 0;
+  int first = code_unary_mix(io, IO::kIsWriter ? int(mag - 1) : 0,
+                             &prior->first, &parent->first, K, THRESH);
+  if (first < THRESH) {
+    i32 r = first + 1;
+    return neg ? -r : r;
+  }
+  i32 second =
+      code_int_mix(io, IO::kIsWriter ? i32(mag - 1 - THRESH) : 0,
+                   &prior->tail, &parent->tail, K,
+                   /*hasZero=*/true, /*hasSign=*/false);
+  i32 r = THRESH + second + 1;
+  return neg ? -r : r;
+}
+
+// Split AC codec: zero + sign decisions from the (position-rich) zp
+// prior, magnitude (unary + tail) from a dedicated small mp prior —
+// see model.h MagPrior. Identical wire behavior to code_uegk except
+// for which adaptive probabilities the magnitude bits train.
+template <class IO, class ZP, class MP>
+inline i32 code_ac_split(IO& io, i32 val, ZP* zp, MP* mp, bool hasZero,
+                         int tag_sign = -1, int tag_mag = -1,
+                         int sign_cue = 1, DynProb* zero_c = nullptr,
+                         DynProb* gt1_c = nullptr, u32 K = 24,
+                         DynProb* sign_c = nullptr, MP* mag_c = nullptr) {
+  if (hasZero) {
+    bool z = zero_c ? io.bit_mix(val == 0, &zp->zero, zero_c, K)
+                    : io.bit(val == 0, &zp->zero);
+    if (z) return 0;
+  }
+  if (tag_sign >= 0) io.set_tag(tag_sign);
+  DynProb* sp = sign_cue == 0
+                    ? &zp->sign0
+                    : (sign_cue == 2
+                           ? &zp->sign_w
+                           : (sign_cue == 3 ? &zp->sign_n : &zp->sign));
+  bool neg = sign_c ? io.bit_mix(val < 0, sp, sign_c, K)
+                    : io.bit(val < 0, sp);
+  if (tag_mag >= 0) io.set_tag(tag_mag);
+  u32 mag = IO::kIsWriter ? u32(val < 0 ? -val : val) : 0;
+  // gt1 flag (|v| == 1 vs > 1) keeps the position-rich zp context —
+  // it is the magnitude decision position/nzleft genuinely predict
+  // (dominant on CAVLC streams); the rest of the unary + the tail
+  // train the dedicated mp table (dominant on CABAC streams, where
+  // the rich table's dilution never let them adapt).
+  int valm = IO::kIsWriter ? int(mag - 1) : 0;
+  bool gt1 = gt1_c ? io.bit_mix(IO::kIsWriter ? (valm > 0) : false,
+                                zp->first.at(0), gt1_c, K)
+                   : io.bit(IO::kIsWriter ? (valm > 0) : false,
+                            zp->first.at(0));
+  if (!gt1) return neg ? -1 : 1;
+  int rest = mag_c ? code_unary_mix(io, IO::kIsWriter ? valm - 1 : 0,
+                                    &mp->first, &mag_c->first, K, 13)
+                   : code_unary(io, IO::kIsWriter ? valm - 1 : 0,
+                                &mp->first, 13);
+  if (rest < 13) {
+    i32 r = rest + 2;
+    return neg ? -r : r;
+  }
+  i32 second =
+      mag_c ? code_int_mix(io, IO::kIsWriter ? i32(mag - 1 - 14) : 0,
+                           &mp->tail, &mag_c->tail, K,
+                           /*hasZero=*/true, /*hasSign=*/false)
+            : code_int(io, IO::kIsWriter ? i32(mag - 1 - 14) : 0,
+                       &mp->tail, /*hasZero=*/true, /*hasSign=*/false);
+  i32 r = 14 + second + 1;
   return neg ? -r : r;
 }
 

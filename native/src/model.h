@@ -86,6 +86,18 @@ using NzPrior = IntPriorT<6, 8, 0>;
 using AcPrior = UEGkPriorT<14, 4, 6, 4, 0>;
 using MvdPrior = UEGkPriorT<9, 4, 6, 8, 3>;
 
+// Dedicated AC magnitude prior (the tibbycabac magnitude column):
+// few, heavily-trained contexts in the CABAC abs-level style instead
+// of magnitude stats diluted across the ~100k-context AcPrior table
+// (each of which sees only a handful of coefficients and never
+// adapts). Reference: coeff_abs_level_minus1 ctxIdxInc from
+// (numDecodAbsLevelEq1, numDecodAbsLevelGt1),
+// parse_mb_syn_cabac.cpp:846-975.
+struct MagPrior {
+  UnaryPrior<8> first;     // unary part up to the UEGk threshold
+  IntPriorT<6, 4, 0> tail;
+};
+
 inline int cls_bucket(u8 c) {  // 0 intra4/8, 1 I16, 2 inter, 3 skip/pcm
   switch (c) {
     case MB_I4x4:
@@ -147,6 +159,33 @@ struct Model {
                                       // — context dilution on short
                                       // streams)
   AcPrior ac_8x8[32][12][5][24];        // [scan>>2][nzleft][prev][same]
+  // [chroma][intra][abs-level state: gt1 ? 4+min(2,gt1-1) : min(3,eq1)]
+  // [previous coefficient |v| bucket (prevb)] — a co-located-past
+  // magnitude dim was measured WORSE (adaptive-QP streams, BAMQ2:
+  // QP changes make past magnitudes misleading)
+  MagPrior ac_mag[2][2][7][5][4];  // + nzleft bucket (block energy)
+  // coarse parents for count-weighted context mixing (bit_mix): the
+  // rich ac_4x4/ac_8x8 zero/gt1 probs see few samples each on short
+  // streams; blending with these heavily-trained parents stops the
+  // dilution (VERDICT r4 lever: mixing/backoff across contexts)
+  DynProb ac_zero_c[3][2][16][12];
+  DynProb ac_zero_c8[32][12];
+  DynProb ac_gt1_c[2][2][7];
+  DynProb ac_sign_c[4][2][2];  // coarse sign parent [cue][chroma][intra]
+  SkipRunPrior skip_run_c;     // coarse parent of skip_run
+  DcPrior luma_dc_c[3];        // coarse parent of luma_dc [pastb]
+  DcPrior chroma_dc_c[3];      // coarse parent of chroma_dc [pastb]
+  DynProb t8x8_c[64];          // coarse parent of t8x8_flag [qp&63]
+  BranchPrior<4> mb_type_c[2]; // coarse parent of mb_type [slice_is_p]
+  MagPrior ac_mag_c[2];        // grandparent of the magnitude rest/tail
+                               // [chroma] — the rest-unary sees only
+                               // |v|>=2 coeffs, 1-2 samples per rich
+                               // prob on CIF-length streams
+  NzPrior nz_c[3];        // coarse parent of nz_4x4 (per color)
+  NzPrior nz_c8;          // coarse parent of nz_8x8
+  MvdPrior mvd_c[2];      // coarse parent of mvd (per component)
+  BranchPrior<4> pred_mode_c[2];  // coarse parent of pred_mode (is8x8)
+  DynProb cbp_lbit_c[4];  // coarse parent of cbp_luma bits (per bit)
   BranchPrior<8> pcm_byte[3];         // [plane]
 
   Model() = default;
@@ -291,8 +330,10 @@ void code_block(IO& io, ModelCtx& mc, int color, int blk, i16* coeff,
     for (int k = 16; k < 23; ++k)
       if (rec->nnz[k]) { force_nz = false; break; }
   }
-  nonzeros = code_int(io, nonzeros, nzp, /*hasZero=*/!force_nz,
-                      /*hasSign=*/false);
+  NzPrior* nzc = IS8x8 ? &M.nz_c8 : &M.nz_c[color];
+  nonzeros = code_int_mix(io, nonzeros, nzp, nzc, 24,
+                          /*hasZero=*/!force_nz,
+                          /*hasSign=*/false);
   PIP_CHECK(nonzeros >= 0 && nonzeros <= n, "block nonzeros out of range");
 
   io.set_tag(color == 0 ? BILL_LUMA_AC : BILL_CHROMA_AC);
@@ -301,6 +342,8 @@ void code_block(IO& io, ModelCtx& mc, int color, int blk, i16* coeff,
   i32 prev = 0, prev2 = 0;
   int runz = 0;  // consecutive zeros immediately before position i
   int gt1seen = 0;  // any |coeff| > 1 coded so far (CABAC c2 analog)
+  int eq1 = 0;      // |coeff| == 1 count so far (abs-level state)
+  int gt1cnt = 0;   // |coeff| > 1 count so far
   const MbRecord* past = mc.past;
   // Forward scan with early stop: positions after the last nonzero are
   // implied zero. (Measured BETTER than the reference's reverse-zigzag
@@ -310,6 +353,7 @@ void code_block(IO& io, ModelCtx& mc, int color, int blk, i16* coeff,
   for (int i = 0; i < n && nzleft > 0; ++i) {
     int pastmag = 2;  // no-past bucket (pastmag*4 + runb must stay < 12:
                       // gt1seen selects the upper half of the [24] ctx2 dim)
+    int pabs = -1;    // co-located past |value| (-1 = no past)
     int flip = 1;
     bool flip_cue = false;
     bool nbr_cue = false;  // cue came from a spatial neighbor block
@@ -323,6 +367,7 @@ void code_block(IO& io, ModelCtx& mc, int color, int blk, i16* coeff,
         pv = past->chroma_ac[(color - 1) * 4 + blk][start + i];
       }
       pastmag = pv ? 1 : 0;
+      pabs = pv < 0 ? -pv : pv;
       // sign coherence with the co-located PAST coefficient: code the
       // value sign-flipped by the past sign so the adaptive sign prob
       // learns the correlation (static gradients keep DCT signs)
@@ -388,18 +433,36 @@ void code_block(IO& io, ModelCtx& mc, int color, int blk, i16* coeff,
     // when every remaining position must be nonzero (nzleft == n - i)
     // the zero bit is deterministic — skip it (both directions know).
     // All AC decisions bill at sub-tag resolution (zero/sign/magnitude).
-    i32 c = code_uegk(io,
+    // Magnitude bits train the dedicated MagPrior table (CABAC
+    // abs-level-style state), not the position-rich AcPrior — the
+    // tibbycabac magnitude-column fix.
+    int mstate = gt1cnt ? 4 + (gt1cnt > 3 ? 2 : gt1cnt - 1)
+                        : (eq1 > 3 ? 3 : eq1);
+    int nzb = nzleft >= 4 ? 3 : nzleft - 1;
+    MagPrior* mp =
+        &M.ac_mag[color != 0][intra ? 1 : 0][mstate][prevb][nzb];
+    MagPrior* mpc = &M.ac_mag_c[color != 0];
+    int nzc = std::min(11, nzleft);
+    DynProb* zero_c =
+        IS8x8 ? &M.ac_zero_c8[(start + i) >> 1][nzc]
+              : &M.ac_zero_c[color][intra ? 1 : 0][start + i][nzc];
+    DynProb* gt1_c = &M.ac_gt1_c[color != 0][intra ? 1 : 0][mstate];
+    DynProb* sign_c = &M.ac_sign_c[cue_kind][color != 0][intra ? 1 : 0];
+    i32 c = code_ac_split(io,
                       IO::kIsWriter ? i32(coeff[start + i]) * flip : 0, ap,
+                      mp,
                       /*hasZero=*/nzleft < n - i,
                       color == 0 ? BILL_LUMA_AC_SIGN : BILL_CHROMA_AC_SIGN,
                       color == 0 ? BILL_LUMA_AC_MAG : BILL_CHROMA_AC_MAG,
-                      /*sign_cue=*/cue_kind);
+                      /*sign_cue=*/cue_kind, zero_c, gt1_c, 24, sign_c,
+                      mpc);
     // next position's EOB bit bills to the structural AC tag
     io.set_tag(color == 0 ? BILL_LUMA_AC : BILL_CHROMA_AC);
     c *= flip;
     if (!IO::kIsWriter) coeff[start + i] = i16(c);
     if (c != 0) --nzleft;
-    if (c > 1 || c < -1) gt1seen = 1;
+    if (c == 1 || c == -1) ++eq1;
+    if (c > 1 || c < -1) { gt1seen = 1; ++gt1cnt; }
     prev2 = prev;
     prev = c;
     runz = c == 0 ? runz + 1 : 0;
@@ -441,8 +504,9 @@ void code_mb_symbols(IO& io, ModelCtx& mc) {
   int spatial = mc.left ? mc.left->mb_class
                         : (mc.above ? mc.above->mb_class : 15);
   int prior = spatial + (mc.past ? mc.past->mb_class : 15);
-  u32 cls = code_branch<IO, 4>(io, rec.mb_class,
-                               &M.mb_type[prior][mc.slice_is_p]);
+  u32 cls = code_branch_mix<IO, 4>(io, rec.mb_class,
+                               &M.mb_type[prior][mc.slice_is_p],
+                               &M.mb_type_c[mc.slice_is_p], 24);
   if (!IO::kIsWriter) {
     PIP_CHECK(cls < MB_NUM_CLASSES && cls != 9 && cls != 10, "bad mb class");
     rec.mb_class = u8(cls);
@@ -482,8 +546,9 @@ void code_mb_symbols(IO& io, ModelCtx& mc) {
       int ab = (b8 >> 1) ? ((cbp >> (b8 - 2)) & 1)
                          : (mc.above ? (mc.above->cbp_luma >> (b8 + 2)) & 1 : 0);
       int pb = mc.past ? (mc.past->cbp_luma >> b8) & 1 : 2;
-      bool bit = io.bit((rec.cbp_luma >> b8) & 1,
-                        &M.cbp_lbit[b8][lb][ab][pb][rec.mb_class]);
+      bool bit = io.bit_mix((rec.cbp_luma >> b8) & 1,
+                        &M.cbp_lbit[b8][lb][ab][pb][rec.mb_class],
+                        &M.cbp_lbit_c[b8], 24);
       if (bit) cbp |= u8(1 << b8);
     }
     if (!IO::kIsWriter) rec.cbp_luma = cbp;
@@ -513,8 +578,9 @@ void code_mb_symbols(IO& io, ModelCtx& mc) {
     }
     if (elig) {
       io.set_tag(BILL_T8X8);
-      bool f = io.bit(rec.transform_8x8,
-                      &M.t8x8_flag[rec.mb_class][sc.cur_qp & 63]);
+      bool f = io.bit_mix(rec.transform_8x8,
+                      &M.t8x8_flag[rec.mb_class][sc.cur_qp & 63],
+                      &M.t8x8_c[sc.cur_qp & 63], 24);
       if (!IO::kIsWriter) rec.transform_8x8 = f;
     }
   }
@@ -594,8 +660,9 @@ void code_mb_symbols(IO& io, ModelCtx& mc) {
                               sc.mb_avail(sc.addr_above_left())
                           ? 1
                           : 0);
-      u32 v = code_branch<IO, 4>(io, rec.i4_modes[d],
-                                 &M.pred_mode[0][availIdx][pred][second]);
+      u32 v = code_branch_mix<IO, 4>(io, rec.i4_modes[d],
+                                 &M.pred_mode[0][availIdx][pred][second],
+                                 &M.pred_mode_c[0], 24);
       if (!IO::kIsWriter) {
         PIP_CHECK(v <= 8, "bad i4 mode");
         rec.i4_modes[d] = u8(v);
@@ -611,9 +678,10 @@ void code_mb_symbols(IO& io, ModelCtx& mc) {
       sc.intra_8x8_ab(b, &ma, &mb);
       int pred = (ma < 0 || mb < 0) ? 2 : std::min(ma, mb);
       int second = (ma < 0 || mb < 0) ? 9 : std::max(ma, mb);
-      u32 v = code_branch<IO, 4>(io, rec.i4_modes[b],
+      u32 v = code_branch_mix<IO, 4>(io, rec.i4_modes[b],
                                  &M.pred_mode[1][(b & 1) | ((b >> 1) << 1)][pred]
-                                             [second]);
+                                             [second],
+                                 &M.pred_mode_c[1], 24);
       if (!IO::kIsWriter) {
         PIP_CHECK(v <= 8, "bad i8 mode");
         rec.i4_modes[b] = u8(v);
@@ -688,9 +756,10 @@ void code_mb_symbols(IO& io, ModelCtx& mc) {
         // [decode_slice.cpp:2128] LOSES to direct coding here — the
         // spatial median predictor already whitens the field; the PAST
         // MVD magnitude survives only as a context bucket)
-        i32 v = flip * code_uegk(io,
+        i32 v = flip * code_uegk_mix(io,
                           IO::kIsWriter ? i32(rec.mvd[slot][xy]) * flip : 0,
-                          &M.mvd[cb][slot][xy][pm][sp], /*hasZero=*/true);
+                          &M.mvd[cb][slot][xy][pm][sp], &M.mvd_c[xy], 24,
+                          /*hasZero=*/true);
         if (!IO::kIsWriter) rec.mvd[slot][xy] = i16(v);
       }
     };
@@ -721,9 +790,10 @@ void code_mb_symbols(IO& io, ModelCtx& mc) {
         pastb = pv == 0 ? 0 : (pv == 1 || pv == -1 ? 1 : 2);
         if (pv < 0) flip = -1;  // past-sign coherence (as the AC codec)
       }
-      i32 v = flip * code_int(io,
+      i32 v = flip * code_int_mix(io,
                        IO::kIsWriter ? i32(rec.luma_dc[i]) * flip : 0,
-                       &M.luma_dc[i][pastb], /*hasZero=*/true,
+                       &M.luma_dc[i][pastb], &M.luma_dc_c[pastb], 24,
+                       /*hasZero=*/true,
                        /*hasSign=*/true);
       if (!IO::kIsWriter) rec.luma_dc[i] = i16(v);
     }
@@ -740,9 +810,10 @@ void code_mb_symbols(IO& io, ModelCtx& mc) {
           pastb = pv == 0 ? 0 : (pv == 1 || pv == -1 ? 1 : 2);
           if (pv < 0) flip = -1;  // past-sign coherence
         }
-        i32 v = flip * code_int(io,
+        i32 v = flip * code_int_mix(io,
                          IO::kIsWriter ? i32(rec.chroma_dc[c][i]) * flip : 0,
-                         &M.chroma_dc[idx][pastb], true, true);
+                         &M.chroma_dc[idx][pastb], &M.chroma_dc_c[pastb],
+                         24, true, true);
         if (!IO::kIsWriter) rec.chroma_dc[c][i] = i16(v);
       }
     }
@@ -778,8 +849,9 @@ inline int code_skip_run(IO& io, Model& M, FreqImage& fi, int mbx, int mby,
   // log-spaced buckets: fine resolution at short runs (where most of the
   // probability mass lives), coarse at long ones
   int bucket = pr <= 4 ? pr : std::min(12, 3 + ilog2_floor(u32(pr)));
-  return code_int(io, run, &M.skip_run[bucket], /*hasZero=*/true,
-                  /*hasSign=*/false);
+  return code_int_mix(io, run, &M.skip_run[bucket], &M.skip_run_c, 24,
+                      /*hasZero=*/true,
+                      /*hasSign=*/false);
 }
 
 template <class IO>
