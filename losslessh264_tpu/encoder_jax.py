@@ -376,7 +376,8 @@ def intra_wavefront(mb_w: int, mb_h: int, srcY, srcU, srcV, inter_y, inter_u,
 # ---------------------------------------------------------------------------
 @functools.partial(jax.jit, static_argnames=("mb_w", "mb_h", "radius"))
 def encode_inter_mbs(mb_w: int, mb_h: int, radius: int, Y, U, V, refY_s,
-                     refU_s, refV_s, qp, qpc, scroll_dy=None):
+                     refU_s, refV_s, qp, qpc, scroll_dy=None,
+                     rd_lam=None):
     """Whole-frame P-MB analysis, fully batched.
 
     refY_s/refU_s/refV_s: [R,H+2P,W+2P] edge-padded reference stacks
@@ -520,7 +521,7 @@ def encode_inter_mbs(mb_w: int, mb_h: int, radius: int, Y, U, V, refY_s,
     r_pm = _blocks16(resid).reshape(B, 16).T.astype(jnp.int32)
     qp_b = jnp.repeat(qp.astype(jnp.int32), 16)
     W_pm = jt.fdct4x4_pm(r_pm)
-    q_pm = jt.quant4_pm(W_pm, qp_b, False)
+    q_pm = jt.quant4_pm(W_pm, qp_b, False, rd_lam=rd_lam)
     deq_pm = jt.dequant4_pm(q_pm, qp_b, jnp.int32(16))
     rec = _assemble16(jt.idct4x4_pm(deq_pm).T.reshape(n, 16, 4, 4))
     qac = q_pm.T.reshape(n, 16, 4, 4)
@@ -536,7 +537,8 @@ def encode_inter_mbs(mb_w: int, mb_h: int, radius: int, Y, U, V, refY_s,
         rc_pm = _blocks4(residc).reshape(Bc, 16).T.astype(jnp.int32)
         qpc_b = jnp.repeat(qpc.astype(jnp.int32), 4)
         Wc_pm = jt.fdct4x4_pm(rc_pm)
-        qc_pm = jt.quant4_pm(Wc_pm, qpc_b, False, skip_dc=True)
+        qc_pm = jt.quant4_pm(Wc_pm, qpc_b, False, skip_dc=True,
+                             rd_lam=rd_lam)
         Wd2 = Wc_pm[0].reshape(n, 2, 2)
         qd2 = jt.quant_dc2(jt.fhadamard2x2(Wd2), qpc)
         dcd = jt.chroma_dc_transform_dequant(qd2, qpc, jnp.int32(16))
@@ -699,9 +701,10 @@ def _pad_refs(recY, recU, recV):
 _CELL_PART8 = ((np.arange(16) // 4) // 2) * 2 + (np.arange(16) % 4) // 2
 
 
-@functools.partial(jax.jit, static_argnames=("mb_w", "mb_h", "radius"))
+@functools.partial(jax.jit, static_argnames=("mb_w", "mb_h", "radius",
+                                              "rd_lam"))
 def _p_analyze(mb_w: int, mb_h: int, radius: int, buf, refY, refU, refV,
-               qp, qpc, scroll_dy=None):
+               qp, qpc, scroll_dy=None, rd_lam=None):
     """Upload-to-symbols program for a P frame: split source, pad refs,
     run the whole-frame inter analysis, pack meta+symbols into one int16
     array, and derive the deblock prep planes device-side."""
@@ -710,7 +713,7 @@ def _p_analyze(mb_w: int, mb_h: int, radius: int, buf, refY, refU, refV,
     (mvx, mvy, use_intra, part, ref_sel, mv8, mvq, qac_zz, cdc, cac,
      tile_y, tile_u, tile_v, no_res) = encode_inter_mbs(
         mb_w, mb_h, radius, Y, U, V, refY_s, refU_s, refV_s, qp, qpc,
-        scroll_dy)
+        scroll_dy, rd_lam)
     meta = _pack_meta(mvx, mvy, use_intra, no_res, part, mv8, ref_sel)
     nmb = mb_w * mb_h
     # inter frames carry only meta + qac/cdc/cac (no I16 DC, no mode
@@ -778,9 +781,11 @@ def _p_intra_fixup(mb_w: int, mb_h: int, idc: int, packed, Y, U, V,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("mb_w", "mb_h", "radius", "idc"))
+                   static_argnames=("mb_w", "mb_h", "radius", "idc",
+                                    "rd_lam"))
 def _p_batch(mb_w: int, mb_h: int, radius: int, idc: int, bufs, refY,
-             refU, refV, qp, qpc, slice_id, diags, row_slice):
+             refU, refV, qp, qpc, slice_id, diags, row_slice,
+             rd_lam=None):
     """K consecutive P frames in ONE program: lax.scan chains the
     recon+deblock reference carry, so a whole batch rides one source
     upload, one dispatch, and one packed symbol fetch. The axon tunnel
@@ -802,7 +807,8 @@ def _p_batch(mb_w: int, mb_h: int, radius: int, idc: int, bufs, refY,
         refY_s, refU_s, refV_s = _pad_refs(rY0[None], rU0[None], rV0[None])
         (mvx, mvy, use_intra, part, ref_sel, mv8, mvq, qac_zz, cdc, cac,
          tile_y, tile_u, tile_v, no_res) = encode_inter_mbs(
-            mb_w, mb_h, radius, Y, U, V, refY_s, refU_s, refV_s, qp, qpc)
+            mb_w, mb_h, radius, Y, U, V, refY_s, refU_s, refV_s, qp, qpc,
+            rd_lam=rd_lam)
         meta = _pack_meta(mvx, mvy, use_intra, no_res, part, mv8, ref_sel)
         cls_d = jnp.where(use_intra, 1, 3 + part).astype(jnp.int32)
         nnz_d = (qac_zz != 0).any(-1)
@@ -906,7 +912,7 @@ class JaxEncoder:
                  slices=1, deblock=True, temporal_layers=1,
                  gom_rc=False, ltr=False, refs=1, denoise=False,
                  param_id=0, bgd=False, scroll_me=False,
-                 slice_max_bytes=None):
+                 slice_max_bytes=None, trellis=False):
         assert width % 2 == 0 and height % 2 == 0, "4:2:0 needs even dims"
         # arbitrary (even) resolutions: pad to whole MBs internally and
         # signal the true size via SPS frame cropping (7.4.2.1.1)
@@ -930,6 +936,16 @@ class JaxEncoder:
         # scroll detection -> ME search recentered on the global
         # vertical shift (reference scrolldetection feeding ME)
         self.scroll_me = bool(scroll_me)
+        # trellis-lite rate-aware quantization (ops/transform.quant4_pm
+        # rd_lam — reference analog: RDO quant vs encode_mb_aux.cpp's
+        # plain deadzone). Default OFF after measurement: on BA1_FT
+        # conference content both uniform level decrement and
+        # position-weighted zero-ones lost to plain QP scaling at equal
+        # PSNR (24-frame sweep: lam=72 cost 47412 B @37.35 dB vs a
+        # ~45.8 KB baseline interpolation; CAVLC codes trailing ones
+        # near-free, so zeroing them buys little rate). Kept as an
+        # option for CABAC-side experiments. Dimensionless lambda x256.
+        self.trellis_lam = 144 if trellis else None
         self._scroll_dy = 0
         # dynamic size-limited slicing (reference SM_DYN_SLICE,
         # codec_app_def.h:275). TPU-first tradeoff: the batched device
@@ -1262,7 +1278,7 @@ class JaxEncoder:
         (packed8_d, packed_d, tile_y, tile_u, tile_v, Yd, Ud, Vd,
          use_intra_d, cls_d, nnz_d, mvc_d, refc_d) = _p_analyze(
             self.mb_w, self.mb_h, self.ME_RADIUS, buf, *stack, qp_d,
-            qpc_d, jnp.int32(self._scroll_dy))
+            qpc_d, jnp.int32(self._scroll_dy), rd_lam=self.trellis_lam)
         packed8 = np.asarray(packed8_d)  # the frame's one blocking fetch
         if packed8[:, 406].any():  # rare wide coeffs: refetch as int16
             packed = np.asarray(packed_d)
@@ -1365,7 +1381,7 @@ class JaxEncoder:
         mb_d, vals_d, p16_d, recY, recU, recV, sent_d = _p_batch(
             self.mb_w, self.mb_h, self.ME_RADIUS, self.deblock_idc, bufs,
             *self.ref, qp_d, qpc_d, self._slice_id, self._diags,
-            self._row_slice)
+            self._row_slice, rd_lam=self.trellis_lam)
         self.ref = (recY, recU, recV)
         return mb_d, vals_d, p16_d, len(frames), sent_d
 
@@ -1521,7 +1537,8 @@ class JaxEncoder:
          cdc_d, cac_d, tile_y, tile_u, tile_v,
          no_res_d) = encode_inter_mbs(
             self.mb_w, self.mb_h, self.ME_RADIUS, Yd, Ud, Vd, refY_s,
-            refU_s, refV_s, qp_d, qpc_d, jnp.int32(self._scroll_dy))
+            refU_s, refV_s, qp_d, qpc_d, jnp.int32(self._scroll_dy),
+            rd_lam=self.trellis_lam)
 
         meta = np.asarray(_pack_meta(mvx, mvy, use_intra_d, no_res_d,
                                      part_d, mv8_d, ref_sel_d))

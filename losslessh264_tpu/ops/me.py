@@ -311,33 +311,44 @@ def subpel_quad(planes: jax.Array, pad: int, by8: jax.Array,
         return (t1 + t2 + 1) >> 1                       # [8,8,m]
 
     offs = [(ty, tx) for ty in range(-3, 4) for tx in range(-3, 4)]
-    sadt = jnp.stack([
-        jnp.abs(cand(ty, tx) - cur16).sum((0, 1), dtype=jnp.int32)
-        for ty, tx in offs]).reshape(49, n, 4)
 
-    def unit_min(s):                       # [49, n, u] -> (min, argmin)
-        return s.min(0), s.argmin(0).astype(jnp.int32)
-
-    s16m, t16 = unit_min(sadt.sum(-1, keepdims=True))
-    shm, th = unit_min(sadt.reshape(49, n, 2, 2).sum(-1))
-    svm, tv = unit_min(sadt.reshape(49, n, 2, 2).sum(-2))
-    s8m, t8 = unit_min(sadt)
-
-    q = jnp.arange(4)
+    # online joint refinement: candidates are computed ONCE; each one's
+    # per-quadrant SADs are pooled into the CHOSEN partition's units
+    # (part is decided before subpel) and the running per-unit best
+    # carries the winning prediction along — no second candidate pass,
+    # no [49,...] SAD tensor (the recompute-behind-a-where-chain
+    # formulation paid every candidate twice).
     pn = part[:, None]
-    t_q = jnp.where(pn == 1, th[:, q // 2], jnp.broadcast_to(t16, (n, 4)))
-    t_q = jnp.where(pn == 2, tv[:, q % 2], t_q)
-    t_q = jnp.where(pn == 3, t8, t_q)
-    t_q = t_q.reshape(m)
-    sad_tot = jnp.where(part == 0, s16m[:, 0],
-                        jnp.where(part == 1, shm.sum(1),
-                                  jnp.where(part == 2, svm.sum(1),
-                                            s8m.sum(1))))
+    lanes_per_unit = jnp.where(pn == 0, 4,
+                               jnp.where(pn == 3, 1, 2))    # [n,1]->[n,4]
+    lanes_per_unit = jnp.broadcast_to(lanes_per_unit, (n, 4))
 
+    def pool(qsad):                       # [n,4] -> per-lane unit SAD
+        s16 = qsad.sum(1, keepdims=True)
+        sh = qsad.reshape(n, 2, 2).sum(-1)          # units (01)(23)
+        sv = qsad.reshape(n, 2, 2).sum(-2)          # units (02)(13)
+        q = jnp.arange(4)
+        u = jnp.where(pn == 1, sh[:, q // 2],
+                      jnp.broadcast_to(s16, (n, 4)))
+        u = jnp.where(pn == 2, sv[:, q % 2], u)
+        return jnp.where(pn == 3, qsad, u)
+
+    big = jnp.int32(1 << 30)
+    best_usad = jnp.full((n, 4), big, jnp.int32)
+    best_i = jnp.zeros((n, 4), jnp.int32)
     pred_q = jnp.zeros((8, 8, m), jnp.int16)
     for i, (ty, tx) in enumerate(offs):
-        pred_q = jnp.where((t_q == i)[None, None, :], cand(ty, tx),
-                           pred_q)
+        c = cand(ty, tx)
+        qsad = jnp.abs(c - cur16).sum((0, 1), dtype=jnp.int32) \
+            .reshape(n, 4)
+        usad = pool(qsad)
+        better = usad < best_usad
+        best_usad = jnp.where(better, usad, best_usad)
+        best_i = jnp.where(better, i, best_i)
+        pred_q = jnp.where(better.reshape(m)[None, None, :], c, pred_q)
+    sad_tot = (best_usad // lanes_per_unit).sum(1)
+
+    t_q = best_i.reshape(m)
     tys = jnp.asarray([o[0] for o in offs], jnp.int32)
     txs = jnp.asarray([o[1] for o in offs], jnp.int32)
     return (mvx + txs[t_q], mvy + tys[t_q], sad_tot,

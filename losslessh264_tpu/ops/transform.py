@@ -265,16 +265,43 @@ def fdct4x4_pm(x):
     return jnp.stack(v)
 
 
-def quant4_pm(W_pm, qp_b, intra, skip_dc: bool = False):
+def quant4_pm(W_pm, qp_b, intra, skip_dc: bool = False,
+              rd_lam: int | None = None):
     """Position-major quantization. W_pm [16, B] int32, qp_b [B],
-    intra bool/[B]. |W|*mf stays < 2^31 (|W| <= 9180, mf <= 13107)."""
+    intra bool/[B]. |W|*mf stays < 2^31 (|W| <= 9180, mf <= 13107).
+
+    rd_lam != None enables TRELLIS-LITE rate-aware rounding (reference
+    analog: RDO quantization the encoder lacks vs encode_mb_aux.cpp's
+    plain deadzone — the BA1 RD gap, VERDICT r4 #5): per coefficient,
+    decrementing the level costs distortion DeltaD = (2u + S)*S (u =
+    reconstruction error in t = |W|*mf units, S = 2^qbits) and saves
+    DeltaR bits (~3/Z for Z >= 2; ~4 for zeroing a 1 — level + run/EOB
+    structure). Because MF folds the transform basis norms and
+    lambda ~ Qstep^2, the decision normalizes to the QP-INVARIANT test
+      s < (rd_lam * DeltaR - 1) / 2,     s = u / S  in [-1/3, 5/6)
+    computed in 1/256 fixed point; rd_lam is the dimensionless lambda
+    (x256). Vectorized 2-candidate choice — no sequential trellis."""
     qp_b = jnp.asarray(qp_b, jnp.int32)
     qbits = (15 + qp_b // 6)[None, :]
     base = jnp.left_shift(1, qbits)
     f = jnp.where(jnp.asarray(intra), base // 3, base // 6)
     mf = jnp.take(jnp.asarray(MF4_V.reshape(6, 16).T.astype(np.int32)),
                   qp_b % 6, axis=1)                      # [16, B]
-    Z = jnp.right_shift(jnp.abs(W_pm) * mf + f, qbits)
+    t = jnp.abs(W_pm) * mf
+    Z = jnp.right_shift(t + f, qbits)
+    if rd_lam is not None:
+        # u in t-units; s256 = 256 * u / 2^qbits (arithmetic shifts)
+        u = t - jnp.left_shift(Z, qbits)
+        s256 = jnp.right_shift(jnp.left_shift(u, 8), qbits)
+        # only level-1 coefficients are candidates: zeroing them saves
+        # the level AND its run/EOB structure (the real trellis win);
+        # decrementing Z >= 2 measured equivalent-or-worse than simply
+        # raising QP (it is just coarser quantization). High-frequency
+        # positions save more run bits -> higher DeltaR.
+        pos = jnp.arange(16, dtype=jnp.int32)[:, None]
+        dr256 = jnp.where(Z == 1, 3 * 256 + pos * 48, 0)
+        thr256 = (jnp.right_shift(rd_lam * dr256, 8) - 256) // 2
+        Z = jnp.where((Z >= 1) & (s256 < thr256), Z - 1, Z)
     Z = jnp.sign(W_pm) * Z
     if skip_dc:
         Z = Z.at[0].set(0)
