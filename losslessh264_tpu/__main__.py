@@ -125,6 +125,23 @@ def main(argv=None):
                   f"({n_frames/(t1-t0):.1f} fps)", file=sys.stderr)
         return 0
 
+    if args.input == "parse":
+        # parse-only decode (reference ISVCDecoder::DecodeParser):
+        # per-AU NAL inventory + header facts, no pixel reconstruction
+        if not args.output:
+            ap.error("parse mode: parse in.264")
+        from .parse import DecodeParser
+        data = open(args.output, "rb").read()
+        n = 0
+        for au in DecodeParser(data):
+            kinds = ",".join(str(t) for t, _ in au.nals)
+            print(f"AU {n}: {len(au.annexb)} bytes, nal_types [{kinds}]"
+                  f"{' IDR' if au.is_idr else ''} "
+                  f"{au.width}x{au.height}")
+            n += 1
+        print(f"{n} access units")
+        return 0
+
     if args.input == "encode":
         if not args.output or len(args.extra) != 2:
             ap.error("encode mode: encode in.yuv WxH out.264")
