@@ -32,7 +32,8 @@ MIN_TIMED_FRAMES = 16
 
 def main():
     from losslessh264_tpu import decoder_jax
-    names = sys.argv[1:] or sorted(GOLD.keys())
+    names = [a for a in sys.argv[1:] if a != "synth720p"] \
+        or (sorted(GOLD.keys()) if not sys.argv[1:] else [])
     n_ok = n_bad = 0
     results = {}
     for name in names:
@@ -82,13 +83,62 @@ def main():
             results[name] = {"ok": False, "mismatch_frame": bad,
                              "decoded": frames, "expect": g["frames"]}
             n_bad += 1
+    # 720p-class serving stream (VERDICT r4 #1: the sweep must carry a
+    # 720p row so the serving number lands in committed healthy-state
+    # evidence). tests/data/synth720p.264 is a committed JaxEncoder
+    # encode of the bench's 720p content (global motion + texture luma,
+    # mild chroma); its CRCs come from NpDecoder at runtime (NpDecoder
+    # is golden-validated against the reference decoder on the corpus),
+    # so no stored golden can go stale.
+    s720 = os.path.join(os.path.dirname(__file__), "..", "tests",
+                        "data", "synth720p.264")
+    if (not sys.argv[1:] or "synth720p" in sys.argv[1:]) \
+            and os.path.exists(s720):
+        from losslessh264_tpu import decoder_np
+        data = open(s720, "rb").read()
+        want = [zlib.crc32(np.asarray(Y).tobytes()
+                           + np.asarray(U).tobytes()
+                           + np.asarray(V).tobytes())
+                for Y, U, V in decoder_np.NpDecoder(data).frames()]
+        t0 = time.time()
+        got = []
+        for Y, U, V in decoder_jax.JaxDecoder(data).frames():
+            got.append(zlib.crc32(np.asarray(Y).tobytes()
+                                  + np.asarray(U).tobytes()
+                                  + np.asarray(V).tobytes()))
+        compile_s = time.time() - t0
+        if got == want:
+            t0 = time.time()
+            n = 0
+            for Y, U, V in decoder_jax.JaxDecoder(data).frames():
+                n += 1
+            np.asarray(Y)
+            fps = round(n / (time.time() - t0), 2)
+            print(f"OK   synth720p: {n} frames, {fps} fps sustained "
+                  f"(compile+parity pass {compile_s:.0f}s)")
+            results["synth720p"] = {"ok": True, "frames": n, "fps": fps,
+                                    "compile_s": round(compile_s, 1)}
+            n_ok += 1
+        else:
+            bad = next(i for i, (a, b) in enumerate(zip(got, want))
+                       if a != b) if want != got[:len(want)] else None
+            print(f"FAIL synth720p: first mismatch frame {bad}")
+            results["synth720p"] = {"ok": False, "mismatch_frame": bad}
+            n_bad += 1
+
     print(f"{n_ok} OK, {n_bad} FAIL")
     art = os.path.join(os.path.dirname(__file__), "..", "evidence")
     os.makedirs(art, exist_ok=True)
     import jax
+
+    # same-run machine probe: decode rows are uninterpretable without it
+    import bench as _b
+    probe = round(_b._probe_gbps(), 2)
     with open(os.path.join(art, "JAXSWEEP.json"), "w") as fh:
         json.dump({"backend": jax.default_backend(), "ok": n_ok,
-                   "fail": n_bad, "streams": results}, fh, indent=1)
+                   "fail": n_bad, "machine_probe_gbps": probe,
+                   "degraded": probe < 1.0,
+                   "streams": results}, fh, indent=1)
     sys.exit(1 if n_bad else 0)
 
 
