@@ -177,6 +177,12 @@ struct Model {
   DcPrior chroma_dc_c[3];      // coarse parent of chroma_dc [pastb]
   DynProb t8x8_c[64];          // coarse parent of t8x8_flag [qp&63]
   BranchPrior<4> mb_type_c[2]; // coarse parent of mb_type [slice_is_p]
+  BranchPrior<2> cbp_c_c[MB_NUM_CLASSES];  // coarse parent of cbp_c
+  DynProb qp_delta_c[128];     // coarse parent of qp_delta
+  DynProb i16_mode_c[8];       // coarse parent of i16_mode
+  DynProb chroma_mode_c[8];    // coarse parent of chroma_mode
+  DynProb end_bit_c[2048];     // coarse parent of end_bit(+skip)
+  UnaryPrior<4> ref_idx_c;     // coarse parent of ref_idx
   MagPrior ac_mag_c[2];        // grandparent of the magnitude rest/tail
                                // [chroma] — the rest-unary sees only
                                // |v|>=2 coeffs, 1-2 samples per rich
@@ -223,15 +229,19 @@ struct ModelCtx {
 // (reference: emitBitsZeroToPow2Inclusive, compression_stream.h:455-463).
 // p points at 1 + (2^N - 1) DynProbs.
 template <class IO, int N>
-inline u32 code_zero_pow2(IO& io, u32 val, DynProb* p, u32 preferred) {
-  bool nz = io.bit(val != preferred, &p[0]);
+inline u32 code_zero_pow2(IO& io, u32 val, DynProb* p, u32 preferred,
+                          DynProb* parent = nullptr) {
+  bool nz = parent ? io.bit_mix(val != preferred, &p[0], &parent[0], 24)
+                   : io.bit(val != preferred, &p[0]);
   if (!nz) return preferred;
   u32 x = 0;
   if (IO::kIsWriter) x = val > preferred ? val - 1 : val;
   u32 out = 0;
   int node = 0;
   for (int d = N - 1; d >= 0; --d) {
-    bool b = io.bit((x >> d) & 1, &p[1 + node]);
+    bool b = parent ? io.bit_mix((x >> d) & 1, &p[1 + node],
+                                 &parent[1 + node], 24)
+                    : io.bit((x >> d) & 1, &p[1 + node]);
     out = (out << 1) | u32(b);
     node = 2 * node + 1 + (b ? 1 : 0);
   }
@@ -529,8 +539,9 @@ void code_mb_symbols(IO& io, ModelCtx& mc) {
     int pc = mc.past ? std::min(3, int(mc.past->cbp_chroma)) : 0;
     int spc = (mc.left ? std::min(2, int(mc.left->cbp_chroma)) : 0) * 3 +
               (mc.above ? std::min(2, int(mc.above->cbp_chroma)) : 0);
-    u32 v = code_branch<IO, 2>(io, rec.cbp_chroma,
-                               &M.cbp_c[pc][spc][rec.mb_class]);
+    u32 v = code_branch_mix<IO, 2>(io, rec.cbp_chroma,
+                               &M.cbp_c[pc][spc][rec.mb_class],
+                               &M.cbp_c_c[rec.mb_class], 24);
     if (!IO::kIsWriter) {
       PIP_CHECK(v <= 2, "bad cbp_chroma");
       rec.cbp_chroma = u8(v);
@@ -606,7 +617,7 @@ void code_mb_symbols(IO& io, ModelCtx& mc) {
     }
     u32 v = code_zero_pow2<IO, 7>(io, swizzle_sign(rec.dqp),
                                   M.qp_delta[is_first][sgn][pref != 0],
-                                  pref);
+                                  pref, M.qp_delta_c);
     if (!IO::kIsWriter) rec.dqp = i8(unswizzle_sign(u16(v)));
   } else if (!IO::kIsWriter) {
     rec.dqp = 0;
@@ -622,7 +633,8 @@ void code_mb_symbols(IO& io, ModelCtx& mc) {
                : mc.above && mc.above->mb_class == MB_I16x16
                    ? std::min<u32>(6, mc.above->i16_mode)
                    : 7;
-    u32 v = code_zero_pow2<IO, 3>(io, rec.i16_mode, M.i16_mode[pref], pref);
+    u32 v = code_zero_pow2<IO, 3>(io, rec.i16_mode, M.i16_mode[pref],
+                                  pref, M.i16_mode_c);
     if (!IO::kIsWriter) {
       PIP_CHECK(v <= 3, "bad i16 mode");
       rec.i16_mode = u8(v);
@@ -637,7 +649,9 @@ void code_mb_symbols(IO& io, ModelCtx& mc) {
                : mc.above && mb_is_intra(mc.above->mb_class)
                    ? std::min<u32>(6, mc.above->chroma_mode)
                    : 7;
-    u32 v = code_zero_pow2<IO, 3>(io, rec.chroma_mode, M.chroma_mode[pref], pref);
+    u32 v = code_zero_pow2<IO, 3>(io, rec.chroma_mode,
+                                  M.chroma_mode[pref], pref,
+                                  M.chroma_mode_c);
     if (!IO::kIsWriter) {
       PIP_CHECK(v <= 3, "bad chroma mode");
       rec.chroma_mode = u8(v);
@@ -708,8 +722,9 @@ void code_mb_symbols(IO& io, ModelCtx& mc) {
       for (int p = 0; p < nparts; ++p) {
         int pastref = mc.past ? std::max(0, std::min(2, int(mc.past->ref_idx[p])))
                               : 0;
-        int v = code_unary(io, IO::kIsWriter ? rec.ref_idx[p] : 0,
-                           &M.ref_idx[pastref][spr][p], num_ref - 1);
+        int v = code_unary_mix(io, IO::kIsWriter ? rec.ref_idx[p] : 0,
+                           &M.ref_idx[pastref][spr][p], &M.ref_idx_c, 24,
+                           num_ref - 1);
         if (!IO::kIsWriter) rec.ref_idx[p] = i8(v);
       }
     }
@@ -869,10 +884,9 @@ inline bool code_end_bit(IO& io, Model& M, int mb_index, int remain,
   // mb_index context spent ~2x the reference's end_of_slice bits
   // re-learning the frame length at every position.
   DynProb* base = after_skip ? M.end_bit_skip : M.end_bit;
-  DynProb* p = remain <= 8 ? &base[remain]
-                           : &base[9 + std::min(mb_index, 2038)];
+  int bi = remain <= 8 ? remain : 9 + std::min(mb_index, 2038);
   io.set_tag(BILL_END);
-  return io.bit(end, p);
+  return io.bit_mix(end, &base[bi], &M.end_bit_c[bi], 24);
 }
 
 }  // namespace h264pip
