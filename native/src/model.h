@@ -98,6 +98,11 @@ struct MagPrior {
   IntPriorT<6, 4, 0> tail;
 };
 
+// Context-mixing parent weight (bit_mix pseudo-count): swept 6..64 on
+// the tuning corpus; small K wins overall (rich contexts take over
+// quickly) while the n>=96 confidence gate protects long streams.
+constexpr u32 MIX_K = 8;
+
 inline int cls_bucket(u8 c) {  // 0 intra4/8, 1 I16, 2 inter, 3 skip/pcm
   switch (c) {
     case MB_I4x4:
@@ -231,7 +236,7 @@ struct ModelCtx {
 template <class IO, int N>
 inline u32 code_zero_pow2(IO& io, u32 val, DynProb* p, u32 preferred,
                           DynProb* parent = nullptr) {
-  bool nz = parent ? io.bit_mix(val != preferred, &p[0], &parent[0], 24)
+  bool nz = parent ? io.bit_mix(val != preferred, &p[0], &parent[0], MIX_K)
                    : io.bit(val != preferred, &p[0]);
   if (!nz) return preferred;
   u32 x = 0;
@@ -240,7 +245,7 @@ inline u32 code_zero_pow2(IO& io, u32 val, DynProb* p, u32 preferred,
   int node = 0;
   for (int d = N - 1; d >= 0; --d) {
     bool b = parent ? io.bit_mix((x >> d) & 1, &p[1 + node],
-                                 &parent[1 + node], 24)
+                                 &parent[1 + node], MIX_K)
                     : io.bit((x >> d) & 1, &p[1 + node]);
     out = (out << 1) | u32(b);
     node = 2 * node + 1 + (b ? 1 : 0);
@@ -341,7 +346,7 @@ void code_block(IO& io, ModelCtx& mc, int color, int blk, i16* coeff,
       if (rec->nnz[k]) { force_nz = false; break; }
   }
   NzPrior* nzc = IS8x8 ? &M.nz_c8 : &M.nz_c[color];
-  nonzeros = code_int_mix(io, nonzeros, nzp, nzc, 24,
+  nonzeros = code_int_mix(io, nonzeros, nzp, nzc, MIX_K,
                           /*hasZero=*/!force_nz,
                           /*hasSign=*/false);
   PIP_CHECK(nonzeros >= 0 && nonzeros <= n, "block nonzeros out of range");
@@ -464,7 +469,7 @@ void code_block(IO& io, ModelCtx& mc, int color, int blk, i16* coeff,
                       /*hasZero=*/nzleft < n - i,
                       color == 0 ? BILL_LUMA_AC_SIGN : BILL_CHROMA_AC_SIGN,
                       color == 0 ? BILL_LUMA_AC_MAG : BILL_CHROMA_AC_MAG,
-                      /*sign_cue=*/cue_kind, zero_c, gt1_c, 24, sign_c,
+                      /*sign_cue=*/cue_kind, zero_c, gt1_c, MIX_K, sign_c,
                       mpc);
     // next position's EOB bit bills to the structural AC tag
     io.set_tag(color == 0 ? BILL_LUMA_AC : BILL_CHROMA_AC);
@@ -516,7 +521,7 @@ void code_mb_symbols(IO& io, ModelCtx& mc) {
   int prior = spatial + (mc.past ? mc.past->mb_class : 15);
   u32 cls = code_branch_mix<IO, 4>(io, rec.mb_class,
                                &M.mb_type[prior][mc.slice_is_p],
-                               &M.mb_type_c[mc.slice_is_p], 24);
+                               &M.mb_type_c[mc.slice_is_p], MIX_K);
   if (!IO::kIsWriter) {
     PIP_CHECK(cls < MB_NUM_CLASSES && cls != 9 && cls != 10, "bad mb class");
     rec.mb_class = u8(cls);
@@ -541,7 +546,7 @@ void code_mb_symbols(IO& io, ModelCtx& mc) {
               (mc.above ? std::min(2, int(mc.above->cbp_chroma)) : 0);
     u32 v = code_branch_mix<IO, 2>(io, rec.cbp_chroma,
                                &M.cbp_c[pc][spc][rec.mb_class],
-                               &M.cbp_c_c[rec.mb_class], 24);
+                               &M.cbp_c_c[rec.mb_class], MIX_K);
     if (!IO::kIsWriter) {
       PIP_CHECK(v <= 2, "bad cbp_chroma");
       rec.cbp_chroma = u8(v);
@@ -559,7 +564,7 @@ void code_mb_symbols(IO& io, ModelCtx& mc) {
       int pb = mc.past ? (mc.past->cbp_luma >> b8) & 1 : 2;
       bool bit = io.bit_mix((rec.cbp_luma >> b8) & 1,
                         &M.cbp_lbit[b8][lb][ab][pb][rec.mb_class],
-                        &M.cbp_lbit_c[b8], 24);
+                        &M.cbp_lbit_c[b8], MIX_K);
       if (bit) cbp |= u8(1 << b8);
     }
     if (!IO::kIsWriter) rec.cbp_luma = cbp;
@@ -591,7 +596,7 @@ void code_mb_symbols(IO& io, ModelCtx& mc) {
       io.set_tag(BILL_T8X8);
       bool f = io.bit_mix(rec.transform_8x8,
                       &M.t8x8_flag[rec.mb_class][sc.cur_qp & 63],
-                      &M.t8x8_c[sc.cur_qp & 63], 24);
+                      &M.t8x8_c[sc.cur_qp & 63], MIX_K);
       if (!IO::kIsWriter) rec.transform_8x8 = f;
     }
   }
@@ -676,7 +681,7 @@ void code_mb_symbols(IO& io, ModelCtx& mc) {
                           : 0);
       u32 v = code_branch_mix<IO, 4>(io, rec.i4_modes[d],
                                  &M.pred_mode[0][availIdx][pred][second],
-                                 &M.pred_mode_c[0], 24);
+                                 &M.pred_mode_c[0], MIX_K);
       if (!IO::kIsWriter) {
         PIP_CHECK(v <= 8, "bad i4 mode");
         rec.i4_modes[d] = u8(v);
@@ -695,7 +700,7 @@ void code_mb_symbols(IO& io, ModelCtx& mc) {
       u32 v = code_branch_mix<IO, 4>(io, rec.i4_modes[b],
                                  &M.pred_mode[1][(b & 1) | ((b >> 1) << 1)][pred]
                                              [second],
-                                 &M.pred_mode_c[1], 24);
+                                 &M.pred_mode_c[1], MIX_K);
       if (!IO::kIsWriter) {
         PIP_CHECK(v <= 8, "bad i8 mode");
         rec.i4_modes[b] = u8(v);
@@ -723,7 +728,7 @@ void code_mb_symbols(IO& io, ModelCtx& mc) {
         int pastref = mc.past ? std::max(0, std::min(2, int(mc.past->ref_idx[p])))
                               : 0;
         int v = code_unary_mix(io, IO::kIsWriter ? rec.ref_idx[p] : 0,
-                           &M.ref_idx[pastref][spr][p], &M.ref_idx_c, 24,
+                           &M.ref_idx[pastref][spr][p], &M.ref_idx_c, MIX_K,
                            num_ref - 1);
         if (!IO::kIsWriter) rec.ref_idx[p] = i8(v);
       }
@@ -773,7 +778,7 @@ void code_mb_symbols(IO& io, ModelCtx& mc) {
         // MVD magnitude survives only as a context bucket)
         i32 v = flip * code_uegk_mix(io,
                           IO::kIsWriter ? i32(rec.mvd[slot][xy]) * flip : 0,
-                          &M.mvd[cb][slot][xy][pm][sp], &M.mvd_c[xy], 24,
+                          &M.mvd[cb][slot][xy][pm][sp], &M.mvd_c[xy], MIX_K,
                           /*hasZero=*/true);
         if (!IO::kIsWriter) rec.mvd[slot][xy] = i16(v);
       }
@@ -807,7 +812,7 @@ void code_mb_symbols(IO& io, ModelCtx& mc) {
       }
       i32 v = flip * code_int_mix(io,
                        IO::kIsWriter ? i32(rec.luma_dc[i]) * flip : 0,
-                       &M.luma_dc[i][pastb], &M.luma_dc_c[pastb], 24,
+                       &M.luma_dc[i][pastb], &M.luma_dc_c[pastb], MIX_K,
                        /*hasZero=*/true,
                        /*hasSign=*/true);
       if (!IO::kIsWriter) rec.luma_dc[i] = i16(v);
@@ -864,7 +869,7 @@ inline int code_skip_run(IO& io, Model& M, FreqImage& fi, int mbx, int mby,
   // log-spaced buckets: fine resolution at short runs (where most of the
   // probability mass lives), coarse at long ones
   int bucket = pr <= 4 ? pr : std::min(12, 3 + ilog2_floor(u32(pr)));
-  return code_int_mix(io, run, &M.skip_run[bucket], &M.skip_run_c, 24,
+  return code_int_mix(io, run, &M.skip_run[bucket], &M.skip_run_c, MIX_K,
                       /*hasZero=*/true,
                       /*hasSign=*/false);
 }
@@ -886,7 +891,7 @@ inline bool code_end_bit(IO& io, Model& M, int mb_index, int remain,
   DynProb* base = after_skip ? M.end_bit_skip : M.end_bit;
   int bi = remain <= 8 ? remain : 9 + std::min(mb_index, 2038);
   io.set_tag(BILL_END);
-  return io.bit_mix(end, &base[bi], &M.end_bit_c[bi], 24);
+  return io.bit_mix(end, &base[bi], &M.end_bit_c[bi], MIX_K);
 }
 
 }  // namespace h264pip
