@@ -110,7 +110,8 @@ def _luma_edges(win, bs_v, bs_h, a_v, b_v, tc_v, a_h, b_h, tc_h):
             p, q, bs_v[:, k, :], a_v[:, k, None], b_v[:, k, None],
             tc_v[:, k, :])
         win = win.at[:, 8:24, ex - 3:ex + 3].set(
-            jnp.stack([p2, p1, p0, q0, q1, q2], axis=-1))
+            jnp.stack([p2, p1, p0, q0, q1, q2],
+                      axis=-1).astype(win.dtype))
     for k in range(4):
         ey = 8 + 4 * k
         seg = win[:, ey - 4:ey + 4, 8:24]                 # [K,8,16]
@@ -120,7 +121,8 @@ def _luma_edges(win, bs_v, bs_h, a_v, b_v, tc_v, a_h, b_h, tc_h):
             p, q, bs_h[:, k, :], a_h[:, k, None], b_h[:, k, None],
             tc_h[:, k, :])
         win = win.at[:, ey - 3:ey + 3, 8:24].set(
-            jnp.stack([p2, p1, p0, q0, q1, q2], axis=1))
+            jnp.stack([p2, p1, p0, q0, q1, q2],
+                      axis=1).astype(win.dtype))
     return win
 
 
@@ -136,7 +138,7 @@ def _chroma_edges(win, bs_cv, bs_ch, a_cv, b_cv, tc_cv, a_ch, b_ch,
         p0, q0 = filter_chroma(p, q, bs_cv[:, j, :], a_cv[:, j, None],
                                b_cv[:, j, None], tc_cv[:, j, :])
         win = win.at[:, :, 8:16, ex - 1:ex + 1].set(
-            jnp.stack([p0, q0], axis=-1))
+            jnp.stack([p0, q0], axis=-1).astype(win.dtype))
     for j in range(2):
         ey = 8 + 4 * j
         seg = win[:, :, ey - 2:ey + 2, 8:16]              # [2,K,4,8]
@@ -145,7 +147,7 @@ def _chroma_edges(win, bs_cv, bs_ch, a_cv, b_cv, tc_cv, a_ch, b_ch,
         p0, q0 = filter_chroma(p, q, bs_ch[:, j, :], a_ch[:, j, None],
                                b_ch[:, j, None], tc_ch[:, j, :])
         win = win.at[:, :, ey - 1:ey + 1, 8:16].set(
-            jnp.stack([p0, q0], axis=2))
+            jnp.stack([p0, q0], axis=2).astype(win.dtype))
     return win
 
 
@@ -162,6 +164,13 @@ def deblock_wavefront_scan(mb_w, mb_h, Yw, Uw, Vw, params):
     H, W = 16 * mb_h, 16 * mb_w
 
     mbc = jnp.asarray(S["mb"])
+    # int16 WINDOWS (storage, carries, halo copies — the bulk of the
+    # wavefront's vector traffic — at half width) with int32 PARAMS:
+    # the filters promote to int32 on the param operands, so the edge
+    # math itself runs in int32 (a pure-int16 filter chain measured
+    # real divergence inside the scan; the isolated filter is i16-exact
+    # but the composed edge sequence is not worth the risk), and the
+    # results cast back to i16 on the window writeback.
     lum = [jnp.asarray(params[k])[mbc] for k in _LUMA_KEYS]     # [nd,K,..]
     chr_ = [jnp.asarray(params[k])[mbc] for k in _CHROMA_KEYS]
 
@@ -173,10 +182,11 @@ def deblock_wavefront_scan(mb_w, mb_h, Yw, Uw, Vw, params):
         return a.reshape(mb_h, w, mb_w, w).transpose(0, 2, 1, 3) \
             .reshape(mb_h * mb_w, w, w)
 
-    win_y = all_windows(Yw, S["wrow"], S["wcol"], 16)[mbc]  # [nd,K,24,24]
+    win_y = all_windows(Yw, S["wrow"], S["wcol"], 16) \
+        .astype(jnp.int16)[mbc]                             # [nd,K,24,24]
     win_c = jnp.stack(
-        [all_windows(Uw, S["crow"], S["ccol"], 8)[mbc],
-         all_windows(Vw, S["crow"], S["ccol"], 8)[mbc]],
+        [all_windows(Uw, S["crow"], S["ccol"], 8).astype(jnp.int16)[mbc],
+         all_windows(Vw, S["crow"], S["ccol"], 8).astype(jnp.int16)[mbc]],
         axis=1)                                             # [nd,2,K,16,16]
 
     xs = dict(
@@ -244,10 +254,10 @@ def deblock_wavefront_scan(mb_w, mb_h, Yw, Uw, Vw, params):
     # carry varying inside it, without needing jax.lax.pcast.
     zy = win_y.ravel()[0] * 0
     zc = win_c.ravel()[0] * 0
-    carry0 = (jnp.zeros((K + 2, 24, 24), jnp.int32) + zy,
-              jnp.zeros((2, K + 2, 16, 16), jnp.int32) + zc,
-              jnp.zeros((K + 2, 24, 24), jnp.int32) + zy,
-              jnp.zeros((2, K + 2, 16, 16), jnp.int32) + zc)
+    carry0 = (jnp.zeros((K + 2, 24, 24), jnp.int16) + zy,
+              jnp.zeros((2, K + 2, 16, 16), jnp.int16) + zc,
+              jnp.zeros((K + 2, 24, 24), jnp.int16) + zy,
+              jnp.zeros((2, K + 2, 16, 16), jnp.int16) + zc)
     _, (Wy, Wc) = jax.lax.scan(step, carry0, xs)
 
     # output assembly: plane pixel (i, j) is last written by the
@@ -262,7 +272,8 @@ def deblock_wavefront_scan(mb_w, mb_h, Yw, Uw, Vw, params):
 
     def assemble(Wst, t, shift):
         w = t + 8
-        Wr = Wst.reshape(-1, w, w)[inv]          # [n, w, w] raster order
+        Wr = Wst.reshape(-1, w, w)[inv] \
+            .astype(jnp.int32)                   # [n, w, w] raster order
         lo, hi = 8 - shift, 8 - shift + t
         core = (Wr[:, lo:hi, lo:hi].reshape(mb_h, mb_w, t, t)
                 .transpose(0, 2, 1, 3).reshape(mb_h * t, mb_w * t))
