@@ -591,6 +591,69 @@ def _intra_scan(mb_w: int, mb_h: int, Yw, Uw, Vw, res_y, res_u, res_v,
     return Yw, Uw, Vw
 
 
+def _intra_scan_sparse(mb_w: int, mb_h: int, Yw, Uw, Vw, res_y, res_u,
+                       res_v, p, diags):
+    """Plane-carrying intra wavefront for SPARSE diagonal subsets (the
+    <=16-row tables from _intra_diags/_intra_sel, which SKIP diagonals
+    with no intra MBs). The compact-carry scan above is only correct
+    over the FULL contiguous table: its top/left/tl buffers are fed by
+    every processed MB, so a skipped diagonal (inter neighbors of a
+    sparse intra MB — e.g. FMO-dispersed P frames, SVA_FM1_E) would
+    leave zeros where neighbor pixels belong. Here each lane gathers
+    its context window straight from the carried planes, which already
+    hold inter recon; per-step cost scales with plane area, but sparse
+    frames run <=16 steps so the area term stays cheap."""
+    n = mb_w * mb_h
+    cls = p["mb_class"].astype(jnp.int32)
+    avail = p["avail"]  # [n,4] bool: L, T, TL, TR
+
+    def _gather_wins(plane, y0s, x0s, rows, cols):
+        """[K] window corners -> [K, rows, cols] via ONE flat gather (a
+        vmapped dynamic_slice lowers to a serial per-window loop)."""
+        Hp, Wp = plane.shape
+        r = jnp.arange(rows)
+        c = jnp.arange(cols)
+        idx = ((y0s[:, None, None] + r[None, :, None]) * Wp
+               + x0s[:, None, None] + c[None, None, :])
+        return plane.reshape(-1)[idx]
+
+    def intra_diag(carry, mb_list):
+        Yw, Uw, Vw = carry
+        mb_c = jnp.clip(mb_list, 0, n - 1)
+        y0s = (mb_c // mb_w) * 16 + WPAD
+        x0s = (mb_c % mb_w) * 16 + WPAD
+        cys = (mb_c // mb_w) * 8 + WPAD
+        cxs = (mb_c % mb_w) * 8 + WPAD
+        locs = _gather_wins(Yw, y0s - 1, x0s - 1, 17, 25)
+        locus = _gather_wins(Uw, cys - 1, cxs - 1, 9, 9)
+        locvs = _gather_wins(Vw, cys - 1, cxs - 1, 9, 9)
+
+        def compute(loc, locu, locv, mb_c):
+            tile = _recon_mb_luma(
+                loc, res_y[mb_c], cls[mb_c], p["i4_modes"][mb_c],
+                p["i16_mode"][mb_c].astype(jnp.int32),
+                p["transform8"][mb_c], avail[mb_c, 0], avail[mb_c, 1],
+                avail[mb_c, 2], avail[mb_c, 3])
+            cm = p["chroma_mode"][mb_c].astype(jnp.int32)
+            tu = _recon_mb_chroma(locu, res_u[mb_c], cls[mb_c], cm,
+                                  avail[mb_c, 0], avail[mb_c, 1])
+            tv = _recon_mb_chroma(locv, res_v[mb_c], cls[mb_c], cm,
+                                  avail[mb_c, 0], avail[mb_c, 1])
+            return tile, tu, tv
+
+        tiles, tus, tvs = jax.vmap(compute)(locs, locus, locvs, mb_c)
+        is_intra = jnp.isin(cls, jnp.array([0, 1, 2]))
+
+        do = (mb_list >= 0) & is_intra[jnp.clip(mb_list, 0, n - 1)]
+        Yw = jwf.scatter_tiles(Yw, tiles, y0s, x0s, do)
+        Uw = jwf.scatter_tiles(Uw, tus, cys, cxs, do)
+        Vw = jwf.scatter_tiles(Vw, tvs, cys, cxs, do)
+        return (Yw, Uw, Vw), 0
+
+    (Yw, Uw, Vw), _ = jax.lax.scan(intra_diag, (Yw, Uw, Vw), diags)
+    return Yw, Uw, Vw
+
+
 def _deblock_crop(mb_w: int, mb_h: int, Yw, Uw, Vw, p):
     H, W = mb_h * 16, mb_w * 16
     cls = p["mb_class"].astype(jnp.int32)
@@ -630,6 +693,8 @@ def recon_frame(mb_w: int, mb_h: int, planes, ref_y, ref_u, ref_v, diags,
 recon_pre = jax.jit(_residual_and_inter,
                     static_argnames=("mb_w", "mb_h", "mc"))
 intra_pass = jax.jit(_intra_scan, static_argnames=("mb_w", "mb_h"))
+intra_pass_sparse = jax.jit(_intra_scan_sparse,
+                            static_argnames=("mb_w", "mb_h"))
 deblock_pass = jax.jit(_deblock_crop, static_argnames=("mb_w", "mb_h"))
 
 
@@ -708,13 +773,18 @@ def recon_run(mb_w: int, mb_h: int, planes_k, ref_y, ref_u, ref_v,
         # scan xs; the switch makes P frames pay only the diagonals
         # they populate (a P frame with one intra MB runs 4 wavefront
         # steps, not the full ~2*mb_h+mb_w).
+        # sparse buckets (1, 2) list only POPULATED diagonals, so they
+        # must use the plane-carrying scan — the compact-carry variant
+        # needs the full contiguous table (bucket 3) to keep its
+        # neighbor buffers fed (FMO-dispersed intra, SVA_FM1_E).
         Yw, Uw, Vw = jax.lax.switch(
             hi,
             [lambda a: (a[0], a[1], a[2]),
-             lambda a: _intra_scan(mb_w, mb_h, a[0], a[1], a[2], a[3],
-                                   a[4], a[5], a[6], dsel[:4]),
-             lambda a: _intra_scan(mb_w, mb_h, a[0], a[1], a[2], a[3],
-                                   a[4], a[5], a[6], dsel),
+             lambda a: _intra_scan_sparse(mb_w, mb_h, a[0], a[1], a[2],
+                                          a[3], a[4], a[5], a[6],
+                                          dsel[:4]),
+             lambda a: _intra_scan_sparse(mb_w, mb_h, a[0], a[1], a[2],
+                                          a[3], a[4], a[5], a[6], dsel),
              lambda a: _intra_scan(mb_w, mb_h, a[0], a[1], a[2], a[3],
                                    a[4], a[5], a[6], diags)],
             (Yw, Uw, Vw, res_y, res_u, res_v, p))
@@ -1097,7 +1167,7 @@ class JaxDecoder:
         self.crop_px = f.get("crop_px", (0, 0, 0, 0))
         mb_w, mb_h = f["mb_w"], f["mb_h"]
         self._prep_refs(mb_w, mb_h)
-        planes, diags, has_intra, _ = self._prep_planes(f)
+        planes, diags, has_intra, full_intra = self._prep_planes(f)
         planes = jax.device_put(planes)
         # always the split pipeline: recon_pre/deblock_pass compile
         # ONCE per geometry and the intra pass at most twice
@@ -1107,8 +1177,12 @@ class JaxDecoder:
         Yw, Uw, Vw, ry, ru, rv = recon_pre(
             mb_w, mb_h, planes, self.ref_y, self.ref_u, self.ref_v)
         if has_intra:
-            Yw, Uw, Vw = intra_pass(mb_w, mb_h, Yw, Uw, Vw,
-                                    ry, ru, rv, planes, diags)
+            # full contiguous table -> compact-carry; 16-row sparse
+            # subset -> plane-carrying (skipped diagonals would starve
+            # the compact buffers)
+            scan = intra_pass if full_intra else intra_pass_sparse
+            Yw, Uw, Vw = scan(mb_w, mb_h, Yw, Uw, Vw,
+                              ry, ru, rv, planes, diags)
         Y, U, V = deblock_pass(mb_w, mb_h, Yw, Uw, Vw, planes)
         damaged = (f.get("lost_slices", 0) > 0
                    or not bool(f["decoded"].all()))

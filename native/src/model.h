@@ -119,6 +119,9 @@ struct Model {
                                   // (full 2D left x past and bucketed
                                   // left x above x past were both measured
                                   // WORSE — the sum shares statistics)
+  // (A 2D [left][past] fine context LAYERED over the summed context via
+  // count-weighted mixing was also measured WORSE, corpus -166 B —
+  // the sum genuinely shares statistics better here.)
   SkipRunPrior skip_run[65];
   DynProb end_bit[2048];
   DynProb end_bit_skip[2048];
@@ -168,7 +171,8 @@ struct Model {
   // [previous coefficient |v| bucket (prevb)] — a co-located-past
   // magnitude dim was measured WORSE (adaptive-QP streams, BAMQ2:
   // QP changes make past magnitudes misleading)
-  MagPrior ac_mag[2][2][7][5][4];  // + nzleft bucket (block energy)
+  MagPrior ac_mag[2][2][7][5][4][4];  // + nzleft bucket (block energy)
+                                      // + co-located past |coeff| bucket
   // coarse parents for count-weighted context mixing (bit_mix): the
   // rich ac_4x4/ac_8x8 zero/gt1 probs see few samples each on short
   // streams; blending with these heavily-trained parents stops the
@@ -454,8 +458,10 @@ void code_block(IO& io, ModelCtx& mc, int color, int blk, i16* coeff,
     int mstate = gt1cnt ? 4 + (gt1cnt > 3 ? 2 : gt1cnt - 1)
                         : (eq1 > 3 ? 3 : eq1);
     int nzb = nzleft >= 4 ? 3 : nzleft - 1;
+    int posi = start + i;
+    int pmb = posi >= 7 ? 3 : (posi >= 3 ? 2 : (posi >= 1 ? 1 : 0));
     MagPrior* mp =
-        &M.ac_mag[color != 0][intra ? 1 : 0][mstate][prevb][nzb];
+        &M.ac_mag[color != 0][intra ? 1 : 0][mstate][prevb][nzb][pmb];
     MagPrior* mpc = &M.ac_mag_c[color != 0];
     int nzc = std::min(11, nzleft);
     DynProb* zero_c =
