@@ -134,11 +134,23 @@ def main():
     # same-run machine probe: decode rows are uninterpretable without it
     import bench as _b
     probe = round(_b._probe_gbps(), 2)
-    with open(os.path.join(art, "JAXSWEEP.json"), "w") as fh:
-        json.dump({"backend": jax.default_backend(), "ok": n_ok,
-                   "fail": n_bad, "machine_probe_gbps": probe,
-                   "degraded": probe < 1.0,
-                   "streams": results}, fh, indent=1)
+    path_out = os.path.join(art, "JAXSWEEP.json")
+    # partial (arg-listed) runs MERGE into the existing artifact instead
+    # of clobbering the full-sweep record; per-stream probe rides along
+    # so mixed-state rows stay interpretable
+    doc = {"backend": jax.default_backend(), "streams": {}}
+    if sys.argv[1:] and os.path.exists(path_out):
+        doc = json.load(open(path_out))
+        for r in results.values():
+            r["machine_probe_gbps"] = probe
+    doc["streams"].update(results)
+    doc["ok"] = sum(1 for r in doc["streams"].values() if r.get("ok"))
+    doc["fail"] = sum(1 for r in doc["streams"].values()
+                      if not r.get("ok"))
+    doc["machine_probe_gbps"] = probe
+    doc["degraded"] = probe < 1.0
+    with open(path_out, "w") as fh:
+        json.dump(doc, fh, indent=1)
     sys.exit(1 if n_bad else 0)
 
 
